@@ -1,0 +1,182 @@
+package graft.analysis
+
+import scala.collection.mutable.ArrayBuffer
+
+/** A token produced by an analyzer chain.
+  *
+  * Mirrors the reference token model (`tokenizer-api/src/lib.rs:15` —
+  * `Token{offset_from, offset_to, position, text}`): `position` is the token
+  * ordinal assigned by the *tokenizer* (before any filter drops tokens), so
+  * filtered-out tokens leave position gaps, exactly like the reference chain
+  * where `SimpleTokenizer` stamps positions and `RemoveLongFilter` merely
+  * skips tokens (`src/tokenizer/remove_long.rs:34-37`).
+  */
+final case class Token(text: String, position: Int, offsetFrom: Int, offsetTo: Int)
+
+/** Tantivy-default analyzer chain, re-expressed in Scala:
+  *
+  *   SimpleTokenizer + RemoveLongFilter(40) + LowerCaser
+  *
+  * (registration: `/root/reference/src/tokenizer/tokenizer_manager.rs:56-67`).
+  *
+  * Semantics replicated exactly:
+  *  - SimpleTokenizer: a token is a maximal run of Unicode-alphanumeric code
+  *    points (`src/tokenizer/simple_tokenizer.rs:41-55`, Rust
+  *    `char::is_alphanumeric` = Alphabetic or Number category);
+  *  - RemoveLongFilter: drop tokens whose UTF-8 byte length is >= limit
+  *    (strict `<` keeps; default limit 40, `src/tokenizer/remove_long.rs:34-37`);
+  *  - LowerCaser: per-code-point Unicode lowercase with NO sigma/locale
+  *    special-casing (`src/tokenizer/lower_caser.rs:44-60`).
+  *
+  * The corpus used by tests/benchmarks is restricted to code points where the
+  * Rust and JVM character tables agree (SURVEY.md §7.4).
+  */
+object Analyzer extends Serializable {
+
+  val DefaultLongTokenLimit = 40
+
+  /** Rust `char::is_alphanumeric`: Alphabetic || Number (Nd|Nl|No). */
+  @inline def isAlphanumeric(cp: Int): Boolean = {
+    if (cp < 128) (cp >= 'a' && cp <= 'z') || (cp >= 'A' && cp <= 'Z') || (cp >= '0' && cp <= '9')
+    else Character.isAlphabetic(cp) || Character.isDigit(cp) || {
+      val t = Character.getType(cp)
+      t == Character.LETTER_NUMBER || t == Character.OTHER_NUMBER
+    }
+  }
+
+  /** Per-code-point lowercase; 1:1 mapping (Character.toLowerCase), ASCII fast
+    * path first. Full multi-char mappings are not applied — the generated
+    * corpora avoid the affected code points.
+    */
+  def lowercase(s: String): String = {
+    var i = 0
+    var ascii = true
+    while (ascii && i < s.length) { if (s.charAt(i) >= 128) ascii = false; i += 1 }
+    if (ascii) {
+      val out = new Array[Char](s.length)
+      i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        out(i) = if (c >= 'A' && c <= 'Z') (c + 32).toChar else c
+        i += 1
+      }
+      new String(out)
+    } else {
+      val sb = new java.lang.StringBuilder(s.length)
+      i = 0
+      while (i < s.length) {
+        val cp = s.codePointAt(i)
+        sb.appendCodePoint(Character.toLowerCase(cp))
+        i += Character.charCount(cp)
+      }
+      sb.toString
+    }
+  }
+
+  /** UTF-8 byte length without materializing bytes. */
+  def utf8Len(s: String): Int = {
+    var n = 0
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      n += (if (cp < 0x80) 1 else if (cp < 0x800) 2 else if (cp < 0x10000) 3 else 4)
+      i += Character.charCount(cp)
+    }
+    n
+  }
+
+  /** SimpleTokenizer alone: maximal alphanumeric runs with ordinal positions. */
+  def simpleTokens(text: String): ArrayBuffer[Token] = {
+    val out = new ArrayBuffer[Token]()
+    var i = 0
+    var pos = -1
+    val n = text.length
+    while (i < n) {
+      val cp = text.codePointAt(i)
+      if (isAlphanumeric(cp)) {
+        val start = i
+        var j = i
+        while (j < n && isAlphanumeric(text.codePointAt(j))) j += Character.charCount(text.codePointAt(j))
+        pos += 1
+        out += Token(text.substring(start, j), pos, start, j)
+        i = j
+      } else i += Character.charCount(cp)
+    }
+    out
+  }
+
+  /** Full default chain: simple -> remove_long(40) -> lowercase. */
+  def tokenize(text: String, longLimit: Int = DefaultLongTokenLimit): ArrayBuffer[Token] = {
+    val toks = simpleTokens(text)
+    val out = new ArrayBuffer[Token](toks.length)
+    var i = 0
+    while (i < toks.length) {
+      val t = toks(i)
+      if (utf8Len(t.text) < longLimit) out += t.copy(text = lowercase(t.text))
+      i += 1
+    }
+    out
+  }
+
+  /** Term list only (analyzer output order). */
+  def terms(text: String): ArrayBuffer[String] = {
+    val toks = tokenize(text)
+    val out = new ArrayBuffer[String](toks.length)
+    var i = 0
+    while (i < toks.length) { out += toks(i).text; i += 1 }
+    out
+  }
+
+  /** Number of tokens the default chain emits — this is the fieldnorm input
+    * (tokens counted after remove_long, as in the reference segment writer).
+    */
+  def tokenCount(text: String): Int = {
+    val toks = simpleTokens(text)
+    var n = 0
+    var i = 0
+    while (i < toks.length) { if (utf8Len(toks(i).text) < DefaultLongTokenLimit) n += 1; i += 1 }
+    n
+  }
+
+  /** WhitespaceTokenizer (`src/tokenizer/whitespace_tokenizer.rs`). */
+  def whitespaceTokens(text: String): ArrayBuffer[Token] = {
+    val out = new ArrayBuffer[Token]()
+    var i = 0
+    var pos = -1
+    val n = text.length
+    while (i < n) {
+      val c = text.charAt(i)
+      if (!Character.isWhitespace(c)) {
+        val start = i
+        var j = i
+        while (j < n && !Character.isWhitespace(text.charAt(j))) j += 1
+        pos += 1
+        out += Token(text.substring(start, j), pos, start, j)
+        i = j
+      } else i += 1
+    }
+    out
+  }
+
+  /** Character n-gram shingles of the analyzed text (for MinHash / Jaccard
+    * dedup); n-gram over the space-joined lowercased token stream so shingles
+    * are insensitive to punctuation, mirroring common web-dedup practice.
+    */
+  def charShingles(text: String, n: Int): Set[String] = {
+    val joined = terms(text).mkString(" ")
+    if (joined.length < n) { if (joined.isEmpty) Set.empty else Set(joined) }
+    else {
+      val out = scala.collection.mutable.HashSet.empty[String]
+      var i = 0
+      while (i + n <= joined.length) { out += joined.substring(i, i + n); i += 1 }
+      out.toSet
+    }
+  }
+
+  /** Word n-gram shingles (token-level). */
+  def wordShingles(text: String, n: Int): Set[String] = {
+    val ts = terms(text)
+    if (ts.length < n) { if (ts.isEmpty) Set.empty else Set(ts.mkString(" ")) }
+    else (0 to ts.length - n).map(i => ts.slice(i, i + n).mkString(" ")).toSet
+  }
+}
