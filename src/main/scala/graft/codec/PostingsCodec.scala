@@ -39,15 +39,15 @@ object PostingsCodec {
   val Terminated: Int = Int.MaxValue
 
   /** Encode one posting list. `docs` ascending; `tfs(i)` >= 1;
-    * `positionsPerDoc(i)` = ascending token positions of the term in doc i
-    * (null or empty arrays when positions are not recorded);
-    * `normIdOf(docId)` = quantized fieldnorm id for block-max (pass null for
-    * unscored fields).
+    * `positionsFlat` = concatenation of each doc's ascending positions
+    * (doc i owns the slice of length tfs(i) after the first i slices; null
+    * when positions are not recorded); `normIdOf(docId)` = quantized
+    * fieldnorm id for block-max (null for unscored fields).
     */
   def encode(
       docs: Array[Int],
       tfs: Array[Int],
-      positionsPerDoc: Array[Array[Int]],
+      positionsFlat: Array[Int],
       normIdOf: Int => Byte,
       withFreqs: Boolean): EncodedPostings = {
     val n = docs.length
@@ -98,18 +98,18 @@ object PostingsCodec {
       writeIntBE(skip, cumTf.toInt)
       b += 1
     }
-    if (positionsPerDoc != null) {
+    if (positionsFlat != null) {
       var i = 0
+      var p = 0
       while (i < n) {
-        val ps = positionsPerDoc(i)
-        if (ps != null) {
-          var prev = 0
-          var j = 0
-          while (j < ps.length) {
-            writeVInt(posOut, (ps(j) - prev).toLong)
-            prev = ps(j)
-            j += 1
-          }
+        val tf = tfs(i)
+        var prev = 0
+        var j = 0
+        while (j < tf) {
+          writeVInt(posOut, (positionsFlat(p) - prev).toLong)
+          prev = positionsFlat(p)
+          p += 1
+          j += 1
         }
         i += 1
       }

@@ -1,0 +1,267 @@
+package graft.index
+
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.analysis.Analyzer
+import graft.codec.PostingsCodec
+
+/** Index build configuration (the schema: which columns feed which storages,
+  * mirroring the reference's per-field options — `text` is TEXT with
+  * freqs+positions, `key`/`lang` are raw-indexed, `ts` is a fast field kept
+  * columnar in the docmap; cf. `/root/reference/src/schema/text_options.rs:12`,
+  * FIXTURES.md §1).
+  *
+  * `maxDocsPerSegment` is the memory-budget flush analog
+  * (`src/indexer/index_writer.rs:195`): a partition streaming more docs than
+  * this cuts additional segments, keeping build memory O(segment), not
+  * O(partition).
+  */
+final case class IndexConfig(
+    numPartitions: Int,
+    keyField: String = "url",
+    textField: String = "text",
+    langField: String = "lang",
+    tsField: String = "warc_ts",
+    maxDocsPerSegment: Int = 1 << 21,
+    storePositions: Boolean = true) {
+  /** chunk ordinal cap per partition — segment id = pid * ChunksPerPartition + chunk */
+  def rawFields: Seq[String] = Seq(keyField, langField)
+}
+
+/** Normalized input row for the builder (public: Catalyst codegen
+  * instantiates it in generated deserializers).
+  */
+final case class InDoc(key: String, text: String, lang: String, ts: java.sql.Timestamp)
+
+object IndexBuilder {
+
+  val ChunksPerPartition = 4096
+
+  /** Build (or resume) an inverted index over `source`.
+    *
+    * Spark trace (SURVEY.md §3.1): repartition(numPartitions, hash(key)) →
+    * sortWithinPartitions(key) → mapPartitions(tokenize + encode segment) →
+    * write postings/docmap Parquet partitioned by segment → atomic manifest
+    * publish. Partitioning and sort are deterministic in the key alone, so
+    * docIds — and therefore scores and ranks — are identical at any
+    * parallelism (local[8] ≡ local[32]; the N-vs-4N prerequisite).
+    *
+    * Resume: segments already in the manifest are skipped (their input
+    * partition is still scanned — the shuffle is lineage — but tokenize,
+    * encode and write are not redone); leftover files of unfinished segments
+    * are deleted before the build so append stays exactly-once.
+    */
+  def build(spark: SparkSession, source: DataFrame, indexDir: String, cfg: IndexConfig,
+      resume: Boolean = true): IndexManifest = {
+    import spark.implicits._
+
+    val prior = if (resume) IndexManifest.read(spark, indexDir) else None
+    val done: Set[Int] = prior.map(_.segments.map(_.segment).toSet).getOrElse(Set.empty)
+    prior.foreach { p =>
+      require(p.numPartitions == cfg.numPartitions,
+        s"resume with different numPartitions (${p.numPartitions} != ${cfg.numPartitions}) would re-map docIds")
+    }
+
+    // clean partial output of segments that never made it into the manifest
+    cleanUnfinished(spark, indexDir, done)
+
+    val in: Dataset[InDoc] = source.select(
+        col(cfg.keyField).cast("string").as("key"),
+        col(cfg.textField).cast("string").as("text"),
+        col(cfg.langField).cast("string").as("lang"),
+        col(cfg.tsField).cast("timestamp").as("ts"))
+      .as[InDoc]
+
+    val parted = in
+      .repartition(cfg.numPartitions, col("key"))
+      .sortWithinPartitions("key")
+
+    val bcCfg = spark.sparkContext.broadcast(cfg)
+    val bcDone = spark.sparkContext.broadcast(done)
+
+    // Job A: postings (+ norms + stats rows), one sorted Parquet per segment
+    val postings = parted.mapPartitions { it =>
+      val cfg = bcCfg.value
+      val pid = TaskContext.getPartitionId()
+      chunked(it, cfg.maxDocsPerSegment).zipWithIndex.flatMap { case (chunk, ci) =>
+        val segId = pid * ChunksPerPartition + ci
+        if (bcDone.value.contains(segId)) Iterator.empty
+        else buildSegment(segId, chunk, cfg)
+      }
+    }
+    postings.toDF()
+      .write.mode("append").partitionBy("segment")
+      .parquet(s"$indexDir/postings")
+
+    // Job B: docmap (stored + fast fields), reusing the same shuffle output
+    val docmap = parted.mapPartitions { it =>
+      val cfg = bcCfg.value
+      val pid = TaskContext.getPartitionId()
+      chunked(it, cfg.maxDocsPerSegment).zipWithIndex.flatMap { case (chunk, ci) =>
+        val segId = pid * ChunksPerPartition + ci
+        if (bcDone.value.contains(segId)) Iterator.empty
+        else chunk.iterator.zipWithIndex.map { case (d, i) =>
+          DocMapRow(segId, i, d.key, d.ts, d.lang)
+        }
+      }
+    }
+    docmap.toDF()
+      .write.mode("append").partitionBy("segment")
+      .parquet(s"$indexDir/docmap")
+
+    // assemble manifest from the __stats__ rows now on disk (old + new)
+    val statRows = spark.read.parquet(s"$indexDir/postings")
+      .where(col("field") === PostingRow.StatsField)
+      .select("segment", "docFreq", "totalTf", "postings")
+      .collect()
+    val metas = statRows.map { r =>
+      val segment = r.getInt(0)
+      val extra = new String(r.getAs[Array[Byte]](3), java.nio.charset.StandardCharsets.UTF_8)
+        .split(',').map(_.split(':')).map(a => a(0) -> a(1).toLong).toMap
+      SegmentMeta(
+        segment = segment,
+        numDocs = r.getInt(1),
+        totalTokens = r.getLong(2),
+        postingsBytes = extra.getOrElse("postingsBytes", 0L),
+        buildMillis = extra.getOrElse("buildMillis", 0L),
+        docsPerSec = if (extra.getOrElse("buildMillis", 0L) > 0)
+          r.getInt(1).toDouble * 1000.0 / extra("buildMillis") else 0.0,
+        mergeFanIn = extra.getOrElse("mergeFanIn", 1L).toInt)
+    }.sortBy(_.segment).toSeq
+
+    val manifest = IndexManifest(
+      version = 1,
+      commitSeq = prior.map(_.commitSeq + 1).getOrElse(1L),
+      keyField = cfg.keyField,
+      textField = cfg.textField,
+      rawFields = cfg.rawFields,
+      numPartitions = cfg.numPartitions,
+      segments = metas)
+    IndexManifest.write(spark, indexDir, manifest)
+    manifest
+  }
+
+  /** Lazily split an iterator into chunks of at most `size` docs. */
+  private def chunked(it: Iterator[InDoc], chunkSize: Int): Iterator[Seq[InDoc]] =
+    new Iterator[Seq[InDoc]] {
+      def hasNext: Boolean = it.hasNext
+      def next(): Seq[InDoc] = {
+        val buf = new scala.collection.mutable.ArrayBuffer[InDoc](math.min(chunkSize, 1 << 16))
+        while (it.hasNext && buf.length < chunkSize) buf += it.next()
+        buf.toSeq
+      }
+    }
+
+  /** Growable int buffer for posting accumulation. */
+  private final class IntVec(initial: Int = 8) {
+    var arr = new Array[Int](initial)
+    var len = 0
+    def +=(v: Int): Unit = {
+      if (len == arr.length) arr = java.util.Arrays.copyOf(arr, arr.length * 2)
+      arr(len) = v
+      len += 1
+    }
+    def incrLast(): Unit = arr(len - 1) += 1
+    def toArray: Array[Int] = java.util.Arrays.copyOf(arr, len)
+  }
+
+  /** One segment: the in-RAM term->postings recorder of the reference
+    * (`src/postings/postings_writer.rs:59-90`) as a partition-local hash map,
+    * then term-sorted encode — no shuffle inside a segment build.
+    */
+  private def buildSegment(segId: Int, docs: Seq[InDoc], cfg: IndexConfig): Iterator[PostingRow] = {
+    val t0 = System.currentTimeMillis()
+    val numDocs = docs.length
+    val norms = new Array[Byte](numDocs)
+    var totalTokens = 0L
+
+    final case class Acc(docsV: IntVec, tfsV: IntVec, posV: IntVec) { var lastDoc: Int = -1 }
+    val text = new java.util.HashMap[String, Acc]()
+    val raw = new java.util.HashMap[(String, String), IntVec]()
+
+    var docId = 0
+    docs.foreach { d =>
+      val toks = Analyzer.tokenize(d.text)
+      var i = 0
+      while (i < toks.length) {
+        val t = toks(i)
+        var acc = text.get(t.text)
+        if (acc == null) { acc = Acc(new IntVec(), new IntVec(), new IntVec()); text.put(t.text, acc) }
+        if (acc.lastDoc != docId) {
+          acc.docsV += docId
+          acc.tfsV += 1
+          acc.lastDoc = docId
+        } else acc.tfsV.incrLast()
+        if (cfg.storePositions) acc.posV += t.position
+        i += 1
+      }
+      norms(docId) = graft.index.FieldNorms.fieldNormToId(toks.length.toLong)
+      totalTokens += toks.length
+      // raw fields: whole value = one term (RawTokenizer)
+      Seq(cfg.keyField -> d.key, cfg.langField -> d.lang).foreach { case (f, v) =>
+        if (v != null) {
+          var vec = raw.get((f, v))
+          if (vec == null) { vec = new IntVec(); raw.put((f, v), vec) }
+          vec += docId
+        }
+      }
+      docId += 1
+    }
+
+    var postingsBytes = 0L
+    val textRows = {
+      import scala.jdk.CollectionConverters._
+      text.entrySet().asScala.toArray.sortBy(_.getKey).iterator.map { e =>
+        val acc = e.getValue
+        val enc = PostingsCodec.encode(
+          acc.docsV.toArray, acc.tfsV.toArray,
+          if (cfg.storePositions) acc.posV.toArray else null,
+          d => norms(d), withFreqs = true)
+        postingsBytes += enc.postings.length + enc.skip.length + enc.positions.length
+        PostingRow(segId, cfg.textField, e.getKey, enc.docFreq, enc.totalTf,
+          enc.postings, enc.skip, enc.positions)
+      }
+    }
+    val rawRows = {
+      import scala.jdk.CollectionConverters._
+      raw.entrySet().asScala.toArray.sortBy(e => (e.getKey._1, e.getKey._2)).iterator.map { e =>
+        val (f, v) = e.getKey
+        val ds = e.getValue.toArray
+        val enc = PostingsCodec.encode(ds, Array.fill(ds.length)(1), null, null, withFreqs = false)
+        postingsBytes += enc.postings.length + enc.skip.length
+        PostingRow(segId, f, v, enc.docFreq, enc.totalTf, enc.postings, enc.skip, enc.positions)
+      }
+    }
+
+    // buffer rows (they must be fully computed before t1 anyway for metrics)
+    val body = (textRows ++ rawRows).toArray
+    val t1 = System.currentTimeMillis()
+    val normsRow = PostingRow(segId, PostingRow.NormsField, cfg.textField,
+      numDocs, totalTokens, norms, Array.emptyByteArray, Array.emptyByteArray)
+    val statsJson = s"buildMillis:${math.max(t1 - t0, 1)},postingsBytes:$postingsBytes,mergeFanIn:1"
+    val statsRow = PostingRow(segId, PostingRow.StatsField, "",
+      numDocs, totalTokens, statsJson.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      Array.emptyByteArray, Array.emptyByteArray)
+    body.iterator ++ Iterator(normsRow, statsRow)
+  }
+
+  private def cleanUnfinished(spark: SparkSession, indexDir: String, done: Set[Int]): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    for (sub <- Seq("postings", "docmap")) {
+      val dir = new org.apache.hadoop.fs.Path(s"$indexDir/$sub")
+      val fs = dir.getFileSystem(conf)
+      if (fs.exists(dir)) {
+        fs.listStatus(dir).foreach { st =>
+          val name = st.getPath.getName
+          if (name.startsWith("segment=")) {
+            val id = name.stripPrefix("segment=").toInt
+            if (!done.contains(id)) fs.delete(st.getPath, true)
+          } else if (!name.startsWith("_")) {
+            // top-level stray files (e.g. _SUCCESS is fine; others cleaned)
+          }
+        }
+      }
+    }
+  }
+}

@@ -1,0 +1,108 @@
+package graft.index
+
+import java.sql.Timestamp
+
+/** One row of a segment's postings table — the on-disk unit of the inverted
+  * index. The whole segment (term dictionary + postings + skip + positions +
+  * fieldnorms + stats) lives in ONE Parquet table sorted by (field, term):
+  * Parquet min/max column statistics over the sorted `term` column play the
+  * role of the reference's FST prefix pruning (`/root/reference/src/termdict/
+  * fst_termdict/termdict.rs:24,118` — SURVEY.md §2.1 "sorted-by-term Parquet").
+  *
+  * Special rows (reserved `field` names):
+  *  - `field == "__norms__"`, `term == <textField>`: `postings` holds the
+  *    segment's fieldnorm bytes (1 byte/doc, docId-indexed — the reference's
+  *    fieldnorm file, ARCHITECTURE.md:257-260); docFreq = numDocs;
+  *    totalTf = total token count of the field in this segment.
+  *  - `field == "__stats__"`, `term == ""`: segment build metrics
+  *    (postings stored empty; numbers in docFreq/totalTf/postings JSON).
+  */
+final case class PostingRow(
+    segment: Int,
+    field: String,
+    term: String,
+    docFreq: Int,
+    totalTf: Long,
+    postings: Array[Byte],
+    skip: Array[Byte],
+    positions: Array[Byte])
+
+object PostingRow {
+  val NormsField = "__norms__"
+  val StatsField = "__stats__"
+}
+
+/** Doc-id -> stored/fast fields of one segment. `docId` is the dense
+  * segment-local ordinal (insertion order after the deterministic
+  * sort-within-partition, `src/lib.rs:296` semantics). The columnar Parquet
+  * layout IS the reference's "fast field" store (warc_ts, lang are FAST);
+  * joining top-k addresses back to this table replaces the row store.
+  */
+final case class DocMapRow(segment: Int, docId: Int, url: String, warc_ts: Timestamp, lang: String)
+
+/** Per-segment build metrics, logged in the manifest (north rule: segment
+  * metrics — docs/sec, postings bytes; mirrors `src/space_usage/mod.rs`).
+  */
+final case class SegmentMeta(
+    segment: Int,
+    numDocs: Int,
+    totalTokens: Long,
+    postingsBytes: Long,
+    buildMillis: Long,
+    docsPerSec: Double,
+    mergeFanIn: Int)
+
+/** Index manifest = the reference's `meta.json` (ARCHITECTURE.md:51-53):
+  * atomically swapped on commit, carries the segment list + schema + commit
+  * sequence (opstamp analog) + per-segment lineage and metrics. Resume =
+  * diff planned segments against `segments` (SURVEY.md §7.3).
+  */
+final case class IndexManifest(
+    version: Int,
+    commitSeq: Long,
+    keyField: String,
+    textField: String,
+    rawFields: Seq[String],
+    numPartitions: Int,
+    segments: Seq[SegmentMeta]) {
+  def totalDocs: Long = segments.map(_.numDocs.toLong).sum
+  def totalTokens: Long = segments.map(_.totalTokens).sum
+  def segmentIds: Seq[Int] = segments.map(_.segment)
+}
+
+object IndexManifest {
+  import org.json4s._
+  import org.json4s.jackson.Serialization
+  private implicit val fmts: Formats = DefaultFormats
+
+  def toJson(m: IndexManifest): String = Serialization.writePretty(m)
+  def fromJson(s: String): IndexManifest = Serialization.read[IndexManifest](s)
+
+  /** Atomic publish: write tmp then rename — the `meta.json` swap. Works for
+    * local and HDFS-style filesystems via Hadoop FS.
+    */
+  def write(spark: org.apache.spark.sql.SparkSession, indexDir: String, m: IndexManifest): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val path = new org.apache.hadoop.fs.Path(indexDir, "manifest.json")
+    val tmp = new org.apache.hadoop.fs.Path(indexDir, s"manifest.json.tmp-${m.commitSeq}")
+    val fs = path.getFileSystem(conf)
+    val out = fs.create(tmp, true)
+    out.write(toJson(m).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    out.close()
+    fs.delete(path, false)
+    if (!fs.rename(tmp, path)) throw new java.io.IOException(s"manifest rename failed: $tmp -> $path")
+  }
+
+  def read(spark: org.apache.spark.sql.SparkSession, indexDir: String): Option[IndexManifest] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val path = new org.apache.hadoop.fs.Path(indexDir, "manifest.json")
+    val fs = path.getFileSystem(conf)
+    if (!fs.exists(path)) None
+    else {
+      val in = fs.open(path)
+      val bytes = org.apache.hadoop.io.IOUtils.readFullyToByteArray(in)
+      in.close()
+      Some(fromJson(new String(bytes, java.nio.charset.StandardCharsets.UTF_8)))
+    }
+  }
+}

@@ -1,0 +1,214 @@
+package graft.search
+
+/** Occur (`/root/reference/src/query/mod.rs:35`). */
+sealed trait Occur extends Serializable
+object Occur {
+  case object Must extends Occur
+  case object Should extends Occur
+  case object MustNot extends Occur
+}
+
+/** User-level query ADT — the reference's `Query` tree (§2.2 of SURVEY.md).
+  * Term-expansion queries (fuzzy/regex/range/set/prefix) are resolved against
+  * the term dictionary at plan time, mirroring the reference's automaton
+  * walks (`src/query/automaton_weight.rs:16`), then compiled to a
+  * serializable `CQuery` with stats-bound BM25 weights (the `Query -> Weight`
+  * stage of `src/query/weight.rs:66`).
+  */
+sealed trait Query extends Serializable
+object Query {
+  final case class Term(field: String, term: String, boost: Float = 1.0f) extends Query
+  final case class Phrase(field: String, terms: Seq[String], slop: Int = 0) extends Query
+  final case class Bool(clauses: Seq[(Occur, Query)], minShouldMatch: Int = 0) extends Query
+  final case class TermSet(field: String, terms: Seq[String]) extends Query
+  final case class Fuzzy(field: String, term: String, distance: Int = 1, prefix: Boolean = false) extends Query
+  final case class Regexp(field: String, pattern: String) extends Query
+  final case class TermRange(field: String, lo: Option[String], hi: Option[String],
+      loInclusive: Boolean = true, hiInclusive: Boolean = false) extends Query
+  final case class Prefix(field: String, prefix: String, maxExpansions: Int = 1024) extends Query
+  final case class PhrasePrefix(field: String, terms: Seq[String], maxExpansions: Int = 50) extends Query
+  final case class Boost(inner: Query, boost: Float) extends Query
+  final case class ConstScore(inner: Query, score: Float) extends Query
+  final case class DisjunctionMax(disjuncts: Seq[Query], tieBreaker: Float = 0.0f) extends Query
+  case object All extends Query
+  case object Nothing extends Query
+
+  def must(qs: Query*): Bool = Bool(qs.map(Occur.Must -> _))
+  def should(qs: Query*): Bool = Bool(qs.map(Occur.Should -> _))
+}
+
+/** Stats-bound, segment-independent compiled query — what ships to the
+  * per-segment kernels (the `Weight` stage: global idf/avgdl resolved once on
+  * the driver, broadcast to executors; SURVEY.md §3.2).
+  */
+sealed trait CQuery extends Serializable
+object CQuery {
+  final case class CTerm(field: String, term: String, weight: Bm25.Weight) extends CQuery
+  final case class CPhrase(field: String, terms: Seq[String], weight: Bm25.Weight, slop: Int) extends CQuery
+  final case class CBool(must: Seq[CQuery], should: Seq[CQuery], mustNot: Seq[CQuery],
+      minShouldMatch: Int) extends CQuery
+  final case class CDisjMax(disjuncts: Seq[CQuery], tieBreaker: Float) extends CQuery
+  final case class CConst(inner: CQuery, score: Float) extends CQuery
+  final case class CBoost(inner: CQuery, boost: Float) extends CQuery
+  case object CAll extends CQuery
+  case object CEmpty extends CQuery
+
+  /** All concrete (field, term) pairs the kernel will look up. */
+  def termsOf(q: CQuery): Set[(String, String)] = q match {
+    case CTerm(f, t, _) => Set(f -> t)
+    case CPhrase(f, ts, _, _) => ts.map(f -> _).toSet
+    case CBool(m, s, n, _) => (m ++ s ++ n).flatMap(termsOf).toSet
+    case CDisjMax(ds, _) => ds.flatMap(termsOf).toSet
+    case CConst(i, _) => termsOf(i)
+    case CBoost(i, _) => termsOf(i)
+    case CAll | CEmpty => Set.empty
+  }
+
+  /** True when the whole query is a disjunction of scored terms — the shape
+    * eligible for multi-scorer Block-WAND (`boolean_weight.rs:43-83`
+    * SpecializedScorer selection).
+    */
+  def wandTerms(q: CQuery): Option[Seq[CTerm]] = q match {
+    case t: CTerm if t.weight != null => Some(Seq(t))
+    case CBool(m, s, n, msm) if m.isEmpty && n.isEmpty && msm <= 1 =>
+      val legs = s.map {
+        case t: CTerm if t.weight != null => t
+        case _ => return None
+      }
+      if (legs.nonEmpty) Some(legs) else None
+    case _ => None
+  }
+}
+
+/** Per-segment compilation of a CQuery into a Scorer DAG, with the boolean
+  * simplification rules of `boolean_weight.rs:234-305,402-418` (empty MUST
+  * kills the clause tree; empty SHOULD legs drop; minShouldMatch promotion).
+  */
+object QueryKernel {
+
+  /** One segment's lookup context. `postingsFor` returns a FRESH decoder per
+    * call (scorer legs must not share cursors); null when the term is absent.
+    */
+  final class SegmentContext(
+      val numDocs: Int,
+      val norms: Array[Byte],
+      postingsFor: (String, String) => graft.codec.SegmentPostings) {
+    def fresh(field: String, term: String): graft.codec.SegmentPostings = postingsFor(field, term)
+  }
+
+  import CQuery._
+
+  def toScorer(q: CQuery, ctx: SegmentContext, scored: Boolean): Scorer = q match {
+    case CTerm(f, t, w) =>
+      val p = ctx.fresh(f, t)
+      if (p == null) new EmptyScorer
+      else new TermScorer(p, ctx.norms, if (scored) w else null)
+    case CPhrase(f, ts, w, slop) =>
+      val legs = ts.map(t => ctx.fresh(f, t))
+      if (legs.exists(_ == null)) new EmptyScorer
+      else new PhraseScorer(legs.toArray, ctx.norms, if (scored) w else null, slop)
+    case CConst(inner, s) =>
+      val in = toScorer(inner, ctx, scored = false)
+      in match {
+        case _: EmptyScorer => in
+        case _ => new ConstScorer(in, if (scored) s else 0.0f)
+      }
+    case CBoost(inner, b) =>
+      new BoostScorer(toScorer(inner, ctx, scored), if (scored) b else 0.0f)
+    case CAll => new AllScorer(ctx.numDocs)
+    case CEmpty => new EmptyScorer
+    case CDisjMax(ds, tie) =>
+      val legs = ds.map(toScorer(_, ctx, scored)).filter(!_.isInstanceOf[EmptyScorer])
+      if (legs.isEmpty) new EmptyScorer
+      else if (legs.size == 1) legs.head
+      else new Union(legs.toArray, if (scored) Combiner.DisjMax(tie) else Combiner.DoNothing)
+    case CBool(mustQ, shouldQ, mustNotQ, msm0) =>
+      val mustS = mustQ.map(toScorer(_, ctx, scored))
+      if (mustS.exists(_.isInstanceOf[EmptyScorer])) return new EmptyScorer
+      var shoulds = shouldQ.map(toScorer(_, ctx, scored)).filter(!_.isInstanceOf[EmptyScorer])
+      var msm = math.max(msm0, if (mustQ.isEmpty && shouldQ.nonEmpty) 1 else 0)
+      if (msm > shoulds.size) return new EmptyScorer
+      var musts = mustS
+      if (msm == shoulds.size && shoulds.nonEmpty) { // promote SHOULD -> MUST
+        musts = musts ++ shoulds
+        shoulds = Nil
+        msm = 0
+      }
+      val positive: Scorer =
+        if (musts.nonEmpty && shoulds.nonEmpty) {
+          if (msm >= 1) {
+            // n-of-should is required alongside the musts
+            intersect(musts :+ union(shoulds, msm, scored))
+          } else {
+            val req = intersect(musts)
+            val opt = union(shoulds, msm, scored)
+            if (scored) new RequiredOptional(req, opt) else req
+          }
+        } else if (musts.nonEmpty) intersect(musts)
+        else if (shoulds.nonEmpty) union(shoulds, msm, scored)
+        else if (mustNotQ.nonEmpty) new AllScorer(ctx.numDocs, if (scored) 1.0f else 0.0f)
+        else new EmptyScorer
+      if (mustNotQ.isEmpty) positive
+      else {
+        val notS = mustNotQ.map(toScorer(_, ctx, scored = false)).filter(!_.isInstanceOf[EmptyScorer])
+        if (notS.isEmpty) positive
+        else new Exclude(positive, union(notS, 1, scored = false))
+      }
+  }
+
+  private def intersect(legs: Seq[Scorer]): Scorer =
+    if (legs.size == 1) legs.head else new Intersection(legs.toArray)
+
+  private def union(legs: Seq[Scorer], msm: Int, scored: Boolean): Scorer =
+    if (legs.size == 1 && msm <= 1) legs.head
+    else new Union(legs.toArray, if (scored) Combiner.Sum else Combiner.DoNothing, math.max(msm, 1))
+
+  /** Top-k on one segment: Block-WAND when the query shape allows
+    * (single-term fast path x3, block_wand.rs:222; multi-term, :148),
+    * exhaustive scorer walk otherwise. Exact same results either way.
+    */
+  def topK(q: CQuery, ctx: SegmentContext, k: Int, topN: TopNComputer, segBase: Long): Unit = {
+    val cb: (Int, Float) => Float = { (doc, score) =>
+      topN.push(score, segBase | doc.toLong)
+      topN.threshold
+    }
+    CQuery.wandTerms(q) match {
+      case Some(legs) =>
+        val scorers = legs.zipWithIndex.map { case (t, i) =>
+          val p = ctx.fresh(t.field, t.term)
+          if (p == null) null else new TermScorer(p, ctx.norms, t.weight, 0.0f, i)
+        }.filter(_ != null)
+        if (scorers.isEmpty) return
+        if (scorers.size == 1) BlockWand.runSingle(scorers.head, topN.threshold, cb)
+        else BlockWand.run(scorers, topN.threshold, cb)
+      case None =>
+        val s = toScorer(q, ctx, scored = true)
+        var d = s.doc
+        while (d != Scorer.Terminated) {
+          topN.push(s.score, segBase | d.toLong)
+          d = s.advance()
+        }
+    }
+  }
+
+  /** All matches with scores (exhaustive; no pruning). */
+  def allMatches(q: CQuery, ctx: SegmentContext, scored: Boolean): Iterator[(Int, Float)] = {
+    val s = toScorer(q, ctx, scored)
+    new Iterator[(Int, Float)] {
+      def hasNext: Boolean = s.doc != Scorer.Terminated
+      def next(): (Int, Float) = {
+        val r = (s.doc, if (scored) s.score else 0.0f)
+        s.advance()
+        r
+      }
+    }
+  }
+
+  def count(q: CQuery, ctx: SegmentContext): Long = {
+    val s = toScorer(q, ctx, scored = false)
+    var n = 0L
+    var d = s.doc
+    while (d != Scorer.Terminated) { n += 1; d = s.advance() }
+    n
+  }
+}

@@ -1,0 +1,332 @@
+package graft.search
+
+import graft.codec.SegmentPostings
+
+/** Sorted doc-id iterator with scoring — the reference's `DocSet` + `Scorer`
+  * contracts (`/root/reference/src/docset.rs:18-167`, `src/query/scorer.rs`)
+  * as a partition-local kernel abstraction. These never cross the Dataset
+  * boundary: they live inside `flatMapGroups` per segment (SURVEY.md §1.1).
+  */
+trait Scorer {
+  def doc: Int
+  def advance(): Int
+  def seek(target: Int): Int = {
+    var d = doc
+    while (d < target) d = advance()
+    d
+  }
+  def score: Float
+  /** Cost estimate — drives intersection leg ordering
+    * (`src/query/intersection.rs:29`, the engine's join reorder).
+    */
+  def cost: Long
+}
+
+object Scorer {
+  val Terminated: Int = Int.MaxValue
+}
+
+final class EmptyScorer extends Scorer {
+  def doc: Int = Scorer.Terminated
+  def advance(): Int = Scorer.Terminated
+  def score: Float = 0.0f
+  def cost: Long = 0L
+}
+
+/** AllQuery: every doc, constant score (`src/query/all_query.rs:12`). */
+final class AllScorer(maxDoc: Int, constScore: Float = 1.0f) extends Scorer {
+  private var d = if (maxDoc > 0) 0 else Scorer.Terminated
+  def doc: Int = d
+  def advance(): Int = { d = if (d + 1 >= maxDoc) Scorer.Terminated else d + 1; d }
+  override def seek(target: Int): Int = { d = if (target >= maxDoc) Scorer.Terminated else target; d }
+  def score: Float = constScore
+  def cost: Long = maxDoc.toLong
+}
+
+/** BM25-scored single-term scorer over one segment's posting list
+  * (`src/query/term_query/term_scorer.rs:9`). `weight == null` disables
+  * scoring (count / filter paths — the column-pruning analog, SURVEY §4.1).
+  */
+final class TermScorer(
+    val postings: SegmentPostings,
+    norms: Array[Byte],
+    val weight: Bm25.Weight,
+    val boostedConst: Float = 0.0f,
+    /** Query-order leg index: WAND sums pivot scores in this order so that
+      * the pruned and exhaustive paths produce bit-identical f32 sums (the
+      * reference's own WAND-vs-union proptest only asserts ~1e-4 relative
+      * equality because its summation order varies; we canonicalize instead).
+      */
+    val ord: Int = 0) extends Scorer {
+
+  def doc: Int = postings.doc
+  def advance(): Int = postings.advance()
+  override def seek(target: Int): Int = postings.seek(target)
+  def cost: Long = postings.docFreq.toLong
+
+  @inline def termFreq: Int = postings.termFreq
+
+  def score: Float =
+    if (weight == null) boostedConst
+    else weight.score(norms(postings.doc), postings.termFreq)
+
+  /** Shallow block seek + per-block max metadata for WAND
+    * (`src/postings/block_segment_postings.rs:142-175`). Our skip stores an
+    * entry for every block (incl. the tail), so the bound is always exact.
+    */
+  def seekBlock(target: Int): Unit = postings.seekBlock(target)
+  def lastDocInBlock: Int = postings.lastDocInBlock
+
+  def blockMaxScore: Float =
+    if (postings.lastDocInBlock == Scorer.Terminated) 0.0f
+    else weight.score(postings.blockMinNormId, postings.blockMaxTf)
+
+  /** Max score over the whole posting list (TermScorer::max_score). */
+  lazy val maxScore: Float = {
+    var m = 0.0f
+    var b = 0
+    while (b < postings.blockCount) {
+      val s = weight.score(postings.blockMinNormIdAt(b), postings.blockMaxTfAt(b))
+      if (s > m) m = s
+      b += 1
+    }
+    m
+  }
+
+  def isTerminated: Boolean = postings.isTerminated
+}
+
+/** Intersection with cost-ordered legs: cheapest leg drives, others verify
+  * (`src/query/intersection.rs:18-86`).
+  */
+final class Intersection(legsIn: Array[Scorer]) extends Scorer {
+  private val legs = legsIn.sortBy(_.cost)
+  private var curDoc = align(legs(0).doc)
+
+  private def align(candidate0: Int): Int = {
+    var candidate = candidate0
+    var i = 1
+    while (candidate != Scorer.Terminated && i < legs.length) {
+      val d = legs(i).seek(candidate)
+      if (d != candidate) {
+        candidate = legs(0).seek(d)
+        i = 1
+      } else i += 1
+    }
+    candidate
+  }
+
+  def doc: Int = curDoc
+  def advance(): Int = { curDoc = align(legs(0).advance()); curDoc }
+  override def seek(target: Int): Int = {
+    if (curDoc < target) curDoc = align(legs(0).seek(target))
+    curDoc
+  }
+  def score: Float = {
+    var s = 0.0f
+    var i = 0
+    while (i < legs.length) { s += legs(i).score; i += 1 }
+    s
+  }
+  def cost: Long = legs(0).cost
+}
+
+/** Score-combining mode for unions (`src/query/score_combiner.rs`). */
+sealed trait Combiner extends Serializable
+object Combiner {
+  case object Sum extends Combiner
+  final case class DisjMax(tieBreaker: Float) extends Combiner
+  case object DoNothing extends Combiner
+}
+
+/** K-way union via linear min-scan (few legs per query). Semantics of
+  * `BufferedUnionScorer` (`src/query/union/buffered_union.rs`) without the
+  * 4096-doc window machinery; scores combined per `Combiner`.
+  * `minShouldMatch` > 1 gives the reference's `Disjunction` behavior
+  * (`src/query/disjunction.rs:12`).
+  */
+final class Union(legs: Array[Scorer], combiner: Combiner, minShouldMatch: Int = 1) extends Scorer {
+  private var curDoc = -1
+  private var curScore = 0.0f
+  advanceToValid(0)
+
+  private def advanceToValid(minTarget: Int): Unit = {
+    var target = minTarget
+    while (true) {
+      var minD = Scorer.Terminated
+      var i = 0
+      while (i < legs.length) {
+        val d = if (legs(i).doc < target) legs(i).seek(target) else legs(i).doc
+        if (d < minD) minD = d
+        i += 1
+      }
+      if (minD == Scorer.Terminated) { curDoc = Scorer.Terminated; curScore = 0.0f; return }
+      // count + combine over legs positioned on minD
+      var count = 0
+      var sum = 0.0f
+      var max = Float.NegativeInfinity
+      i = 0
+      while (i < legs.length) {
+        if (legs(i).doc == minD) {
+          count += 1
+          combiner match {
+            case Combiner.Sum => sum += legs(i).score
+            case Combiner.DisjMax(_) =>
+              val s = legs(i).score
+              sum += s
+              if (s > max) max = s
+            case Combiner.DoNothing => ()
+          }
+        }
+        i += 1
+      }
+      if (count >= minShouldMatch) {
+        curDoc = minD
+        curScore = combiner match {
+          case Combiner.Sum => sum
+          case Combiner.DisjMax(tie) => max + (sum - max) * tie
+          case Combiner.DoNothing => 0.0f
+        }
+        return
+      }
+      target = minD + 1
+    }
+  }
+
+  def doc: Int = curDoc
+  def advance(): Int = {
+    if (curDoc == Scorer.Terminated) return curDoc
+    advanceToValid(curDoc + 1)
+    curDoc
+  }
+  override def seek(target: Int): Int = {
+    if (curDoc < target) advanceToValid(target)
+    curDoc
+  }
+  def score: Float = curScore
+  def cost: Long = legs.map(_.cost).sum
+}
+
+/** Include minus exclude (`src/query/exclude.rs:13`). */
+final class Exclude(include: Scorer, exclude: Scorer) extends Scorer {
+  skipExcluded()
+  private def skipExcluded(): Unit = {
+    var d = include.doc
+    while (d != Scorer.Terminated && exclude.seek(d) == d) d = include.advance()
+  }
+  def doc: Int = include.doc
+  def advance(): Int = { include.advance(); skipExcluded(); include.doc }
+  override def seek(target: Int): Int = { include.seek(target); skipExcluded(); include.doc }
+  def score: Float = include.score
+  def cost: Long = include.cost
+}
+
+/** Matches = required; score adds optional when aligned
+  * (`src/query/reqopt_scorer.rs:15`).
+  */
+final class RequiredOptional(required: Scorer, optional: Scorer) extends Scorer {
+  def doc: Int = required.doc
+  def advance(): Int = required.advance()
+  override def seek(target: Int): Int = required.seek(target)
+  def score: Float = {
+    val d = required.doc
+    var s = required.score
+    if (optional.doc < d) optional.seek(d)
+    if (optional.doc == d) s += optional.score
+    s
+  }
+  def cost: Long = required.cost
+}
+
+/** Constant score wrapper (`src/query/const_score_query.rs:12`). */
+final class ConstScorer(inner: Scorer, constScore: Float) extends Scorer {
+  def doc: Int = inner.doc
+  def advance(): Int = inner.advance()
+  override def seek(target: Int): Int = inner.seek(target)
+  def score: Float = constScore
+  def cost: Long = inner.cost
+}
+
+/** Boost: multiply inner score (`src/query/boost_query.rs:13`) — applied at
+  * weight-construction time for terms; this wrapper covers composed scorers.
+  */
+final class BoostScorer(inner: Scorer, boost: Float) extends Scorer {
+  def doc: Int = inner.doc
+  def advance(): Int = inner.advance()
+  override def seek(target: Int): Int = inner.seek(target)
+  def score: Float = inner.score * boost
+  def cost: Long = inner.cost
+}
+
+/** Exact-phrase scorer: docs = intersection of the term posting lists;
+  * a doc matches when the terms appear at consecutive positions
+  * (offset-shifted sorted-array intersection, the slop-0 case of
+  * `src/query/phrase_query/phrase_scorer.rs:46-221`). Phrase term frequency
+  * = number of occurrences, feeding BM25 with the summed-idf weight
+  * (`src/query/bm25.rs:120-127`).
+  */
+final class PhraseScorer(
+    termPostings: Array[SegmentPostings], // in phrase order
+    norms: Array[Byte],
+    weight: Bm25.Weight,
+    slop: Int = 0) extends Scorer {
+
+  private val legs: Array[Scorer] = termPostings.map(p => new TermScorer(p, null, null, 0.0f): Scorer)
+  private val inter = new Intersection(legs)
+  private var phraseFreq = 0
+  advanceToMatch(first = true)
+
+  private def countOccurrences(): Int = {
+    // decode in phrase order; cursors require ascending doc which holds
+    val positions: Array[Array[Int]] = termPostings.map(_.positionsForCurrent())
+    val base = positions(0)
+    var count = 0
+    var i = 0
+    while (i < base.length) {
+      val p0 = base(i)
+      var ok = true
+      var t = 1
+      while (ok && t < positions.length) {
+        if (slop == 0) ok = java.util.Arrays.binarySearch(positions(t), p0 + t) >= 0
+        else {
+          // slop>0: any position within [p0+t-slop, p0+t+slop] (simplified
+          // transposition-free budget; reference edit-budget semantics TODO)
+          val arr = positions(t)
+          var found = false
+          var j = java.util.Arrays.binarySearch(arr, p0 + t - slop)
+          if (j < 0) j = -j - 1
+          while (!found && j < arr.length && arr(j) <= p0 + t + slop) { found = true; j += 1 }
+          ok = found
+        }
+        t += 1
+      }
+      if (ok) count += 1
+      i += 1
+    }
+    count
+  }
+
+  private def advanceToMatch(first: Boolean): Unit = {
+    if (!first && inter.doc != Scorer.Terminated) inter.advance()
+    phraseFreq = 0
+    while (inter.doc != Scorer.Terminated && phraseFreq == 0) {
+      phraseFreq = countOccurrences()
+      if (phraseFreq == 0) inter.advance()
+    }
+  }
+
+  def doc: Int = inter.doc
+  def advance(): Int = { advanceToMatch(first = false); inter.doc }
+  override def seek(target: Int): Int = {
+    if (inter.doc < target) {
+      inter.seek(target)
+      phraseFreq = 0
+      while (inter.doc != Scorer.Terminated && { phraseFreq = countOccurrences(); phraseFreq == 0 })
+        inter.advance()
+    }
+    inter.doc
+  }
+  def score: Float =
+    if (weight == null) 0.0f else weight.score(norms(inter.doc), phraseFreq)
+  def cost: Long = inter.cost
+}

@@ -1,0 +1,264 @@
+package graft.search
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.index.{IndexManifest, PostingRow}
+
+/** Point-in-time searcher over an index directory — the reference's
+  * `Searcher` (`/root/reference/src/core/searcher.rs:69`): the manifest is
+  * the snapshot; every query runs the two-phase plan of SURVEY.md §3.2:
+  *
+  *   1. driver: dictionary expansion (fuzzy/regex/range/set) + global stats
+  *      (doc freqs via one pruned aggregate; N, totalTokens from the
+  *      manifest) -> BM25 weights -> broadcast compiled query;
+  *   2. executors: per-segment scorer DAG + WAND top-k inside
+  *      `flatMapGroups` (one task per segment = the rayon fan-out,
+  *      `src/core/executor.rs:11-37`);
+  *   3. driver: TopNComputer merge of per-segment fruits, then a broadcast
+  *      join back to the docmap for stored fields.
+  *
+  * Everything reaching Parquet is pruned: only query terms' rows (plus the
+  * one norms row per segment) are ever read — filter pushdown on the sorted
+  * `term` column is the FST lookup analog.
+  */
+final class Searcher(spark: SparkSession, indexDir: String) extends Serializable {
+
+  val manifest: IndexManifest = IndexManifest.read(spark, indexDir)
+    .getOrElse(throw new IllegalStateException(s"no manifest at $indexDir"))
+
+  import spark.implicits._
+
+  private def postingsDF: DataFrame = spark.read.parquet(s"$indexDir/postings")
+  def docmapDF: DataFrame = spark.read.parquet(s"$indexDir/docmap")
+
+  private val segBaseBits = 32
+
+  // ------------------------------------------------------------- planning
+
+  /** Resolve term-expansion queries against the term dictionary (the
+    * automaton-walk stage) and drop unknown terms.
+    */
+  private def expand(q: Query): Query = q match {
+    case Query.Fuzzy(f, t, d, prefix) =>
+      val terms =
+        if (prefix) expandTerms(f, col("term").startsWith(t) ||
+          expr(s"levenshtein(term, ${sqlLit(t)}) <= $d"))
+        else expandTerms(f, expr(s"levenshtein(term, ${sqlLit(t)}) <= $d"))
+      constSet(f, terms)
+    case Query.Regexp(f, p) =>
+      constSet(f, expandTerms(f, col("term").rlike(s"^(?:$p)$$")))
+    case Query.TermRange(f, lo, hi, loInc, hiInc) =>
+      val preds = Seq(
+        lo.map(v => if (loInc) col("term") >= v else col("term") > v),
+        hi.map(v => if (hiInc) col("term") <= v else col("term") < v)).flatten
+      val pred = if (preds.isEmpty) lit(true) else preds.reduce(_ && _)
+      constSet(f, expandTerms(f, pred))
+    case Query.Prefix(f, p, max) =>
+      constSet(f, expandTerms(f, col("term").startsWith(p), max))
+    case Query.TermSet(f, ts) => constSet(f, ts.distinct)
+    case Query.PhrasePrefix(f, ts, max) =>
+      val expansions = expandTerms(f, col("term").startsWith(ts.last), max)
+      if (expansions.isEmpty) Query.Nothing
+      else Query.Bool(expansions.map(e => Occur.Should -> Query.Phrase(f, ts.init :+ e)))
+    case Query.Bool(cs, msm) => Query.Bool(cs.map { case (o, c) => (o, expand(c)) }, msm)
+    case Query.Boost(i, b) => Query.Boost(expand(i), b)
+    case Query.ConstScore(i, s) => Query.ConstScore(expand(i), s)
+    case Query.DisjunctionMax(ds, t) => Query.DisjunctionMax(ds.map(expand), t)
+    case other => other
+  }
+
+  private def sqlLit(s: String): String = "'" + s.replace("'", "''") + "'"
+
+  private def constSet(field: String, terms: Seq[String]): Query =
+    if (terms.isEmpty) Query.Nothing
+    else Query.ConstScore(
+      Query.Bool(terms.map(t => Occur.Should -> Query.Term(field, t))), 1.0f)
+
+  /** Dictionary scan: distinct terms of `field` matching `pred` (capped).
+    * Reads only the (field, term) columns — Parquet column pruning.
+    */
+  def expandTerms(field: String, pred: org.apache.spark.sql.Column, max: Int = 1024): Seq[String] =
+    postingsDF
+      .where(col("field") === field && !col("field").startsWith("__") && pred)
+      .select("term").distinct().orderBy("term").limit(max)
+      .as[String].collect().toSeq
+
+  /** Global doc freqs for a set of terms: one pruned scan + tiny aggregate
+    * (`Searcher::doc_freq`, searcher.rs:133, summed across segments).
+    */
+  private def docFreqs(terms: Set[(String, String)]): Map[(String, String), Long] = {
+    if (terms.isEmpty) return Map.empty
+    val fields = terms.map(_._1).toSeq
+    val termList = terms.map(_._2).toSeq
+    postingsDF
+      .where(col("field").isin(fields: _*) && col("term").isin(termList: _*))
+      .groupBy("field", "term").agg(sum("docFreq").as("df"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap.withDefaultValue(0L)
+  }
+
+  private def collectTerms(q: Query): Set[(String, String)] = q match {
+    case Query.Term(f, t, _) => Set(f -> t)
+    case Query.Phrase(f, ts, _) => ts.map(f -> _).toSet
+    case Query.Bool(cs, _) => cs.flatMap(c => collectTerms(c._2)).toSet
+    case Query.Boost(i, _) => collectTerms(i)
+    case Query.ConstScore(i, _) => collectTerms(i)
+    case Query.DisjunctionMax(ds, _) => ds.flatMap(collectTerms).toSet
+    case _ => Set.empty
+  }
+
+  /** Query -> stats-bound CQuery (the Weight construction). */
+  def plan(q0: Query): CQuery = {
+    val q = expand(q0)
+    val dfs = docFreqs(collectTerms(q))
+    val n = manifest.totalDocs
+    val totTokens = manifest.totalTokens
+    def go(q: Query, boost: Float): CQuery = q match {
+      case Query.Term(f, t, b) =>
+        val df = dfs((f, t))
+        if (df == 0) CQuery.CEmpty
+        else CQuery.CTerm(f, t, Bm25.forOneTerm(df, n, totTokens.toFloat / n.toFloat).boostBy(boost * b))
+      case Query.Phrase(f, ts, slop) =>
+        val freqs = ts.map(t => dfs((f, t)))
+        if (freqs.contains(0L)) CQuery.CEmpty
+        else CQuery.CPhrase(f, ts, Bm25.forTerms(freqs, n, totTokens).boostBy(boost), slop)
+      case Query.Bool(cs, msm) =>
+        val must = cs.collect { case (Occur.Must, c) => go(c, boost) }
+        val should = cs.collect { case (Occur.Should, c) => go(c, boost) }
+        val mustNot = cs.collect { case (Occur.MustNot, c) => go(c, 0.0f) }
+        CQuery.CBool(must, should, mustNot, msm)
+      case Query.Boost(i, b) => go(i, boost * b)
+      case Query.ConstScore(i, s) => CQuery.CConst(go(i, 0.0f), s * boost)
+      case Query.DisjunctionMax(ds, t) => CQuery.CDisjMax(ds.map(go(_, boost)), t)
+      case Query.All => CQuery.CAll
+      case Query.Nothing => CQuery.CEmpty
+      case other => throw new IllegalStateException(s"unexpanded query: $other")
+    }
+    go(q, 1.0f)
+  }
+
+  // ------------------------------------------------------------- execution
+
+  /** Pruned read of exactly the rows the kernels need: the query terms'
+    * posting rows plus each segment's norms row.
+    */
+  private def kernelRows(cq: CQuery) = {
+    val terms = CQuery.termsOf(cq)
+    val termCond =
+      if (terms.isEmpty) lit(false)
+      else terms.groupBy(_._1).map { case (f, ts) =>
+        col("field") === f && col("term").isin(ts.map(_._2).toSeq: _*)
+      }.reduce(_ || _)
+    val normsCond = col("field") === PostingRow.NormsField && col("term") === manifest.textField
+    postingsDF.where(termCond || normsCond).as[PostingRow]
+  }
+
+  private def numDocsBySeg: Map[Int, Int] = manifest.segments.map(m => m.segment -> m.numDocs).toMap
+
+  /** Top-k by BM25: per-segment WAND kernels + driver-side fruit merge. */
+  def topDocs(q: Query, k: Int): Array[SearchHit] = {
+    val cq = plan(q)
+    if (cq == CQuery.CEmpty) return Array.empty
+    val bcq = spark.sparkContext.broadcast(cq)
+    val bNumDocs = spark.sparkContext.broadcast(numDocsBySeg)
+    val kk = k
+    val localTopK = kernelRows(cq)
+      .groupByKey(_.segment)
+      .flatMapGroups { (seg, it) =>
+        val ctx = Searcher.makeContext(it, bNumDocs.value, seg)
+        val topN = new TopNComputer(kk)
+        QueryKernel.topK(bcq.value, ctx, kk, topN, seg.toLong << 32)
+        topN.intoSortedVec().iterator.map { case (score, addr) =>
+          (seg, (addr & 0xffffffffL).toInt, score)
+        }
+      }.collect()
+
+    // merge fruits: pushes must arrive in ascending global address order
+    val merged = new TopNComputer(k)
+    localTopK.sortBy(r => (r._1.toLong << 32) | r._2.toLong).foreach { case (seg, docId, score) =>
+      merged.push(score, (seg.toLong << 32) | docId.toLong)
+    }
+    val top = merged.intoSortedVec()
+    if (top.isEmpty) return Array.empty
+
+    // fetch stored fields: broadcast the tiny top-k against the docmap
+    val addrs = top.zipWithIndex.map { case ((score, addr), rank) =>
+      ((addr >>> 32).toInt, (addr & 0xffffffffL).toInt, score, rank + 1)
+    }
+    val addrDF = spark.createDataFrame(addrs.toSeq).toDF("segment", "docId", "score", "rank")
+    val segs = addrs.map(_._1).distinct.toSeq
+    val urls = docmapDF
+      .where(col("segment").isin(segs: _*))
+      .join(broadcast(addrDF), Seq("segment", "docId"))
+      .select("rank", "url", "score", "segment", "docId")
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getFloat(2), r.getInt(3), r.getInt(4)))
+      .sortBy(_._1)
+    urls.map { case (rank, url, score, seg, docId) => SearchHit(rank, url, score, seg, docId) }
+  }
+
+  /** All matching docs with scores, as a DataFrame (segment, docId, score).
+    * Exhaustive (no pruning) — the oracle-checkable full result relation.
+    */
+  def allMatches(q: Query, scored: Boolean = true): DataFrame = {
+    val cq = plan(q)
+    val bcq = spark.sparkContext.broadcast(cq)
+    val bNumDocs = spark.sparkContext.broadcast(numDocsBySeg)
+    val sc = scored
+    if (cq == CQuery.CEmpty)
+      return Seq.empty[(Int, Int, Float)].toDF("segment", "docId", "score")
+    kernelRows(cq)
+      .groupByKey(_.segment)
+      .flatMapGroups { (seg, it) =>
+        val ctx = Searcher.makeContext(it, bNumDocs.value, seg)
+        QueryKernel.allMatches(bcq.value, ctx, sc).map { case (d, s) => (seg, d, s) }
+      }.toDF("segment", "docId", "score")
+  }
+
+  /** Matching-doc count; single-term queries take the doc_freq fast path
+    * (`src/query/weight.rs:78-85`) — a pruned metadata aggregate, no kernel.
+    */
+  def count(q: Query): Long = q match {
+    case Query.Term(f, t, _) =>
+      postingsDF.where(col("field") === f && col("term") === t)
+        .agg(sum("docFreq")).collect()(0) match {
+          case r if r.isNullAt(0) => 0L
+          case r => r.getLong(0)
+        }
+    case _ =>
+      val cq = plan(q)
+      if (cq == CQuery.CEmpty) return 0L
+      val bcq = spark.sparkContext.broadcast(cq)
+      val bNumDocs = spark.sparkContext.broadcast(numDocsBySeg)
+      kernelRows(cq)
+        .groupByKey(_.segment)
+        .mapGroups { (seg, it) =>
+          QueryKernel.count(bcq.value, Searcher.makeContext(it, bNumDocs.value, seg))
+        }.collect().sum
+  }
+}
+
+final case class SearchHit(rank: Int, url: String, score: Float, segment: Int, docId: Int)
+
+object Searcher {
+  /** Executor-side: assemble one segment's kernel context from its posting
+    * rows (static — keeps the Searcher instance out of task closures).
+    */
+  def makeContext(rows: Iterator[PostingRow], numDocsBySeg: Map[Int, Int], seg: Int)
+      : QueryKernel.SegmentContext = {
+    val byKey = new scala.collection.mutable.HashMap[(String, String), PostingRow]()
+    var norms: Array[Byte] = null
+    rows.foreach { r =>
+      if (r.field == PostingRow.NormsField) norms = r.postings
+      else byKey((r.field, r.term)) = r
+    }
+    val numDocs = numDocsBySeg.getOrElse(seg, if (norms != null) norms.length else 0)
+    new QueryKernel.SegmentContext(numDocs, norms,
+      (f, t) => byKey.get((f, t)) match {
+        case Some(r) => new graft.codec.SegmentPostings(r.docFreq, r.postings, r.skip, r.positions,
+          readFreqs = true)
+        case None => null
+      })
+  }
+}

@@ -43,6 +43,26 @@ object Demo {
 
     val w = graft.search.Bm25.forOneTerm(alphaDocs.length.toLong, numDocs, 100.0f)
     println(s"bm25 weight=${w.weight} score(dl=100,tf=1)=${w.score(graft.index.FieldNorms.fieldNormToId(100), 1)}")
+
+    // full pipeline: distributed index build -> manifest -> BM25 top-k search
+    import graft.index.{IndexBuilder, IndexConfig}
+    import graft.search.{Query, Searcher, Occur}
+    val indexDir = java.nio.file.Files.createTempDirectory("graft-demo-index").toString
+    val manifest = IndexBuilder.build(spark, docs.toDF(), indexDir, IndexConfig(numPartitions = 8))
+    println(s"index built: ${manifest.segments.size} segments, ${manifest.totalDocs} docs, " +
+      s"${manifest.segments.map(_.postingsBytes).sum} postings bytes, " +
+      f"${manifest.segments.map(_.docsPerSec).min}%.0f..${manifest.segments.map(_.docsPerSec).max}%.0f docs/sec/segment")
+    val searcher = new Searcher(spark, indexDir)
+    for (q <- Seq[(String, Query)](
+        "alpha" -> Query.Term("text", "alpha"),
+        "+alpha +beta" -> Query.must(Query.Term("text", "alpha"), Query.Term("text", "beta")),
+        "alpha OR gamma" -> Query.should(Query.Term("text", "alpha"), Query.Term("text", "gamma")),
+        "+alpha -beta" -> Query.Bool(Seq(Occur.Must -> Query.Term("text", "alpha"),
+          Occur.MustNot -> Query.Term("text", "beta"))))) {
+      val hits = searcher.topDocs(q._2, 5)
+      println(s"query '${q._1}': count=${searcher.count(q._2)} top=" +
+        hits.map(h => f"${h.url}#${h.score}%.4f").mkString(", "))
+    }
     spark.stop()
   }
 }

@@ -123,7 +123,7 @@ class CodecSpec extends AnyFunSuite {
     val docs = Array(3, 9, 300)
     val pos = Array(Array(0, 4, 9), Array(7), Array(1, 2, 3, 1000))
     val tfs = pos.map(_.length)
-    val enc = PostingsCodec.encode(docs, tfs, pos, _ => 0.toByte, withFreqs = true)
+    val enc = PostingsCodec.encode(docs, tfs, pos.flatten, _ => 0.toByte, withFreqs = true)
     val it = new SegmentPostings(enc.docFreq, enc.postings, enc.skip, enc.positions, readFreqs = true)
     assert(it.positionsForCurrent().toSeq == Seq(0, 4, 9))
     it.advance()
