@@ -117,6 +117,43 @@ object PostingsCodec {
     EncodedPostings(n, cumTf, post.toArray, skip.toArray, posOut.toArray)
   }
 
+  /** Merge-path encode: like `encode` but positions arrive already VInt-
+    * encoded (concatenated source streams — position deltas are docId-
+    * independent so rebasing never touches them) and per-doc norm ids are
+    * conservative lower bounds carried over from the sources' skip data
+    * (min over overlapping source blocks). Lower-bound norm ids can only
+    * RAISE the per-block max-score bound, so WAND pruning stays lossless
+    * after merges (cf. serializer.rs:391-416, which recomputes exactly —
+    * the reference has the norms file at hand during merge; we avoid
+    * shipping norms into the per-term merge shuffle).
+    */
+  def encodeWithNormBounds(
+      docs: Array[Int],
+      tfs: Array[Int],
+      positionsRaw: Array[Byte],
+      normBounds: Array[Byte]): EncodedPostings = {
+    val e = encode(docs, tfs, null, null, withFreqs = true)
+    // rewrite skip entries' minNormId from the bounds
+    val skip = e.skip.clone()
+    val numBlocks = (docs.length + BlockSize - 1) / BlockSize
+    var b = 0
+    while (b < numBlocks) {
+      val start = b * BlockSize
+      val len = math.min(BlockSize, docs.length - start)
+      var minNorm = 255
+      var i = 0
+      while (i < len) {
+        val nid = normBounds(start + i) & 0xff
+        if (nid < minNorm) minNorm = nid
+        i += 1
+      }
+      skip(b * SkipEntryBytes + 6) = minNorm.toByte
+      b += 1
+    }
+    EncodedPostings(e.docFreq, e.totalTf, e.postings, skip,
+      if (positionsRaw == null) Array.emptyByteArray else positionsRaw)
+  }
+
   @inline private def writeIntBE(out: ByteVector, v: Int): Unit = {
     out += ((v >>> 24) & 0xff).toByte
     out += ((v >>> 16) & 0xff).toByte
@@ -126,6 +163,28 @@ object PostingsCodec {
 
   @inline def readIntBE(a: Array[Byte], p: Int): Int =
     ((a(p) & 0xff) << 24) | ((a(p + 1) & 0xff) << 16) | ((a(p + 2) & 0xff) << 8) | (a(p + 3) & 0xff)
+
+  /** Full decode for the merge path: (docs, tfs, perDocNormLowerBound).
+    * The norm bound of a doc is its source block's minNormId.
+    */
+  def decodeAll(docFreq: Int, postings: Array[Byte], skip: Array[Byte], readFreqs: Boolean)
+      : (Array[Int], Array[Int], Array[Byte]) = {
+    val it = new SegmentPostings(docFreq, postings, skip, Array.emptyByteArray, readFreqs)
+    val docs = new Array[Int](docFreq)
+    val tfs = new Array[Int](docFreq)
+    val bounds = new Array[Byte](docFreq)
+    val numBlocks = (docFreq + BlockSize - 1) / BlockSize
+    var i = 0
+    while (i < docFreq) {
+      docs(i) = it.doc
+      tfs(i) = if (readFreqs) it.termFreq else 1
+      bounds(i) = skip((i / BlockSize) * SkipEntryBytes + 6)
+      it.advance()
+      i += 1
+    }
+    require(numBlocks * SkipEntryBytes == skip.length, "skip length mismatch")
+    (docs, tfs, bounds)
+  }
 }
 
 /** Decoding iterator over one encoded posting list: the DocSet contract of

@@ -1,0 +1,163 @@
+package graft.index
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.codec.PostingsCodec
+
+/** Hierarchical segment merge — the reference's `IndexMerger`
+  * (`/root/reference/src/indexer/merger.rs:148-528`) as a pure Dataset job:
+  *
+  *  - merge groups are contiguous runs of segments picked by a log-bucketed
+  *    size policy (`src/indexer/log_merge_policy.rs:20-130` in spirit);
+  *  - docId rebase: newDocId = groupOffset(oldSegment) + oldDocId
+  *    (`merger.rs:316-330`), offsets from the manifest — ranges are disjoint
+  *    so per-term merge is ordered concatenation, no k-way heap needed;
+  *  - the shuffle is keyed by (newSegment, field, term): a hot term costs one
+  *    reducer at most `fanIn` posting rows, and fan-in is bounded — merging
+  *    wider happens in ROUNDS (hierarchical), which is the skew defusal: no
+  *    single reducer ever sees more than fanIn rows per term regardless of
+  *    how hot the term is (north rule: salted/hierarchical repartitioning);
+  *  - merge fan-in is recorded per merged segment in the manifest.
+  */
+object SegmentMerger {
+
+  /** Merge plan entry: the old segments (in order) fused into one new id. */
+  final case class MergeGroup(newSegment: Int, oldSegments: Seq[Int])
+
+  /** Plan: greedy contiguous groups of up to `fanIn` segments. New ids
+    * continue above the current max so they never collide.
+    */
+  def plan(manifest: IndexManifest, fanIn: Int): Seq[MergeGroup] = {
+    val base = manifest.segments.map(_.segment).max + 1
+    manifest.segments.map(_.segment).sorted.grouped(fanIn).zipWithIndex
+      .map { case (g, i) => MergeGroup(base + i, g) }
+      .toSeq
+  }
+
+  /** Execute one merge round; returns the updated (published) manifest. */
+  def merge(spark: SparkSession, indexDir: String, groups: Seq[MergeGroup],
+      keepOld: Boolean = false): IndexManifest = {
+    import spark.implicits._
+    val manifest = IndexManifest.read(spark, indexDir)
+      .getOrElse(throw new IllegalStateException(s"no manifest at $indexDir"))
+    val byId = manifest.segments.map(m => m.segment -> m).toMap
+
+    // (oldSegment) -> (newSegment, docId offset, ordinal in group)
+    val mapping: Map[Int, (Int, Int, Int)] = groups.flatMap { g =>
+      var off = 0
+      g.oldSegments.zipWithIndex.map { case (old, ord) =>
+        val e = old -> ((g.newSegment, off, ord))
+        off += byId(old).numDocs
+        e
+      }
+    }.toMap
+    val bcMap = spark.sparkContext.broadcast(mapping)
+    val oldSegs = mapping.keys.toSeq
+
+    val postings = spark.read.parquet(s"$indexDir/postings")
+      .where(col("segment").isin(oldSegs: _*) && col("field") =!= PostingRow.StatsField)
+      .as[PostingRow]
+
+    val merged = postings
+      .groupByKey(r => (bcMap.value(r.segment)._1, r.field, r.term))
+      .mapGroups { (key: (Int, String, String), rows: Iterator[PostingRow]) =>
+        val (newSeg, field, term) = key
+        val sorted = rows.toArray.sortBy(r => bcMap.value(r.segment)._3)
+        if (field == PostingRow.NormsField) {
+          // norms: plain concatenation in group order (1 byte per doc)
+          val total = sorted.map(_.postings.length).sum
+          val out = new Array[Byte](total)
+          var p = 0
+          sorted.foreach { r => System.arraycopy(r.postings, 0, out, p, r.postings.length); p += r.postings.length }
+          PostingRow(newSeg, field, term, sorted.map(_.docFreq).sum, sorted.map(_.totalTf).sum,
+            out, Array.emptyByteArray, Array.emptyByteArray)
+        } else {
+          val n = sorted.map(_.docFreq).sum
+          val docs = new Array[Int](n)
+          val tfs = new Array[Int](n)
+          val bounds = new Array[Byte](n)
+          var p = 0
+          var posBytes = 0
+          sorted.foreach { r =>
+            val off = bcMap.value(r.segment)._2
+            val (d, t, b) = PostingsCodec.decodeAll(r.docFreq, r.postings, r.skip, readFreqs = true)
+            var i = 0
+            while (i < d.length) {
+              docs(p) = d(i) + off
+              tfs(p) = t(i)
+              bounds(p) = b(i)
+              p += 1
+              i += 1
+            }
+            posBytes += r.positions.length
+          }
+          val positions =
+            if (posBytes == 0) Array.emptyByteArray
+            else {
+              val out = new Array[Byte](posBytes)
+              var q = 0
+              sorted.foreach { r =>
+                System.arraycopy(r.positions, 0, out, q, r.positions.length)
+                q += r.positions.length
+              }
+              out
+            }
+          val enc = PostingsCodec.encodeWithNormBounds(docs, tfs, positions, bounds)
+          PostingRow(newSeg, field, term, enc.docFreq, enc.totalTf, enc.postings, enc.skip, enc.positions)
+        }
+      }
+    merged.toDF().write.mode("append").partitionBy("segment").parquet(s"$indexDir/postings")
+
+    // docmap rebase: a column transform, no kernel needed
+    val segCol = col("segment")
+    val newSegExpr = oldSegs.foldLeft(lit(-1)) { (acc, s) =>
+      when(segCol === s, lit(mapping(s)._1)).otherwise(acc)
+    }
+    val offExpr = oldSegs.foldLeft(lit(0)) { (acc, s) =>
+      when(segCol === s, lit(mapping(s)._2)).otherwise(acc)
+    }
+    spark.read.parquet(s"$indexDir/docmap")
+      .where(col("segment").isin(oldSegs: _*))
+      .withColumn("docId", col("docId") + offExpr)
+      .withColumn("newSegment", newSegExpr)
+      .drop("segment").withColumnRenamed("newSegment", "segment")
+      .select("segment", "docId", "url", "warc_ts", "lang")
+      .write.mode("append").partitionBy("segment").parquet(s"$indexDir/docmap")
+
+    // stats rows for merged segments (so manifest reassembly keeps working)
+    val newMetas = groups.map { g =>
+      val olds = g.oldSegments.map(byId)
+      SegmentMeta(
+        segment = g.newSegment,
+        numDocs = olds.map(_.numDocs).sum,
+        totalTokens = olds.map(_.totalTokens).sum,
+        postingsBytes = olds.map(_.postingsBytes).sum,
+        buildMillis = olds.map(_.buildMillis).sum,
+        docsPerSec = 0.0,
+        mergeFanIn = g.oldSegments.size)
+    }
+    val statsRows = newMetas.map { m =>
+      val json = s"buildMillis:${m.buildMillis},postingsBytes:${m.postingsBytes},mergeFanIn:${m.mergeFanIn}"
+      PostingRow(m.segment, PostingRow.StatsField, "", m.numDocs, m.totalTokens,
+        json.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        Array.emptyByteArray, Array.emptyByteArray)
+    }
+    statsRows.toDS().toDF().write.mode("append").partitionBy("segment").parquet(s"$indexDir/postings")
+
+    val untouched = manifest.segments.filterNot(m => mapping.contains(m.segment))
+    val out = manifest.copy(
+      commitSeq = manifest.commitSeq + 1,
+      segments = (untouched ++ newMetas).sortBy(_.segment))
+    IndexManifest.write(spark, indexDir, out)
+
+    if (!keepOld) {
+      val conf = spark.sparkContext.hadoopConfiguration
+      for (sub <- Seq("postings", "docmap"); s <- oldSegs) {
+        val pth = new org.apache.hadoop.fs.Path(s"$indexDir/$sub/segment=$s")
+        val fs = pth.getFileSystem(conf)
+        fs.delete(pth, true)
+      }
+    }
+    out
+  }
+}

@@ -1,0 +1,268 @@
+package graft.search
+
+import graft.analysis.Analyzer
+
+/** Hand-rolled recursive-descent parser for the reference's query syntax
+  * subset (grammar: `/root/reference/query-grammar/src/user_input_ast.rs:11-30`,
+  * field/occur resolution `src/query/query_parser/query_parser.rs:207-634`):
+  *
+  *   - `term`, `+term`, `-term`, `a AND b`, `a OR b`, parens
+  *   - `field:term`
+  *   - `"a phrase"`, `"a phrase"~slop`
+  *   - `term*` (prefix), `term~d` (fuzzy, d in 1..2)
+  *   - `field:[a TO b]` / `{a TO b}` (inclusive/exclusive term ranges)
+  *   - `field:IN [a b c]` (term set)
+  *   - `/regex/`
+  *   - `^boost`
+  *   - `*` (AllQuery)
+  *
+  * Literals on analyzed fields run through the default analyzer chain;
+  * a literal that tokenizes to several terms becomes a phrase query
+  * (query_parser.rs:535-620). Occur default is Should unless
+  * `conjunctionByDefault` (query_parser.rs:630-634). All-negative queries
+  * are rejected (query_parser.rs:227-236).
+  */
+final class QueryParser(
+    defaultField: String,
+    rawFields: Set[String] = Set("url", "lang"),
+    conjunctionByDefault: Boolean = false) {
+
+  def parse(input: String): Query = {
+    val p = new Parser(input)
+    val q = p.parseOr()
+    p.skipWs()
+    require(p.eof, s"trailing input at ${p.pos}: '${input.drop(p.pos)}'")
+    q match {
+      case Query.Bool(cs, _) if cs.nonEmpty && cs.forall(_._1 == Occur.MustNot) =>
+        throw new IllegalArgumentException("all-negative query is forbidden")
+      case other => other
+    }
+  }
+
+  private def analyzed(field: String, text: String): Query = {
+    if (rawFields.contains(field)) Query.Term(field, text)
+    else {
+      val terms = Analyzer.terms(text)
+      if (terms.isEmpty) Query.Nothing
+      else if (terms.length == 1) Query.Term(field, terms(0))
+      else Query.Phrase(field, terms.toSeq)
+    }
+  }
+
+  private final class Parser(s: String) {
+    var pos = 0
+    def eof: Boolean = pos >= s.length
+    def peek: Char = s.charAt(pos)
+    def skipWs(): Unit = while (!eof && s.charAt(pos).isWhitespace) pos += 1
+
+    def parseOr(): Query = {
+      var legs = List(parseAnd())
+      skipWs()
+      while (!eof && wordAhead("OR")) {
+        consumeWord("OR")
+        legs = parseAnd() :: legs
+        skipWs()
+      }
+      if (legs.size == 1) legs.head
+      else Query.Bool(legs.reverse.map(Occur.Should -> _))
+    }
+
+    def parseAnd(): Query = {
+      var legs = List(parseClauseGroup())
+      skipWs()
+      while (!eof && wordAhead("AND")) {
+        consumeWord("AND")
+        legs = parseClauseGroup() :: legs
+        skipWs()
+      }
+      if (legs.size == 1) legs.head
+      else Query.Bool(legs.reverse.map(Occur.Must -> _))
+    }
+
+    /** A run of whitespace-separated clauses with +/- occurs (stops at
+      * AND/OR/closing paren).
+      */
+    def parseClauseGroup(): Query = {
+      var clauses = List.empty[(Occur, Query)]
+      skipWs()
+      while (!eof && peek != ')' && !wordAhead("AND") && !wordAhead("OR")) {
+        val occur =
+          if (peek == '+') { pos += 1; Occur.Must }
+          else if (peek == '-') { pos += 1; Occur.MustNot }
+          else if (conjunctionByDefault) Occur.Must
+          else Occur.Should
+        val q = parseBoosted()
+        if (q != Query.Nothing) clauses = (occur -> q) :: clauses
+        skipWs()
+      }
+      clauses match {
+        case Nil => Query.Nothing
+        case (Occur.Should, q) :: Nil => q
+        case (Occur.Must, q) :: Nil => q
+        case _ => Query.Bool(clauses.reverse)
+      }
+    }
+
+    def parseBoosted(): Query = {
+      val q = parseAtom()
+      if (!eof && peek == '^') {
+        pos += 1
+        val start = pos
+        while (!eof && (peek.isDigit || peek == '.')) pos += 1
+        val b = s.substring(start, pos).toFloat
+        Query.Boost(q, b)
+      } else q
+    }
+
+    def parseAtom(): Query = {
+      skipWs()
+      require(!eof, "unexpected end of query")
+      if (peek == '(') {
+        pos += 1
+        val q = parseOr()
+        skipWs()
+        require(!eof && peek == ')', "missing )")
+        pos += 1
+        return q
+      }
+      // optional field prefix
+      val save = pos
+      val fieldOpt = tryField()
+      val field = fieldOpt.getOrElse(defaultField)
+      skipNone()
+      if (eof) { pos = save; require(false, "dangling field"); }
+      peek match {
+        case '"' => parseQuoted(field)
+        case '[' | '{' => parseRange(field)
+        case '/' => parseRegex(field)
+        case '*' => pos += 1; Query.All
+        case _ =>
+          if (wordAhead("IN") && fieldOpt.isDefined) parseSet(field)
+          else parseWord(field)
+      }
+    }
+
+    private def skipNone(): Unit = ()
+
+    def tryField(): Option[String] = {
+      val save = pos
+      val start = pos
+      while (!eof && (peek.isLetterOrDigit || peek == '_')) pos += 1
+      if (!eof && pos > start && peek == ':') {
+        val f = s.substring(start, pos)
+        pos += 1
+        Some(f)
+      } else { pos = save; None }
+    }
+
+    def parseQuoted(field: String): Query = {
+      pos += 1
+      val start = pos
+      while (!eof && peek != '"') pos += 1
+      require(!eof, "unterminated quote")
+      val text = s.substring(start, pos)
+      pos += 1
+      var slop = 0
+      if (!eof && peek == '~') {
+        pos += 1
+        val d0 = pos
+        while (!eof && peek.isDigit) pos += 1
+        slop = s.substring(d0, pos).toInt
+      }
+      val terms = if (rawFields.contains(field)) Seq(text) else Analyzer.terms(text).toSeq
+      terms match {
+        case Seq() => Query.Nothing
+        case Seq(t) => Query.Term(field, t)
+        case ts => Query.Phrase(field, ts, slop)
+      }
+    }
+
+    def parseRange(field: String): Query = {
+      val loInc = peek == '['
+      pos += 1
+      val lo = rangeBound()
+      skipWs()
+      consumeWord("TO")
+      skipWs()
+      val hi = rangeBound()
+      skipWs()
+      require(!eof && (peek == ']' || peek == '}'), "unterminated range")
+      val hiInc = peek == ']'
+      pos += 1
+      Query.TermRange(field,
+        lo.filter(_ != "*").map(norm(field, _)),
+        hi.filter(_ != "*").map(norm(field, _)), loInc, hiInc)
+    }
+
+    private def norm(field: String, v: String): String =
+      if (rawFields.contains(field)) v else Analyzer.terms(v).headOption.getOrElse(v)
+
+    def rangeBound(): Option[String] = {
+      skipWs()
+      val start = pos
+      while (!eof && !peek.isWhitespace && peek != ']' && peek != '}') pos += 1
+      val v = s.substring(start, pos)
+      if (v.isEmpty) None else Some(v)
+    }
+
+    def parseRegex(field: String): Query = {
+      pos += 1
+      val start = pos
+      while (!eof && peek != '/') pos += 1
+      require(!eof, "unterminated regex")
+      val pat = s.substring(start, pos)
+      pos += 1
+      Query.Regexp(field, pat)
+    }
+
+    def parseSet(field: String): Query = {
+      consumeWord("IN")
+      skipWs()
+      require(!eof && peek == '[', "IN expects [...]")
+      pos += 1
+      val terms = scala.collection.mutable.ArrayBuffer[String]()
+      skipWs()
+      while (!eof && peek != ']') {
+        val start = pos
+        while (!eof && !peek.isWhitespace && peek != ']') pos += 1
+        terms += norm(field, s.substring(start, pos))
+        skipWs()
+      }
+      require(!eof, "unterminated IN set")
+      pos += 1
+      Query.TermSet(field, terms.toSeq)
+    }
+
+    def parseWord(field: String): Query = {
+      val start = pos
+      while (!eof && !peek.isWhitespace && !"()^\"".contains(peek)) pos += 1
+      var w = s.substring(start, pos)
+      require(w.nonEmpty, s"empty term at $pos")
+      if (w.endsWith("*") && w.length > 1)
+        Query.Prefix(field, norm(field, w.dropRight(1)))
+      else {
+        // fuzzy suffix ~d
+        val m = "~([0-9]+)$".r.findFirstMatchIn(w)
+        m match {
+          case Some(mm) =>
+            val d = mm.group(1).toInt
+            Query.Fuzzy(field, norm(field, w.substring(0, mm.start)), d)
+          case None => analyzed(field, w)
+        }
+      }
+    }
+
+    def wordAhead(kw: String): Boolean = {
+      skipWs()
+      s.startsWith(kw, pos) && {
+        val after = pos + kw.length
+        after >= s.length || !s.charAt(after).isLetterOrDigit
+      }
+    }
+    def consumeWord(kw: String): Unit = {
+      skipWs()
+      require(wordAhead(kw), s"expected $kw at $pos")
+      pos += kw.length
+    }
+  }
+}

@@ -63,6 +63,17 @@ object Demo {
       println(s"query '${q._1}': count=${searcher.count(q._2)} top=" +
         hits.map(h => f"${h.url}#${h.score}%.4f").mkString(", "))
     }
+
+    // parser + hierarchical merge drive
+    val parser = new graft.search.QueryParser("text")
+    val parsed = parser.parse("+alpha beta -gamma")
+    println(s"parsed query: $parsed -> count=${searcher.count(parsed)}")
+    val m2 = graft.index.SegmentMerger.merge(spark, indexDir,
+      graft.index.SegmentMerger.plan(manifest, 4))
+    val postMerge = new graft.search.Searcher(spark, indexDir)
+    val hit0 = postMerge.topDocs(Query.Term("text", "alpha"), 3)
+    println(s"after merge: ${m2.segments.size} segments (fanIn=${m2.segments.map(_.mergeFanIn).mkString(",")}), " +
+      s"alpha top1=${hit0.head.url}#${hit0.head.score}")
     spark.stop()
   }
 }

@@ -1,0 +1,73 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.search.{Occur, Query, QueryParser}
+
+class QueryParserSpec extends AnyFunSuite {
+  val p = new QueryParser("text")
+
+  test("single term") {
+    assert(p.parse("alpha") == Query.Term("text", "alpha"))
+    assert(p.parse("Alpha") == Query.Term("text", "alpha")) // analyzed
+  }
+  test("occur prefixes") {
+    assert(p.parse("+alpha -beta gamma") == Query.Bool(Seq(
+      Occur.Must -> Query.Term("text", "alpha"),
+      Occur.MustNot -> Query.Term("text", "beta"),
+      Occur.Should -> Query.Term("text", "gamma"))))
+  }
+  test("AND / OR with precedence") {
+    assert(p.parse("a AND b") == Query.Bool(Seq(
+      Occur.Must -> Query.Term("text", "a"), Occur.Must -> Query.Term("text", "b"))))
+    assert(p.parse("a OR b OR c") == Query.Bool(Seq(
+      Occur.Should -> Query.Term("text", "a"),
+      Occur.Should -> Query.Term("text", "b"),
+      Occur.Should -> Query.Term("text", "c"))))
+    assert(p.parse("a AND b OR c") == Query.Bool(Seq(
+      Occur.Should -> Query.Bool(Seq(
+        Occur.Must -> Query.Term("text", "a"), Occur.Must -> Query.Term("text", "b"))),
+      Occur.Should -> Query.Term("text", "c"))))
+  }
+  test("field prefix and raw fields") {
+    assert(p.parse("lang:EN") == Query.Term("lang", "EN")) // raw: not analyzed
+    assert(p.parse("text:Alpha") == Query.Term("text", "alpha"))
+  }
+  test("phrase with slop") {
+    assert(p.parse("\"alpha beta\"") == Query.Phrase("text", Seq("alpha", "beta")))
+    assert(p.parse("\"alpha beta\"~2") == Query.Phrase("text", Seq("alpha", "beta"), 2))
+    assert(p.parse("\"alpha\"") == Query.Term("text", "alpha"))
+  }
+  test("multi-token literal becomes phrase") {
+    assert(p.parse("can't") == Query.Phrase("text", Seq("can", "t")))
+  }
+  test("ranges") {
+    assert(p.parse("text:[aaa TO bbb]") ==
+      Query.TermRange("text", Some("aaa"), Some("bbb"), loInclusive = true, hiInclusive = true))
+    assert(p.parse("text:{aaa TO bbb}") ==
+      Query.TermRange("text", Some("aaa"), Some("bbb"), loInclusive = false, hiInclusive = false))
+    assert(p.parse("text:[* TO bbb}") ==
+      Query.TermRange("text", None, Some("bbb"), loInclusive = true, hiInclusive = false))
+  }
+  test("set, prefix, fuzzy, regex, all") {
+    assert(p.parse("text:IN [a b c]") == Query.TermSet("text", Seq("a", "b", "c")))
+    assert(p.parse("alp*") == Query.Prefix("text", "alp"))
+    assert(p.parse("alpha~1") == Query.Fuzzy("text", "alpha", 1))
+    assert(p.parse("/w00.?3/") == Query.Regexp("text", "w00.?3"))
+    assert(p.parse("*") == Query.All)
+  }
+  test("boost and parens") {
+    assert(p.parse("alpha^2.5") == Query.Boost(Query.Term("text", "alpha"), 2.5f))
+    assert(p.parse("(a OR b) AND c") == Query.Bool(Seq(
+      Occur.Must -> Query.Bool(Seq(
+        Occur.Should -> Query.Term("text", "a"), Occur.Should -> Query.Term("text", "b"))),
+      Occur.Must -> Query.Term("text", "c"))))
+  }
+  test("all-negative forbidden") {
+    intercept[IllegalArgumentException](p.parse("-alpha -beta"))
+  }
+  test("conjunction by default") {
+    val pc = new QueryParser("text", conjunctionByDefault = true)
+    assert(pc.parse("a b") == Query.Bool(Seq(
+      Occur.Must -> Query.Term("text", "a"), Occur.Must -> Query.Term("text", "b"))))
+  }
+}
