@@ -1,13 +1,265 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.index.{IndexBuilder, IndexConfig, FieldNorms}
+import graft.ops.{OracleSql, PipelineOps}
+import graft.search.{Occur, Query, Searcher}
+
+/** Driver contract: one `queries` entry per operator (SURVEY.md §2), each
+  * with DuckDB oracle SQL. Search-semantics queries run through the real
+  * engine (index build -> Searcher kernels) and emit integer doc ids; all
+  * float-emitting queries compute in double on both sides and round to 4dp
+  * (engine-internal f32 BM25 rank-identity is pinned by `sbt test`, which is
+  * the tantivy-parity gate — FIXTURES.md §3).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  // ---------------------------------------------------------------- tables
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+  private def embeddings(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/embeddings.parquet")
+  private def events(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/events.parquet")
+
+  // one index per sf dir, built once per JVM (the Searcher is a snapshot)
+  private val indexCache = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private[graft] def searcherFor(spark: SparkSession, sfDir: String): Searcher = {
+    val indexDir = indexCache.getOrElseUpdate(sfDir, {
+      val digest = java.security.MessageDigest.getInstance("MD5")
+        .digest(sfDir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val dir = s"/tmp/graft-index-$digest"
+      if (graft.index.IndexManifest.read(spark, dir).isEmpty) {
+        val in = docs(spark, sfDir)
+          .withColumn("warc_ts", to_timestamp(lit("2025-01-01 00:00:00")))
+        IndexBuilder.build(spark, in, dir, IndexConfig(
+          numPartitions = 4, keyField = "doc_id", textField = "text",
+          langField = "lang", tsField = "warc_ts"))
+      }
+      dir
+    })
+    new Searcher(spark, indexDir)
+  }
+
+  /** Engine query -> DataFrame of matching doc_ids (via docmap join). */
+  private def engineMatches(spark: SparkSession, sfDir: String, q: Query): DataFrame = {
+    val s = searcherFor(spark, sfDir)
+    s.allMatches(q, scored = false)
+      .join(s.docmapDF, Seq("segment", "docId"))
+      .select(col("url").cast("long").as("doc_id"))
+  }
+
+  // ---------------------------------------------------------------- entry
+
+  /** Flagship: BM25 top-10 via the full engine (build + WAND + fetch). */
+  def entry(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val s = searcherFor(spark, "/root/testdata/sf0.001")
+    val q = Query.should(Query.Term("text", "spark"), Query.Term("text", "table"),
+      Query.Term("text", "vector"))
+    s.topDocs(q, 10).toSeq
+      .map(h => (h.rank, h.url.toLong, h.score.toDouble))
+      .toDF("rank", "doc_id", "score")
+  }
+
+  // ---------------------------------------------------------------- queries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- inverted-index search semantics (engine-backed; integer outputs)
+    "q_search_term" -> ((s, d) => engineMatches(s, d, Query.Term("text", "spark"))),
+    "q_search_and" -> ((s, d) => engineMatches(s, d,
+      Query.must(Query.Term("text", "spark"), Query.Term("text", "table")))),
+    "q_search_or" -> ((s, d) => engineMatches(s, d,
+      Query.should(Query.Term("text", "vector"), Query.Term("text", "stream")))),
+    "q_search_not" -> ((s, d) => engineMatches(s, d, Query.Bool(Seq(
+      Occur.Must -> Query.Term("text", "table"),
+      Occur.MustNot -> Query.Term("text", "spark"))))),
+    "q_search_phrase" -> ((s, d) => engineMatches(s, d, Query.Phrase("text", Seq("fast", "table")))),
+    "q_search_prefix" -> ((s, d) => engineMatches(s, d, Query.Prefix("text", "str"))),
+    "q_search_fuzzy" -> ((s, d) => engineMatches(s, d, Query.Fuzzy("text", "spark", 1))),
+    "q_search_regexp" -> ((s, d) => engineMatches(s, d, Query.Regexp("text", "ta.le"))),
+    "q_search_termset" -> ((s, d) => engineMatches(s, d,
+      Query.TermSet("text", Seq("spark", "vector", "window")))),
+    "q_search_range" -> ((s, d) => engineMatches(s, d,
+      Query.TermRange("text", Some("table"), Some("tables")))),
+    "q_count_matrix" -> ((s, d) => {
+      import s.implicits._
+      val sr = searcherFor(s, d)
+      Seq(
+        ("spark", sr.count(Query.Term("text", "spark"))),
+        ("vector", sr.count(Query.Term("text", "vector"))),
+        ("spark_and_table", sr.count(Query.must(
+          Query.Term("text", "spark"), Query.Term("text", "table")))),
+        ("vector_or_stream", sr.count(Query.should(
+          Query.Term("text", "vector"), Query.Term("text", "stream")))),
+        ("all_docs", sr.count(Query.All))
+      ).toDF("label", "cnt")
+    }),
+
+    // --- BM25 at the DataFrame level, double precision (SQL-parity scoring)
+    "q_bm25_scores" -> ((s, d) => bm25Df(s, docs(s, d), Seq("spark", "vector"))),
+
+    // --- text analysis
+    "q_token_count" -> ((s, d) => PipelineOps.tokenCounts(docs(s, d))),
+    "q_lang_id" -> ((s, d) => PipelineOps.langId(docs(s, d))),
+    "q_quality" -> ((s, d) => PipelineOps.qualityScore(docs(s, d))),
+    "q_fingerprint" -> ((s, d) => PipelineOps.fingerprint(docs(s, d))),
+
+    // --- dedup
+    "q_dedup_exact" -> ((s, d) => PipelineOps.dedupExact(docs(s, d))),
+    "q_dedup_jaccard" -> ((s, d) => PipelineOps.ngramJaccardPairs(docs(s, d), 0.5)),
+    "q_dedup_minhash" -> ((s, d) => PipelineOps.dedupMinHash(docs(s, d), 0.5)),
+    "q_simhash" -> ((s, d) => PipelineOps.simHash(docs(s, d))),
+
+    // --- similarity
+    "q_cosine_topk" -> ((s, d) => PipelineOps.cosineTopK(embeddings(s, d), 0L, 10)),
+    "q_embed_neardup" -> ((s, d) => PipelineOps.embeddingNearDupPairs(embeddings(s, d), 0.35)),
+    "q_ann_lsh" -> ((s, d) => PipelineOps.annTopK(embeddings(s, d), 0L, 10, 8)),
+
+    // --- aggregations (collector / ES-agg equivalents)
+    "q_terms_agg" -> ((s, d) => PipelineOps.withTokens(docs(s, d))
+      .select(explode(array_distinct(col("toks"))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("term")).limit(10)),
+    "q_histogram" -> ((s, d) => docs(s, d)
+      .select(floor(col("n_chars") / 100.0).cast("long").as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("cnt")).orderBy("bucket")),
+    "q_stats" -> ((s, d) => docs(s, d).agg(
+      min("n_chars").cast("long").as("min_c"), max("n_chars").cast("long").as("max_c"),
+      sum("n_chars").cast("long").as("sum_c"), round(avg("n_chars"), 4).as("avg_c"),
+      count(lit(1)).as("cnt"))),
+    "q_cardinality" -> ((s, d) => PipelineOps.withTokens(docs(s, d))
+      .select(explode(col("toks")).as("tok"))
+      .agg(countDistinct("tok").as("n_terms"))),
+    "q_top_hits" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("lang").orderBy(col("n_chars").desc, col("doc_id"))
+      docs(s, d).withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 3).select("lang", "doc_id", "n_chars")
+    }),
+    "q_facet_source" -> ((s, d) => docs(s, d).groupBy("source").agg(count(lit(1)).as("cnt"))),
+    "q_facet_lang" -> ((s, d) => docs(s, d).groupBy("lang").agg(count(lit(1)).as("cnt"))),
+    "q_percentiles" -> ((s, d) => docs(s, d).agg(
+      round(expr("percentile(n_chars, 0.5)"), 4).as("p50"),
+      round(expr("percentile(n_chars, 0.9)"), 4).as("p90"),
+      round(expr("percentile(n_chars, 0.99)"), 4).as("p99"))),
+    "q_range_fastfield" -> ((s, d) => docs(s, d)
+      .where(col("n_chars") >= 200 && col("n_chars") < 400).select("doc_id")),
+
+    // --- events: time windows + window functions
+    "q_date_histogram" -> ((s, d) => events(s, d)
+      .groupBy(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .orderBy("day")),
+    "q_window_rank" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("event_type").orderBy(col("value").desc, col("event_id"))
+      events(s, d).withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 3)
+        .select(col("event_type"), col("event_id"), round(col("value"), 4).as("value"))
+    }),
+    "q_sessionize" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      events(s, d)
+        .withColumn("prev", lag(col("ts"), 1).over(w))
+        .withColumn("brk", when(col("prev").isNull ||
+          unix_micros(col("ts").cast("timestamp")) -
+            unix_micros(col("prev").cast("timestamp")) > 1800000000L, 1).otherwise(0))
+        .groupBy("user_id").agg(sum("brk").cast("long").as("n_sessions"))
+    }),
+
+    // --- relational breadth (scan/filter/agg/join on the star schema)
+    "q_agg_pricing" -> ((s, d) => s.read.parquet(s"$d/lineitem.parquet")
+      .where(col("l_shipdate") <= to_timestamp(lit("1998-09-02 00:00:00")))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_base_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")),
+    "q_join_enrich" -> ((s, d) => {
+      val orders = s.read.parquet(s"$d/orders.parquet")
+      val cust = s.read.parquet(s"$d/customer.parquet")
+      orders.join(broadcast(cust), orders("o_custkey") === cust("c_custkey"))
+        .groupBy(col("c_custkey").as("custkey")).agg(count(lit(1)).as("n_orders"))
+        .orderBy(col("n_orders").desc, col("custkey")).limit(10)
+    }),
+
+    // --- multimodal plumbing: opaque binary column + typed metadata
+    "q_binary_meta" -> ((s, d) => docs(s, d)
+      .select(col("doc_id"),
+        octet_length(encode(col("text"), "UTF-8")).cast("long").as("byte_len"),
+        md5(col("text")).as("digest")))
+  )
+
+  // -------------------------------------------------------------- oracle
+
+  def oracleSql: Map[String, String] = Map(
+    "q_search_term" -> OracleSql.containing("spark"),
+    "q_search_and" -> OracleSql.searchAnd,
+    "q_search_or" -> OracleSql.searchOr,
+    "q_search_not" -> OracleSql.searchNot,
+    "q_search_phrase" -> OracleSql.searchPhrase,
+    "q_search_prefix" -> OracleSql.searchPrefix,
+    "q_search_fuzzy" -> OracleSql.searchFuzzy,
+    "q_search_regexp" -> OracleSql.searchRegexp,
+    "q_search_termset" -> OracleSql.searchTermSet,
+    "q_search_range" -> OracleSql.searchRange,
+    "q_count_matrix" -> OracleSql.countMatrix,
+    "q_bm25_scores" -> OracleSql.bm25Scores(Seq("spark", "vector")),
+    "q_token_count" -> OracleSql.tokenCount,
+    "q_lang_id" -> OracleSql.langId,
+    "q_quality" -> OracleSql.quality,
+    "q_fingerprint" -> OracleSql.fingerprint,
+    "q_dedup_exact" -> OracleSql.dedupExact,
+    "q_dedup_jaccard" -> OracleSql.jaccardPairs(0.5),
+    "q_dedup_minhash" -> OracleSql.minhashPairs(0.5),
+    "q_simhash" -> OracleSql.simhash,
+    "q_cosine_topk" -> OracleSql.cosineTopK(0L, 10),
+    "q_embed_neardup" -> OracleSql.embeddingNearDup(0.35),
+    // q_ann_lsh: approximate (random hyperplanes) -> rows-only check
+    "q_terms_agg" -> OracleSql.termsAgg,
+    "q_histogram" -> OracleSql.histogram,
+    "q_stats" -> OracleSql.statsAgg,
+    "q_cardinality" -> OracleSql.cardinality,
+    "q_top_hits" -> OracleSql.topHits,
+    "q_facet_source" -> OracleSql.facetSource,
+    "q_facet_lang" -> OracleSql.facetLang,
+    "q_percentiles" -> OracleSql.percentiles,
+    "q_range_fastfield" -> OracleSql.rangeFastField,
+    "q_date_histogram" -> OracleSql.dateHistogram,
+    "q_window_rank" -> OracleSql.windowRank,
+    "q_sessionize" -> OracleSql.sessionize,
+    "q_agg_pricing" -> OracleSql.aggPricing,
+    "q_join_enrich" -> OracleSql.joinEnrich,
+    "q_binary_meta" -> OracleSql.binaryMeta
+  )
+
+  /** DataFrame-level BM25 (double precision), mirroring OracleSql.bm25Scores
+    * term-for-term: quantized fieldnorms via join against the 256-entry
+    * table, df/N from aggregates, identical formula text.
+    */
+  private def bm25Df(spark: SparkSession, documents: DataFrame, terms: Seq[String]): DataFrame = {
+    import spark.implicits._
+    val t = PipelineOps.withTokens(documents).select(col("doc_id"), col("toks"))
+    val stats = t.agg(count(lit(1)).cast("long").as("n"),
+      sum(size(col("toks"))).cast("long").as("tot"))
+    val norms = FieldNorms.Table.toSeq.toDF("val")
+    val dl = t.select(col("doc_id"), size(col("toks")).as("dl"))
+    val dlq = dl.crossJoin(broadcast(norms)).where(col("val") <= col("dl"))
+      .groupBy("doc_id").agg(max("val").as("dlq"))
+    val tf = t.select(col("doc_id"), explode(col("toks")).as("tok"))
+      .where(col("tok").isin(terms: _*))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).cast("long").as("tf"))
+    val df = tf.groupBy("tok").agg(count(lit(1)).cast("long").as("df"))
+    tf.join(broadcast(df), "tok").join(dlq, "doc_id").crossJoin(broadcast(stats))
+      .withColumn("s", expr(
+        "ln(1.0 + (n - df + 0.5) / (df + 0.5)) * (1.0 + 1.2)" +
+          " * tf / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dlq / (tot * 1.0 / n)))"))
+      .groupBy("doc_id").agg(round(sum("s"), 4).as("bm25"))
+  }
 }

@@ -1,0 +1,231 @@
+package graft.ops
+
+import graft.index.FieldNorms
+
+/** DuckDB oracle SQL for every SparkEntry query. Shared constants/logic come
+  * from `PipelineOps` so both sides compute character-identical formulas;
+  * floats are rounded to 4dp, money sums go through DECIMAL(18,2) so
+  * summation order can't flip a rounded digit.
+  */
+object OracleSql {
+
+  import PipelineOps._
+
+  /** Token CTE over documents. */
+  val T = s"t AS (SELECT doc_id, $TokensExprDuck AS toks FROM documents)"
+
+  def containing(term: String): String =
+    s"WITH $T SELECT doc_id FROM t WHERE list_contains(toks, '$term')"
+
+  val searchAnd: String =
+    s"WITH $T SELECT doc_id FROM t WHERE list_contains(toks, 'spark') AND list_contains(toks, 'table')"
+  val searchOr: String =
+    s"WITH $T SELECT doc_id FROM t WHERE list_contains(toks, 'vector') OR list_contains(toks, 'stream')"
+  val searchNot: String =
+    s"WITH $T SELECT doc_id FROM t WHERE list_contains(toks, 'table') AND NOT list_contains(toks, 'spark')"
+  val searchPhrase: String =
+    "SELECT doc_id FROM documents WHERE regexp_matches(lower(text), '(^|[^a-z0-9])fast[^a-z0-9]+table([^a-z0-9]|$)')"
+  val searchPrefix: String =
+    s"WITH $T SELECT doc_id FROM t WHERE len(list_filter(toks, x -> x LIKE 'str%')) > 0"
+  val searchFuzzy: String =
+    s"WITH $T SELECT doc_id FROM t WHERE len(list_filter(toks, x -> levenshtein(x, 'spark') <= 1)) > 0"
+  val searchRegexp: String =
+    s"WITH $T SELECT doc_id FROM t WHERE len(list_filter(toks, x -> regexp_matches(x, '^ta.le$$'))) > 0"
+  val searchTermSet: String =
+    s"WITH $T SELECT doc_id FROM t WHERE len(list_filter(toks, x -> x IN ('spark','vector','window'))) > 0"
+  val searchRange: String =
+    s"WITH $T SELECT doc_id FROM t WHERE len(list_filter(toks, x -> x >= 'table' AND x < 'tables')) > 0"
+
+  val countMatrix: String = {
+    def c(pred: String) = s"(SELECT count(*) FROM t WHERE $pred)"
+    s"WITH $T SELECT * FROM (" +
+      s"SELECT 'spark' AS label, ${c("list_contains(toks,'spark')")} AS cnt " +
+      s"UNION ALL SELECT 'vector', ${c("list_contains(toks,'vector')")} " +
+      s"UNION ALL SELECT 'spark_and_table', ${c("list_contains(toks,'spark') AND list_contains(toks,'table')")} " +
+      s"UNION ALL SELECT 'vector_or_stream', ${c("list_contains(toks,'vector') OR list_contains(toks,'stream')")} " +
+      s"UNION ALL SELECT 'all_docs', (SELECT count(*) FROM t))"
+  }
+
+  /** Inline 256-value fieldnorm table (tantivy quantization). */
+  private val normsValues: String = FieldNorms.Table.map(v => s"($v)").mkString(",")
+
+  def bm25Scores(terms: Seq[String]): String = {
+    val termList = terms.map(t => s"'$t'").mkString(",")
+    s"""WITH $T,
+norms(val) AS (VALUES $normsValues),
+stats AS (SELECT count(*)::BIGINT AS n, sum(len(toks))::BIGINT AS tot FROM t),
+dl AS (SELECT doc_id, len(toks) AS dl FROM t),
+dlq AS (SELECT doc_id, (SELECT max(val) FROM norms WHERE val <= dl) AS dlq FROM dl),
+tf AS (SELECT doc_id, tok, count(*)::BIGINT AS tf FROM (SELECT doc_id, unnest(toks) AS tok FROM t) WHERE tok IN ($termList) GROUP BY doc_id, tok),
+df AS (SELECT tok, count(*)::BIGINT AS df FROM tf GROUP BY tok),
+scored AS (
+  SELECT tf.doc_id,
+    ln(1.0 + (stats.n - df.df + 0.5) / (df.df + 0.5)) * (1.0 + 1.2)
+      * tf.tf / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dlq.dlq / (stats.tot * 1.0 / stats.n))) AS s
+  FROM tf JOIN df ON tf.tok = df.tok JOIN dlq ON tf.doc_id = dlq.doc_id, stats)
+SELECT doc_id, round(sum(s), 4) AS bm25 FROM scored GROUP BY doc_id"""
+  }
+
+  val tokenCount: String =
+    s"WITH $T SELECT doc_id, len(toks)::BIGINT AS n_tokens, len(list_distinct(toks))::BIGINT AS n_distinct FROM t"
+
+  val langId: String = {
+    val scores = LangScoresExpr.map { case (n, e) =>
+      val duck = e.replace("size(filter(", "len(list_filter(")
+      s"$duck AS $n"
+    }.mkString(", ")
+    s"WITH $T, s AS (SELECT doc_id, $scores FROM t) SELECT doc_id, $LangGuessExpr AS lang_guess FROM s"
+  }
+
+  val quality: String =
+    s"""WITH $T, q AS (SELECT doc_id, len(toks)::BIGINT AS n_toks,
+ len(list_distinct(toks))::BIGINT AS n_distinct,
+ length(array_to_string(toks, ''))::BIGINT AS chars FROM t)
+SELECT doc_id, CAST($QualityExprDuck AS BIGINT) AS quality_bp FROM q WHERE n_toks > 0"""
+
+  val fingerprint: String =
+    s"WITH $T SELECT doc_id, md5(array_to_string(toks, ' ')) AS fp FROM t"
+
+  val dedupExact: String =
+    s"""WITH $T, fp AS (SELECT doc_id, md5(array_to_string(toks, ' ')) AS fp FROM t),
+canon AS (SELECT fp, min(doc_id) AS canonical_id FROM fp GROUP BY fp)
+SELECT fp.doc_id, canon.canonical_id, fp.doc_id <> canon.canonical_id AS is_dup
+FROM fp JOIN canon ON fp.fp = canon.fp"""
+
+  private val shinglesCte =
+    s"""$T, s AS (SELECT doc_id, list_distinct($ShinglesExprDuck) AS sh FROM t)"""
+
+  def jaccardPairs(threshold: Double): String =
+    s"""WITH $shinglesCte,
+p AS (SELECT a.doc_id AS ia, b.doc_id AS ib,
+  len(list_intersect(a.sh, b.sh)) * 1.0 / len(list_distinct(list_concat(a.sh, b.sh))) AS j
+  FROM s a JOIN s b ON a.doc_id < b.doc_id)
+SELECT ia, ib, round(j, 4) AS jaccard FROM p WHERE j >= $threshold"""
+
+  def minhashPairs(threshold: Double): String = {
+    val mhCols = MinHashA.indices.map { i =>
+      s"min((h * ${MinHashA(i)} + ${MinHashB(i)}) % $MinHashP) AS mh$i"
+    }.mkString(", ")
+    val bandRows = (0 until Bands).map { b =>
+      val parts = (0 until RowsPerBand).map(r => s"mh${b * RowsPerBand + r}")
+      s"SELECT doc_id, $b AS band, concat_ws('_', ${parts.mkString(",")}) AS sig FROM sigs"
+    }.mkString(" UNION ALL ")
+    s"""WITH $shinglesCte,
+ex AS (SELECT doc_id, unnest(sh) AS tok FROM s),
+hashed AS (SELECT doc_id, $TokHashDuck AS h FROM ex),
+sigs AS (SELECT doc_id, $mhCols FROM hashed GROUP BY doc_id),
+banded AS ($bandRows),
+cand AS (SELECT DISTINCT x.doc_id AS ia, y.doc_id AS ib FROM banded x JOIN banded y
+  ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id),
+verified AS (SELECT cand.ia, cand.ib,
+  len(list_intersect(a.sh, b.sh)) * 1.0 / len(list_distinct(list_concat(a.sh, b.sh))) AS j
+  FROM cand JOIN s a ON cand.ia = a.doc_id JOIN s b ON cand.ib = b.doc_id)
+SELECT ia, ib, round(j, 4) AS jaccard FROM verified WHERE j >= $threshold"""
+  }
+
+  val simhash: String = {
+    val bitSums = (0 until 32).map { b =>
+      s"sum(CASE WHEN (h >> $b) % 2 = 1 THEN 1 ELSE -1 END) AS b$b"
+    }.mkString(", ")
+    val hashExpr = (0 until 32).map(b => s"(CASE WHEN b$b > 0 THEN 1 ELSE 0 END) * ${1L << b}")
+      .mkString(" + ")
+    s"""WITH $T,
+ex AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+hashed AS (SELECT doc_id, $TokHashDuck AS h FROM ex),
+agg AS (SELECT doc_id, $bitSums FROM hashed GROUP BY doc_id)
+SELECT doc_id, CAST($hashExpr AS BIGINT) AS simhash FROM agg"""
+  }
+
+  /** Double-precision cosine, dot/(|a|*|b|) — same formula shape as the
+    * Spark side (NOT list_cosine_similarity, which runs in float32 and
+    * normalizes differently).
+    */
+  private def cosineSql(aVec: String, bVec: String): String =
+    s"list_dot_product($aVec, $bVec) / " +
+      s"(sqrt(list_dot_product($aVec, $aVec)) * sqrt(list_dot_product($bVec, $bVec)))"
+
+  def cosineTopK(queryVecId: Long, k: Int): String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT v AS qv FROM e WHERE vec_id = $queryVecId),
+scored AS (SELECT e.vec_id, ${cosineSql("e.v", "q.qv")} AS c FROM e, q WHERE e.vec_id <> $queryVecId)
+SELECT vec_id, round(c, 4) AS cos FROM scored ORDER BY c DESC, vec_id LIMIT $k"""
+
+  def embeddingNearDup(threshold: Double): String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+p AS (SELECT a.vec_id AS ia, b.vec_id AS ib, ${cosineSql("a.v", "b.v")} AS c
+  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+SELECT ia, ib, round(c, 4) AS cos FROM p WHERE c >= $threshold"""
+
+  // ------------------------------------------------------- aggregations
+
+  val termsAgg: String =
+    s"""WITH $T SELECT tok AS term, count(*)::BIGINT AS df
+FROM (SELECT doc_id, unnest(list_distinct(toks)) AS tok FROM t)
+GROUP BY tok ORDER BY df DESC, term LIMIT 10"""
+
+  val histogram: String =
+    "SELECT CAST(floor(n_chars / 100.0) AS BIGINT) AS bucket, count(*)::BIGINT AS cnt " +
+      "FROM documents GROUP BY bucket ORDER BY bucket"
+
+  val statsAgg: String =
+    "SELECT min(n_chars)::BIGINT AS min_c, max(n_chars)::BIGINT AS max_c, " +
+      "sum(n_chars)::BIGINT AS sum_c, round(avg(n_chars), 4) AS avg_c, count(*)::BIGINT AS cnt " +
+      "FROM documents"
+
+  val cardinality: String =
+    s"WITH $T SELECT count(DISTINCT tok)::BIGINT AS n_terms FROM (SELECT unnest(toks) AS tok FROM t)"
+
+  val topHits: String =
+    """SELECT lang, doc_id, n_chars FROM (
+  SELECT lang, doc_id, n_chars,
+    row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rn
+  FROM documents) WHERE rn <= 3"""
+
+  val facetSource: String =
+    "SELECT source, count(*)::BIGINT AS cnt FROM documents GROUP BY source"
+
+  val facetLang: String =
+    "SELECT lang, count(*)::BIGINT AS cnt FROM documents GROUP BY lang"
+
+  val percentiles: String =
+    "SELECT round(quantile_cont(n_chars, 0.5), 4) AS p50, " +
+      "round(quantile_cont(n_chars, 0.9), 4) AS p90, " +
+      "round(quantile_cont(n_chars, 0.99), 4) AS p99 FROM documents"
+
+  val rangeFastField: String =
+    "SELECT doc_id FROM documents WHERE n_chars >= 200 AND n_chars < 400"
+
+  val dateHistogram: String =
+    """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, count(*)::BIGINT AS cnt,
+  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events GROUP BY day ORDER BY day"""
+
+  val windowRank: String =
+    """SELECT event_type, event_id, round(value, 4) AS value FROM (
+  SELECT event_type, event_id, value,
+    row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS rn
+  FROM events) WHERE rn <= 3"""
+
+  val sessionize: String =
+    """WITH o AS (SELECT user_id,
+  CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000
+       OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL THEN 1 ELSE 0 END AS brk
+  FROM events)
+SELECT user_id, sum(brk)::BIGINT AS n_sessions FROM o GROUP BY user_id"""
+
+  val aggPricing: String =
+    """SELECT l_returnflag, l_linestatus,
+  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+  count(*)::BIGINT AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"""
+
+  val joinEnrich: String =
+    """SELECT c.c_custkey AS custkey, count(*)::BIGINT AS n_orders
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_custkey ORDER BY n_orders DESC, custkey LIMIT 10"""
+
+  val binaryMeta: String =
+    "SELECT doc_id, octet_length(encode(text))::BIGINT AS byte_len, md5(text) AS digest FROM documents"
+}

@@ -1,0 +1,253 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline operators over the `documents` / `embeddings`
+  * tables — all expressed with codegen'd built-in functions (no UDFs), so
+  * Catalyst sees through every expression: filters push down, whole-stage
+  * codegen spans the maps, and each shuffle is an explicit groupBy/join.
+  *
+  * Shared SQL fragments are written in the common Spark-SQL/DuckDB dialect
+  * subset so the DuckDB oracle (`OracleSql`) uses character-identical logic.
+  */
+object PipelineOps {
+
+  /** Canonical token array (documents table analyzer: split on non-alnum,
+    * lowercase, drop empties and >=40-char tokens — the SQL-parity analog of
+    * the engine's tantivy chain; the corpus is ASCII so they agree).
+    */
+  val TokensExprSpark = "filter(split(lower(text), '[^a-z0-9]+'), x -> x <> '' AND length(x) < 40)"
+  val TokensExprDuck = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '' AND length(x) < 40)"
+
+  def withTokens(docs: DataFrame): DataFrame = docs.withColumn("toks", expr(TokensExprSpark))
+
+  /** Portable 32-bit token hash: first 8 hex chars of md5, as a long.
+    * Identical in Spark (conv) and DuckDB (0x-cast) — the one deterministic
+    * hash both engines share.
+    */
+  val TokHashSpark = "cast(conv(substr(md5(tok), 1, 8), 16, 10) as bigint)"
+  val TokHashDuck = "CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT)"
+
+  /** MinHash parameters: k independent affine hashes modulo a >2^32 prime.
+    * Banding: `Bands` bands x `RowsPerBand` rows (k = product).
+    */
+  val MinHashP = 4294967311L
+  val MinHashA: Array[Long] = Array(1131781321L, 902087413L, 1517962273L, 755277181L,
+    1996162953L, 411852389L, 679706741L, 303050213L)
+  val MinHashB: Array[Long] = Array(982451653L, 715225741L, 187091591L, 504003151L,
+    103682057L, 806305433L, 556809023L, 233525281L)
+  val Bands = 4
+  val RowsPerBand = 2
+
+  /** Word n-gram shingles of the token array (n=3). Spark and DuckDB
+    * fragments produce identical string lists.
+    */
+  val ShingleN = 3
+  val ShinglesExprSpark =
+    "transform(sequence(1, greatest(size(toks) - 2, 1)), i -> concat_ws(' ', slice(toks, i, 3)))"
+  val ShinglesExprDuck =
+    "[array_to_string(toks[i:i+2], ' ') for i in range(1, greatest(len(toks)-2, 1) + 1)]"
+
+  // --------------------------------------------------------------- text ops
+
+  /** Language-ID heuristic: stopword-profile argmax (shared dialect CASE). */
+  val LangScoresExpr: Seq[(String, String)] = Seq(
+    "sc_en" -> "size(filter(toks, x -> x IN ('the','a','of','and','to','is')))",
+    "sc_de" -> "size(filter(toks, x -> x IN ('der','die','und','das','ist','ein')))",
+    "sc_fr" -> "size(filter(toks, x -> x IN ('le','la','et','les','un','est')))",
+    "sc_es" -> "size(filter(toks, x -> x IN ('el','los','y','que','un','es')))")
+  val LangGuessExpr: String =
+    "CASE WHEN sc_en >= sc_de AND sc_en >= sc_fr AND sc_en >= sc_es AND sc_en > 0 THEN 'en' " +
+      "WHEN sc_de >= sc_fr AND sc_de >= sc_es AND sc_de > 0 THEN 'de' " +
+      "WHEN sc_fr >= sc_es AND sc_fr > 0 THEN 'fr' " +
+      "WHEN sc_es > 0 THEN 'es' ELSE 'und' END"
+
+  def langId(docs: DataFrame): DataFrame = {
+    val base = LangScoresExpr.foldLeft(withTokens(docs)) { case (df, (n, e)) =>
+      df.withColumn(n, expr(e))
+    }
+    base.select(col("doc_id"), expr(LangGuessExpr).as("lang_guess"))
+  }
+
+  /** Quality score in basis points (0..10000), integer arithmetic only so
+    * both engines agree exactly: 0.4 * length component + 0.3 * type-token
+    * ratio + 0.3 * mean-token-length component. `div` is Spark integer
+    * division; the oracle uses `//` (identical on non-negatives).
+    */
+  val QualityExprSpark: String =
+    "least(n_toks * 40, 4000)" +
+      " + least((n_distinct * 3000) div n_toks, 3000)" +
+      " + least((chars * 3000) div (n_toks * 8), 3000)"
+  val QualityExprDuck: String =
+    "least(n_toks * 40, 4000)" +
+      " + least((n_distinct * 3000) // n_toks, 3000)" +
+      " + least((chars * 3000) // (n_toks * 8), 3000)"
+
+  def qualityScore(docs: DataFrame): DataFrame =
+    withTokens(docs)
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_toks"),
+        size(array_distinct(col("toks"))).cast("long").as("n_distinct"),
+        length(concat_ws("", col("toks"))).cast("long").as("chars"))
+      .where(col("n_toks") > 0)
+      .select(col("doc_id"), expr(QualityExprSpark).cast("long").as("quality_bp"))
+
+  /** Document fingerprint: md5 of the space-normalized token stream. */
+  def fingerprint(docs: DataFrame): DataFrame =
+    withTokens(docs).select(col("doc_id"),
+      md5(concat_ws(" ", col("toks"))).as("fp"))
+
+  def tokenCounts(docs: DataFrame): DataFrame =
+    withTokens(docs).select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"),
+      size(array_distinct(col("toks"))).cast("long").as("n_distinct"))
+
+  // --------------------------------------------------------------- dedup
+
+  /** Exact dedup: canonical id = min doc_id per fingerprint (hash groupBy —
+    * the classic shuffle-on-digest pattern; at 100 TB this is the same plan,
+    * digest computed map-side, shuffle carries only (fp, doc_id)).
+    */
+  def dedupExact(docs: DataFrame): DataFrame = {
+    val fp = fingerprint(docs)
+    val canon = fp.groupBy("fp").agg(min("doc_id").as("canonical_id"))
+    fp.join(canon, "fp")
+      .select(col("doc_id"), col("canonical_id"),
+        (col("doc_id") =!= col("canonical_id")).as("is_dup"))
+  }
+
+  private def withShingles(docs: DataFrame): DataFrame =
+    withTokens(docs).withColumn("sh", array_distinct(expr(ShinglesExprSpark)))
+
+  /** Exact n-gram Jaccard near-dup pairs (the oracle-grade ground truth;
+    * O(n^2) — only for verification scale. The scale path is `dedupMinHash`).
+    */
+  def ngramJaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    val s = withShingles(docs).select(col("doc_id"), col("sh"))
+    val a = s.toDF("ia", "sha")
+    val b = s.toDF("ib", "shb")
+    a.crossJoin(b).where(col("ia") < col("ib"))
+      .select(col("ia"), col("ib"),
+        (size(array_intersect(col("sha"), col("shb"))).cast("double") /
+          size(array_union(col("sha"), col("shb")))).as("j"))
+      .where(col("j") >= threshold)
+      .select(col("ia"), col("ib"), round(col("j"), 4).as("jaccard"))
+  }
+
+  /** MinHash + LSH banding near-dup (the 100 TB path: signatures are one
+    * groupBy over exploded shingles; candidates come from an equi-join on
+    * band keys — no cross join anywhere; exact Jaccard verifies candidates
+    * only).
+    */
+  def dedupMinHash(docs: DataFrame, threshold: Double): DataFrame = {
+    val sh = withShingles(docs).select(col("doc_id"), col("sh"))
+    val exploded = sh.select(col("doc_id"), explode(col("sh")).as("tok"))
+      .withColumn("h", expr(TokHashSpark))
+    val minhashAggs = MinHashA.indices.map { i =>
+      min(expr(s"(h * ${MinHashA(i)}L + ${MinHashB(i)}L) % ${MinHashP}L")).as(s"mh$i")
+    }
+    val sigs = exploded.groupBy("doc_id").agg(minhashAggs.head, minhashAggs.tail: _*)
+    val bandCols = (0 until Bands).map { b =>
+      val parts = (0 until RowsPerBand).map(r => col(s"mh${b * RowsPerBand + r}"))
+      struct(lit(b).as("band"), concat_ws("_", parts: _*).as("sig"))
+    }
+    val banded = sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.sig").as("sig"))
+    val cand = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("ia"), col("y.doc_id").as("ib")).distinct()
+    // verify candidates with exact Jaccard (join shingle sets back in)
+    val withSets = cand
+      .join(sh.toDF("ia", "sha"), "ia")
+      .join(sh.toDF("ib", "shb"), "ib")
+      .select(col("ia"), col("ib"),
+        (size(array_intersect(col("sha"), col("shb"))).cast("double") /
+          size(array_union(col("sha"), col("shb")))).as("j"))
+    withSets.where(col("j") >= threshold)
+      .select(col("ia"), col("ib"), round(col("j"), 4).as("jaccard"))
+  }
+
+  /** SimHash (32-bit): per-bit majority vote of token-hash bits, weighted by
+    * term frequency; Hamming-close simhashes = near-dups. One explode +
+    * groupBy — linear, shuffle keyed by doc.
+    */
+  def simHash(docs: DataFrame): DataFrame = {
+    val exploded = withTokens(docs).select(col("doc_id"), explode(col("toks")).as("tok"))
+      .withColumn("h", expr(TokHashSpark))
+    val bitSums = (0 until 32).map { b =>
+      sum(expr(s"CASE WHEN (h >> $b) % 2 = 1 THEN 1 ELSE -1 END")).as(s"b$b")
+    }
+    val agg = exploded.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    val hashExpr = (0 until 32).map(b => s"(CASE WHEN b$b > 0 THEN 1 ELSE 0 END) * ${1L << b}L")
+      .mkString(" + ")
+    agg.select(col("doc_id"), expr(s"cast($hashExpr as bigint)").as("simhash"))
+  }
+
+  // --------------------------------------------------------------- similarity
+
+  /** Brute-force cosine top-k against one query vector (double precision).
+    * Baseline path; broadcast query vector, one scan, local top-k per
+    * partition via TakeOrderedAndProject.
+    */
+  def cosineTopK(embeddings: DataFrame, queryVecId: Long, k: Int): DataFrame = {
+    val q = embeddings.where(col("vec_id") === queryVecId)
+      .select(col("embedding").cast("array<double>").as("qv"))
+    embeddings.where(col("vec_id") =!= queryVecId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        cosineExpr(col("embedding").cast("array<double>"), col("qv")).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(k)
+      .select(col("vec_id"), round(col("cos"), 4).as("cos"))
+  }
+
+  /** Double-precision cosine of two array<double> columns via zip_with +
+    * aggregate (codegen'd higher-order functions, no UDF).
+    */
+  def cosineExpr(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    val na = sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
+    val nb = sqrt(aggregate(b, lit(0.0), (acc, x) => acc + x * x))
+    dot / (na * nb)
+  }
+
+  /** Embedding near-dup pairs above a cosine threshold (verification-scale
+    * exact pass; LSH route via `annBuckets` at scale).
+    */
+  def embeddingNearDupPairs(embeddings: DataFrame, threshold: Double): DataFrame = {
+    val e = embeddings.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val a = e.toDF("ia", "va")
+    val b = e.toDF("ib", "vb")
+    a.crossJoin(b).where(col("ia") < col("ib"))
+      .select(col("ia"), col("ib"), cosineExpr(col("va"), col("vb")).as("cos"))
+      .where(col("cos") >= threshold)
+      .select(col("ia"), col("ib"), round(col("cos"), 4).as("cos"))
+  }
+
+  /** Random-hyperplane LSH buckets for ANN at scale: `nBits` sign bits from
+    * fixed pseudo-random hyperplanes (deterministic, seed-derived). Bucket
+    * join replaces the cross join; brute-force cosine runs within buckets.
+    */
+  def annBuckets(embeddings: DataFrame, nBits: Int): DataFrame = {
+    val dim = 64
+    val rnd = new scala.util.Random(1234)
+    val planes = Array.fill(nBits, dim)(rnd.nextGaussian())
+    val v = col("embedding").cast("array<double>")
+    val bitCols = (0 until nBits).map { b =>
+      val dot = aggregate(zip_with(v, typedlit(planes(b).toSeq), (x, p) => x * p),
+        lit(0.0), (acc, x) => acc + x)
+      when(dot >= 0, lit(1L << b)).otherwise(lit(0L))
+    }
+    embeddings.select(col("vec_id"), bitCols.reduce(_ + _).as("bucket"))
+  }
+
+  /** ANN top-k via LSH buckets: candidates share a bucket (approximate). */
+  def annTopK(embeddings: DataFrame, queryVecId: Long, k: Int, nBits: Int): DataFrame = {
+    val buckets = annBuckets(embeddings, nBits)
+    val qb = buckets.where(col("vec_id") === queryVecId).select(col("bucket").as("qbucket"))
+    val candIds = buckets.join(broadcast(qb), col("bucket") === col("qbucket"))
+      .select("vec_id")
+    val cands = embeddings.join(candIds, "vec_id")
+    cosineTopK(cands, queryVecId, k)
+  }
+}
