@@ -32,6 +32,12 @@ object SparkEntry {
       val digest = java.security.MessageDigest.getInstance("MD5")
         .digest(sfDir.getBytes("UTF-8")).map("%02x".format(_)).mkString
       val dir = s"/tmp/graft-index-$digest"
+      val existing = graft.index.IndexManifest.read(spark, dir)
+      if (existing.exists(_.version != graft.index.IndexManifest.FormatVersion)) {
+        // stale on-disk format from an older library build: rebuild
+        val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+      }
       if (graft.index.IndexManifest.read(spark, dir).isEmpty) {
         val in = docs(spark, sfDir)
           .withColumn("warc_ts", to_timestamp(lit("2025-01-01 00:00:00")))

@@ -187,31 +187,23 @@ object PostingsCodec {
   }
 }
 
-/** Decoding iterator over one encoded posting list: the DocSet contract of
-  * the reference (`/root/reference/src/docset.rs:18-167`) — `doc/advance/seek`
-  * plus shallow block seeking and block-max metadata for WAND
-  * (`src/postings/block_segment_postings.rs:142-296`).
+/** Skip data parsed once per posting list — shared across the (possibly
+  * many) cursor instances a query batch creates over the same term, so
+  * per-cursor setup is O(1), not O(blocks).
   */
-final class SegmentPostings(
-    val docFreq: Int,
-    postings: Array[Byte],
-    skip: Array[Byte],
-    positionsBytes: Array[Byte],
-    readFreqs: Boolean) {
-
+final class ParsedSkip(skip: Array[Byte], val docFreq: Int) {
   import PostingsCodec._
-
   val numBlocks: Int = (docFreq + BlockSize - 1) / BlockSize
-
-  // parsed skip data (small: numBlocks entries)
-  private val lastDocs = new Array[Int](numBlocks)
-  private val docBitsArr = new Array[Byte](numBlocks)
-  private val tfBitsArr = new Array[Byte](numBlocks)
-  private val minNormIds = new Array[Byte](numBlocks)
-  private val maxTfs = new Array[Int](numBlocks)
-  private val cumTfEnds = new Array[Int](numBlocks)
+  val lastDocs = new Array[Int](numBlocks)
+  val docBitsArr = new Array[Byte](numBlocks)
+  val tfBitsArr = new Array[Byte](numBlocks)
+  val minNormIds = new Array[Byte](numBlocks)
+  val maxTfs = new Array[Int](numBlocks)
+  val cumTfEnds = new Array[Int](numBlocks)
   // byte offset of block in postings
-  private val blockOffsets = new Array[Int](numBlocks)
+  val blockOffsets = new Array[Int](numBlocks)
+  @inline def blockLen(b: Int): Int =
+    if (b == numBlocks - 1) docFreq - b * BlockSize else BlockSize
   locally {
     var off = 0
     var b = 0
@@ -229,9 +221,36 @@ final class SegmentPostings(
       b += 1
     }
   }
+}
 
-  @inline def blockLen(b: Int): Int =
-    if (b == numBlocks - 1) docFreq - b * BlockSize else BlockSize
+/** Decoding iterator over one encoded posting list: the DocSet contract of
+  * the reference (`/root/reference/src/docset.rs:18-167`) — `doc/advance/seek`
+  * plus shallow block seeking and block-max metadata for WAND
+  * (`src/postings/block_segment_postings.rs:142-296`).
+  */
+final class SegmentPostings(
+    postings: Array[Byte],
+    parsed: ParsedSkip,
+    positionsBytes: Array[Byte],
+    readFreqs: Boolean) {
+
+  import PostingsCodec._
+
+  def this(docFreq: Int, postings: Array[Byte], skip: Array[Byte],
+      positionsBytes: Array[Byte], readFreqs: Boolean) =
+    this(postings, new ParsedSkip(skip, docFreq), positionsBytes, readFreqs)
+
+  val docFreq: Int = parsed.docFreq
+  val numBlocks: Int = parsed.numBlocks
+  private val lastDocs = parsed.lastDocs
+  private val docBitsArr = parsed.docBitsArr
+  private val tfBitsArr = parsed.tfBitsArr
+  private val minNormIds = parsed.minNormIds
+  private val maxTfs = parsed.maxTfs
+  private val cumTfEnds = parsed.cumTfEnds
+  private val blockOffsets = parsed.blockOffsets
+
+  @inline def blockLen(b: Int): Int = parsed.blockLen(b)
 
   private val docBuf = new Array[Int](BlockSize)
   private val tfBuf = new Array[Int](BlockSize)

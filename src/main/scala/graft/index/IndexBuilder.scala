@@ -53,7 +53,7 @@ object IndexBuilder {
     * are deleted before the build so append stays exactly-once.
     */
   def build(spark: SparkSession, source: DataFrame, indexDir: String, cfg: IndexConfig,
-      resume: Boolean = true): IndexManifest = {
+      resume: Boolean = true, segmentBase: Int = 0): IndexManifest = {
     import spark.implicits._
 
     val prior = if (resume) IndexManifest.read(spark, indexDir) else None
@@ -64,7 +64,10 @@ object IndexBuilder {
     }
 
     // clean partial output of segments that never made it into the manifest
-    cleanUnfinished(spark, indexDir, done)
+    // (restricted to this build's segment-id range so streaming appends never
+    // touch other batches' output)
+    cleanUnfinished(spark, indexDir, done, segmentBase,
+      segmentBase + cfg.numPartitions * ChunksPerPartition)
 
     val in: Dataset[InDoc] = source.select(
         col(cfg.keyField).cast("string").as("key"),
@@ -79,13 +82,15 @@ object IndexBuilder {
 
     val bcCfg = spark.sparkContext.broadcast(cfg)
     val bcDone = spark.sparkContext.broadcast(done)
+    val bcBase = spark.sparkContext.broadcast(segmentBase)
 
-    // Job A: postings (+ norms + stats rows), one sorted Parquet per segment
+    // ONE job, one pass: postings + doc-map + norms + stats rows, one sorted
+    // Parquet per segment
     val postings = parted.mapPartitions { it =>
       val cfg = bcCfg.value
       val pid = TaskContext.getPartitionId()
       chunked(it, cfg.maxDocsPerSegment).zipWithIndex.flatMap { case (chunk, ci) =>
-        val segId = pid * ChunksPerPartition + ci
+        val segId = bcBase.value + pid * ChunksPerPartition + ci
         if (bcDone.value.contains(segId)) Iterator.empty
         else buildSegment(segId, chunk, cfg)
       }
@@ -93,22 +98,6 @@ object IndexBuilder {
     postings.toDF()
       .write.mode("append").partitionBy("segment")
       .parquet(s"$indexDir/postings")
-
-    // Job B: docmap (stored + fast fields), reusing the same shuffle output
-    val docmap = parted.mapPartitions { it =>
-      val cfg = bcCfg.value
-      val pid = TaskContext.getPartitionId()
-      chunked(it, cfg.maxDocsPerSegment).zipWithIndex.flatMap { case (chunk, ci) =>
-        val segId = pid * ChunksPerPartition + ci
-        if (bcDone.value.contains(segId)) Iterator.empty
-        else chunk.iterator.zipWithIndex.map { case (d, i) =>
-          DocMapRow(segId, i, d.key, d.ts, d.lang)
-        }
-      }
-    }
-    docmap.toDF()
-      .write.mode("append").partitionBy("segment")
-      .parquet(s"$indexDir/docmap")
 
     // assemble manifest from the __stats__ rows now on disk (old + new)
     val statRows = spark.read.parquet(s"$indexDir/postings")
@@ -131,7 +120,7 @@ object IndexBuilder {
     }.sortBy(_.segment).toSeq
 
     val manifest = IndexManifest(
-      version = 1,
+      version = IndexManifest.FormatVersion,
       commitSeq = prior.map(_.commitSeq + 1).getOrElse(1L),
       keyField = cfg.keyField,
       textField = cfg.textField,
@@ -234,8 +223,12 @@ object IndexBuilder {
       }
     }
 
+    // doc-map rows (row store + fast fields) ride in the same table
+    val docRows = docs.iterator.zipWithIndex.map { case (d, i) =>
+      PostingRow.docRow(segId, i, d.key, d.ts, d.lang)
+    }
     // buffer rows (they must be fully computed before t1 anyway for metrics)
-    val body = (textRows ++ rawRows).toArray
+    val body = (docRows ++ textRows ++ rawRows).toArray
     val t1 = System.currentTimeMillis()
     val normsRow = PostingRow(segId, PostingRow.NormsField, cfg.textField,
       numDocs, totalTokens, norms, Array.emptyByteArray, Array.emptyByteArray)
@@ -246,9 +239,10 @@ object IndexBuilder {
     body.iterator ++ Iterator(normsRow, statsRow)
   }
 
-  private def cleanUnfinished(spark: SparkSession, indexDir: String, done: Set[Int]): Unit = {
+  private def cleanUnfinished(spark: SparkSession, indexDir: String, done: Set[Int],
+      lo: Int, hi: Int): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
-    for (sub <- Seq("postings", "docmap")) {
+    for (sub <- Seq("postings")) {
       val dir = new org.apache.hadoop.fs.Path(s"$indexDir/$sub")
       val fs = dir.getFileSystem(conf)
       if (fs.exists(dir)) {
@@ -256,7 +250,7 @@ object IndexBuilder {
           val name = st.getPath.getName
           if (name.startsWith("segment=")) {
             val id = name.stripPrefix("segment=").toInt
-            if (!done.contains(id)) fs.delete(st.getPath, true)
+            if (id >= lo && id < hi && !done.contains(id)) fs.delete(st.getPath, true)
           } else if (!name.startsWith("_")) {
             // top-level stray files (e.g. _SUCCESS is fine; others cleaned)
           }

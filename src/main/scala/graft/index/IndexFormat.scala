@@ -25,20 +25,29 @@ final case class PostingRow(
     totalTf: Long,
     postings: Array[Byte],
     skip: Array[Byte],
-    positions: Array[Byte])
+    positions: Array[Byte],
+    ts: Timestamp = null,
+    lang: String = null)
 
 object PostingRow {
   val NormsField = "__norms__"
   val StatsField = "__stats__"
-}
 
-/** Doc-id -> stored/fast fields of one segment. `docId` is the dense
-  * segment-local ordinal (insertion order after the deterministic
-  * sort-within-partition, `src/lib.rs:296` semantics). The columnar Parquet
-  * layout IS the reference's "fast field" store (warc_ts, lang are FAST);
-  * joining top-k addresses back to this table replaces the row store.
-  */
-final case class DocMapRow(segment: Int, docId: Int, url: String, warc_ts: Timestamp, lang: String)
+  /** Doc-map rows — the row store + fast fields — live in the SAME segment
+    * Parquet as the postings (single-pass build, one write): field =
+    * `__doc__`, term = the document key (url), docFreq = docId, plus the
+    * typed fast-field columns (ts, lang). `docId` is the dense segment-local
+    * ordinal (insertion order after the deterministic sort-within-partition,
+    * `src/lib.rs:296` semantics). Sorted emission keeps them in contiguous
+    * row groups, so query-term reads never touch them (field predicate) and
+    * doc fetches prune to them.
+    */
+  val DocField = "__doc__"
+
+  def docRow(segment: Int, docId: Int, url: String, ts: Timestamp, lang: String): PostingRow =
+    PostingRow(segment, DocField, url, docId, 0L,
+      Array.emptyByteArray, Array.emptyByteArray, Array.emptyByteArray, ts, lang)
+}
 
 /** Per-segment build metrics, logged in the manifest (north rule: segment
   * metrics — docs/sec, postings bytes; mirrors `src/space_usage/mod.rs`).
@@ -71,6 +80,9 @@ final case class IndexManifest(
 }
 
 object IndexManifest {
+  /** On-disk format version (bumped when the segment schema changes). */
+  val FormatVersion = 2
+
   import org.json4s._
   import org.json4s.jackson.Serialization
   private implicit val fmts: Formats = DefaultFormats

@@ -63,7 +63,11 @@ object SegmentMerger {
       .mapGroups { (key: (Int, String, String), rows: Iterator[PostingRow]) =>
         val (newSeg, field, term) = key
         val sorted = rows.toArray.sortBy(r => bcMap.value(r.segment)._3)
-        if (field == PostingRow.NormsField) {
+        if (field == PostingRow.DocField) {
+          // doc-map row: unique per (segment, url) — rebase its docId
+          val r = sorted.head
+          r.copy(segment = newSeg, docFreq = r.docFreq + bcMap.value(r.segment)._2)
+        } else if (field == PostingRow.NormsField) {
           // norms: plain concatenation in group order (1 byte per doc)
           val total = sorted.map(_.postings.length).sum
           val out = new Array[Byte](total)
@@ -108,22 +112,6 @@ object SegmentMerger {
       }
     merged.toDF().write.mode("append").partitionBy("segment").parquet(s"$indexDir/postings")
 
-    // docmap rebase: a column transform, no kernel needed
-    val segCol = col("segment")
-    val newSegExpr = oldSegs.foldLeft(lit(-1)) { (acc, s) =>
-      when(segCol === s, lit(mapping(s)._1)).otherwise(acc)
-    }
-    val offExpr = oldSegs.foldLeft(lit(0)) { (acc, s) =>
-      when(segCol === s, lit(mapping(s)._2)).otherwise(acc)
-    }
-    spark.read.parquet(s"$indexDir/docmap")
-      .where(col("segment").isin(oldSegs: _*))
-      .withColumn("docId", col("docId") + offExpr)
-      .withColumn("newSegment", newSegExpr)
-      .drop("segment").withColumnRenamed("newSegment", "segment")
-      .select("segment", "docId", "url", "warc_ts", "lang")
-      .write.mode("append").partitionBy("segment").parquet(s"$indexDir/docmap")
-
     // stats rows for merged segments (so manifest reassembly keeps working)
     val newMetas = groups.map { g =>
       val olds = g.oldSegments.map(byId)
@@ -152,7 +140,7 @@ object SegmentMerger {
 
     if (!keepOld) {
       val conf = spark.sparkContext.hadoopConfiguration
-      for (sub <- Seq("postings", "docmap"); s <- oldSegs) {
+      for (sub <- Seq("postings"); s <- oldSegs) {
         val pth = new org.apache.hadoop.fs.Path(s"$indexDir/$sub/segment=$s")
         val fs = pth.getFileSystem(conf)
         fs.delete(pth, true)

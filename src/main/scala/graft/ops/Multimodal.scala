@@ -1,0 +1,102 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal columns: images/audio/video ride through the pipeline as
+  * opaque `binary` columns with typed metadata structs. The Spark-side
+  * plumbing — schemas, partition-parallel decode, bounded-memory batch
+  * iteration, frame sampling — is real and tested; the codec step itself is
+  * STUBBED with a deterministic fake decoder (`FakeCodec`) because no
+  * image/audio libraries exist in this container. Swapping in a real codec
+  * is replacing one pure function inside the `mapPartitions`.
+  */
+object Multimodal {
+
+  /** Typed metadata extracted from a media payload. */
+  final case class MediaMeta(
+      doc_id: Long,
+      kind: String, // image | audio | video
+      byteLen: Long,
+      width: Int,
+      height: Int,
+      durationMs: Long,
+      digest: String)
+
+  final case class Frame(doc_id: Long, frameIdx: Int, ts_ms: Long, pixels: Array[Byte])
+
+  /** STUB codec — deterministic fake "decode" deriving plausible metadata
+    * and frame bytes from the payload contents alone. Replace with a real
+    * decoder (??? marks the seam).
+    */
+  object FakeCodec {
+    private val kinds = Array("image", "audio", "video")
+    def sniffKind(bytes: Array[Byte]): String =
+      if (bytes.isEmpty) "image" else kinds((bytes(0) & 0xff) % 3)
+
+    def decodeMeta(bytes: Array[Byte]): (Int, Int, Long) = {
+      // real impl: ??? (e.g. javax.imageio / ffmpeg bindings)
+      val h = java.util.Arrays.hashCode(bytes)
+      (320 + math.abs(h % 1280), 240 + math.abs((h >> 8) % 720),
+        1000L + math.abs((h >> 16) % 60000))
+    }
+
+    /** Deterministic fake frame bytes (a real decoder returns RGB planes). */
+    def sampleFrame(bytes: Array[Byte], frameIdx: Int, size: Int = 64): Array[Byte] = {
+      val out = new Array[Byte](size)
+      var i = 0
+      while (i < size) {
+        out(i) = (bytes((frameIdx * 31 + i * 7) % math.max(bytes.length, 1)) ^ frameIdx).toByte
+        i += 1
+      }
+      out
+    }
+  }
+
+  /** Attach a binary media column (here: derived from text — stands in for a
+    * real WARC payload column).
+    */
+  def withMediaColumn(docs: DataFrame): DataFrame =
+    docs.withColumn("media", encode(col("text"), "UTF-8"))
+
+  /** Partition-parallel metadata extraction. The decode runs inside
+    * `mapPartitions` so a real codec amortizes per-task init (dictionary,
+    * native context) across the partition — the pattern that matters at
+    * scale; rows stream through, nothing is collected.
+    */
+  def extractMeta(spark: SparkSession, docsWithMedia: DataFrame): Dataset[MediaMeta] = {
+    import spark.implicits._
+    docsWithMedia.select(col("doc_id").cast("long"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // per-task codec init would go here
+        it.map { case (id, bytes) =>
+          val kind = FakeCodec.sniffKind(bytes)
+          val (w, h, dur) = FakeCodec.decodeMeta(bytes)
+          val digest = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+            .map("%02x".format(_)).mkString
+          MediaMeta(id, kind, bytes.length.toLong, w, h, dur, digest)
+        }
+      }
+  }
+
+  /** Frame sampling: one row per sampled frame, `fps`-spaced over the fake
+    * duration — the explode-style fan-out a video pipeline needs, bounded by
+    * maxFrames per doc to keep rows/task predictable.
+    */
+  def sampleFrames(spark: SparkSession, docsWithMedia: DataFrame,
+      everyMs: Long = 10000L, maxFrames: Int = 4): Dataset[Frame] = {
+    import spark.implicits._
+    docsWithMedia.select(col("doc_id").cast("long"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          val (_, _, dur) = FakeCodec.decodeMeta(bytes)
+          val n = math.min(maxFrames, math.max(1, (dur / everyMs).toInt))
+          (0 until n).iterator.map { f =>
+            Frame(id, f, f * everyMs, FakeCodec.sampleFrame(bytes, f))
+          }
+        }
+      }
+  }
+}

@@ -118,17 +118,24 @@ object PipelineOps {
   private def withShingles(docs: DataFrame): DataFrame =
     withTokens(docs).withColumn("sh", array_distinct(expr(ShinglesExprSpark)))
 
-  /** Exact n-gram Jaccard near-dup pairs (the oracle-grade ground truth;
-    * O(n^2) — only for verification scale. The scale path is `dedupMinHash`).
+  /** Exact n-gram Jaccard near-dup pairs via explode + equi-join on the
+    * shingle (NO cross join — the join key is the shingle, so only pairs
+    * that actually share a shingle are ever materialized; |A ∩ B| is the
+    * pair count, |A ∪ B| = |A| + |B| − |A ∩ B|). This is the same plan at
+    * 100 TB: shuffle keyed by shingle, combine keyed by pair.
     */
   def ngramJaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
-    val s = withShingles(docs).select(col("doc_id"), col("sh"))
-    val a = s.toDF("ia", "sha")
-    val b = s.toDF("ib", "shb")
-    a.crossJoin(b).where(col("ia") < col("ib"))
+    val sh = withShingles(docs).select(col("doc_id"), col("sh"))
+    val sizes = sh.select(col("doc_id"), size(col("sh")).as("sz"))
+    val ex = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+    val inter = ex.toDF("ia", "s").join(ex.toDF("ib", "s2"),
+        col("s") === col("s2") && col("ia") < col("ib"))
+      .groupBy("ia", "ib").agg(count(lit(1)).cast("double").as("inter"))
+    inter
+      .join(broadcast(sizes.toDF("ia", "sza")), "ia")
+      .join(broadcast(sizes.toDF("ib", "szb")), "ib")
       .select(col("ia"), col("ib"),
-        (size(array_intersect(col("sha"), col("shb"))).cast("double") /
-          size(array_union(col("sha"), col("shb")))).as("j"))
+        (col("inter") / (col("sza") + col("szb") - col("inter"))).as("j"))
       .where(col("j") >= threshold)
       .select(col("ia"), col("ib"), round(col("j"), 4).as("jaccard"))
   }
@@ -216,6 +223,7 @@ object PipelineOps {
     */
   def embeddingNearDupPairs(embeddings: DataFrame, threshold: Double): DataFrame = {
     val e = embeddings.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .repartition(8) // barrier: keep the cast out of the pair loop
     val a = e.toDF("ia", "va")
     val b = e.toDF("ib", "vb")
     a.crossJoin(b).where(col("ia") < col("ib"))

@@ -277,33 +277,81 @@ final class PhraseScorer(
   advanceToMatch(first = true)
 
   private def countOccurrences(): Int = {
-    // decode in phrase order; cursors require ascending doc which holds
-    val positions: Array[Array[Int]] = termPostings.map(_.positionsForCurrent())
-    val base = positions(0)
-    var count = 0
-    var i = 0
-    while (i < base.length) {
-      val p0 = base(i)
-      var ok = true
+    // decode in phrase order; cursors require ascending doc which holds.
+    // positions are offset-adjusted by the term's phrase index so a match is
+    // equality (the reference reads positions with that offset built in).
+    val positions: Array[Array[Int]] = termPostings.zipWithIndex.map { case (p, t) =>
+      val raw = p.positionsForCurrent()
+      if (t == 0) raw
+      else {
+        val out = new Array[Int](raw.length)
+        var i = 0
+        while (i < raw.length) { out(i) = raw(i) - t; i += 1 }
+        out
+      }
+    }
+    if (slop == 0) {
+      // exact: repeated sorted-array intersection (phrase_scorer.rs:111-136)
+      var left = positions(0)
+      var leftLen = left.length
       var t = 1
-      while (ok && t < positions.length) {
-        if (slop == 0) ok = java.util.Arrays.binarySearch(positions(t), p0 + t) >= 0
-        else {
-          // slop>0: any position within [p0+t-slop, p0+t+slop] (simplified
-          // transposition-free budget; reference edit-budget semantics TODO)
-          val arr = positions(t)
-          var found = false
-          var j = java.util.Arrays.binarySearch(arr, p0 + t - slop)
-          if (j < 0) j = -j - 1
-          while (!found && j < arr.length && arr(j) <= p0 + t + slop) { found = true; j += 1 }
-          ok = found
+      while (t < positions.length && leftLen > 0) {
+        val right = positions(t)
+        var li = 0; var ri = 0; var cnt = 0
+        while (li < leftLen && ri < right.length) {
+          val l = left(li); val r = right(ri)
+          if (l < r) li += 1
+          else if (l > r) ri += 1
+          else { left(cnt) = l; cnt += 1; li += 1; ri += 1 }
         }
+        leftLen = cnt
         t += 1
       }
-      if (ok) count += 1
-      i += 1
+      leftLen
+    } else if (positions.length == 2) {
+      // exact port of intersection_count_with_slop (phrase_scorer.rs:144-190):
+      // abs distance <= slop, best-match advance, count of matches
+      val left = positions(0)
+      val right = positions(1)
+      var li = 0; var ri = 0; var count = 0
+      while (li < left.length && ri < right.length) {
+        val l = left(li); val r = right(ri)
+        val distance = math.abs(l - r)
+        if (distance <= slop) {
+          var cont = true
+          while (cont && li + 1 < left.length) {
+            if (left(li + 1) > r) cont = false else li += 1
+          }
+          count += 1; li += 1; ri += 1
+        } else if (l < r) li += 1
+        else ri += 1
+      }
+      count
+    } else {
+      // 3+-term slop: per-adjacent-pair budget (simplification of the
+      // reference's carrying-slop algorithm, which itself documents
+      // approximate counts, phrase_scorer.rs:216-224)
+      val base = positions(0)
+      var count = 0
+      var i = 0
+      while (i < base.length) {
+        val p0 = base(i)
+        var ok = true
+        var t = 1
+        while (ok && t < positions.length) {
+          val arr = positions(t)
+          var found = false
+          var j = java.util.Arrays.binarySearch(arr, p0 - slop)
+          if (j < 0) j = -j - 1
+          while (!found && j < arr.length && arr(j) <= p0 + slop) { found = true; j += 1 }
+          ok = found
+          t += 1
+        }
+        if (ok) count += 1
+        i += 1
+      }
+      count
     }
-    count
   }
 
   private def advanceToMatch(first: Boolean): Unit = {
@@ -329,4 +377,7 @@ final class PhraseScorer(
   def score: Float =
     if (weight == null) 0.0f else weight.score(norms(inter.doc), phraseFreq)
   def cost: Long = inter.cost
+
+  /** Test hook: current doc's phrase frequency. */
+  def phraseFreqForTest: Int = phraseFreq
 }

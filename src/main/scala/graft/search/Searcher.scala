@@ -28,8 +28,16 @@ final class Searcher(spark: SparkSession, indexDir: String) extends Serializable
 
   import spark.implicits._
 
-  private def postingsDF: DataFrame = spark.read.parquet(s"$indexDir/postings")
-  def docmapDF: DataFrame = spark.read.parquet(s"$indexDir/docmap")
+  // lazy vals: the Parquet FileIndex (file listing + schema) is resolved once
+  // per Searcher snapshot and reused by every query — re-listing per query
+  // costs a driver job once the segment count crosses the parallel-discovery
+  // threshold
+  private lazy val postingsDF: DataFrame = spark.read.parquet(s"$indexDir/postings")
+  /** Doc-map view over the same segment table (field == __doc__ rows). */
+  lazy val docmapDF: DataFrame = postingsDF
+    .where(col("field") === PostingRow.DocField)
+    .select(col("segment"), col("docFreq").as("docId"), col("term").as("url"),
+      col("ts").as("warc_ts"), col("lang"))
 
   private val segBaseBits = 32
 
@@ -86,6 +94,8 @@ final class Searcher(spark: SparkSession, indexDir: String) extends Serializable
   /** Global doc freqs for a set of terms: one pruned scan + tiny aggregate
     * (`Searcher::doc_freq`, searcher.rs:133, summed across segments).
     */
+  def docFreqsPublic(terms: Set[(String, String)]): Map[(String, String), Long] = docFreqs(terms)
+
   private def docFreqs(terms: Set[(String, String)]): Map[(String, String), Long] = {
     if (terms.isEmpty) return Map.empty
     val fields = terms.map(_._1).toSeq
@@ -108,10 +118,25 @@ final class Searcher(spark: SparkSession, indexDir: String) extends Serializable
     case _ => Set.empty
   }
 
+  /** Plan many queries with ONE stats job (shared doc-freq aggregate);
+    * duplicate queries plan once and share the compiled object graph (the
+    * broadcast then serializes each distinct weight once).
+    */
+  def planAll(qs: Seq[Query]): Seq[CQuery] = {
+    val uniq = qs.distinct
+    val expanded = uniq.map(expand)
+    val dfs = docFreqs(expanded.flatMap(collectTerms).toSet)
+    val compiled = uniq.zip(expanded.map(q => planWith(q, dfs))).toMap
+    qs.map(compiled)
+  }
+
   /** Query -> stats-bound CQuery (the Weight construction). */
   def plan(q0: Query): CQuery = {
     val q = expand(q0)
-    val dfs = docFreqs(collectTerms(q))
+    planWith(q, docFreqs(collectTerms(q)))
+  }
+
+  private def planWith(q: Query, dfs: Map[(String, String), Long]): CQuery = {
     val n = manifest.totalDocs
     val totTokens = manifest.totalTokens
     def go(q: Query, boost: Float): CQuery = q match {
@@ -136,6 +161,78 @@ final class Searcher(spark: SparkSession, indexDir: String) extends Serializable
       case other => throw new IllegalStateException(s"unexpanded query: $other")
     }
     go(q, 1.0f)
+  }
+
+  /** Batched top-k: MANY queries in ONE Spark job — the bulk-scoring path
+    * (scoring a query log / training-pair generation). One shared stats
+    * aggregate, one pruned scan of the union of all query terms, one task
+    * per segment running every query's kernel against that segment, one
+    * collect, per-query driver merges, one doc-fetch join. Per-query driver
+    * latency amortizes away; the job is kernel-CPU-bound — this is the
+    * query-throughput scaling axis.
+    */
+  def batchTopDocs(qs: Seq[Query], k: Int): Seq[Array[SearchHit]] = {
+    // kernel stages are CPU-heavy but shuffle-light; AQE's bytes-based
+    // coalescing would fold them onto too few cores
+    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prevCoalesce = spark.conf.getOption(coalesceKey)
+    spark.conf.set(coalesceKey, "false")
+    try batchTopDocsInner(qs, k)
+    finally prevCoalesce match {
+      case Some(v) => spark.conf.set(coalesceKey, v)
+      case None => spark.conf.unset(coalesceKey)
+    }
+  }
+
+  private def batchTopDocsInner(qs: Seq[Query], k: Int): Seq[Array[SearchHit]] = {
+    val cqs = planAll(qs)
+    val live = cqs.zipWithIndex.filter(_._1 != CQuery.CEmpty)
+    if (live.isEmpty) return qs.map(_ => Array.empty[SearchHit])
+    val bcq = spark.sparkContext.broadcast(live)
+    val bNumDocs = spark.sparkContext.broadcast(numDocsBySeg)
+    val kk = k
+    val allTerms = live.map(_._1).flatMap(CQuery.termsOf).toSet
+    val termCond = allTerms.groupBy(_._1).map { case (f, ts) =>
+      col("field") === f && col("term").isin(ts.map(_._2).toSeq: _*)
+    }.reduce(_ || _)
+    val normsCond = col("field") === PostingRow.NormsField && col("term") === manifest.textField
+    val rows = postingsDF.where(termCond || normsCond).as[PostingRow]
+    val local = rows.groupByKey(_.segment).flatMapGroups { (seg, it) =>
+      val ctx = Searcher.makeContext(it, bNumDocs.value, seg)
+      bcq.value.iterator.flatMap { case (cq, qi) =>
+        val topN = new TopNComputer(kk)
+        QueryKernel.topK(cq, ctx, kk, topN, seg.toLong << 32)
+        topN.intoSortedVec().iterator.map { case (score, addr) => (qi, addr, score) }
+      }
+    }
+    // per-query fruit merge as a second (tiny) shuffle stage — executor-side,
+    // so the merge parallelizes with the batch instead of serializing on the
+    // driver (collector merge_fruits, distributed)
+    val merged: Map[Int, Array[(Float, Long)]] = local
+      .groupByKey(_._1)
+      .mapGroups { (qi, it) =>
+        val m = new TopNComputer(kk)
+        it.toArray.sortBy(_._2).foreach { case (_, addr, score) => m.push(score, addr) }
+        (qi, m.intoSortedVec().map { case (s, a) => (s, a) })
+      }
+      .collect().map { case (qi, arr) => qi -> arr }.toMap
+    // one doc-fetch join for every query's survivors
+    val addrRows = merged.toSeq.flatMap { case (qi, hits) =>
+      hits.zipWithIndex.map { case ((score, addr), rank) =>
+        (qi, (addr >>> 32).toInt, (addr & 0xffffffffL).toInt, score, rank + 1)
+      }
+    }
+    if (addrRows.isEmpty) return qs.map(_ => Array.empty[SearchHit])
+    val addrDF = spark.createDataFrame(addrRows).toDF("qi", "segment", "docId", "score", "rank")
+    val segs = addrRows.map(_._2).distinct
+    val fetched = docmapDF
+      .where(col("segment").isin(segs: _*))
+      .join(broadcast(addrDF), Seq("segment", "docId"))
+      .select("qi", "rank", "url", "score", "segment", "docId")
+      .collect()
+      .map(r => (r.getInt(0), SearchHit(r.getInt(1), r.getString(2), r.getFloat(3), r.getInt(4), r.getInt(5))))
+      .groupBy(_._1)
+    qs.indices.map(qi => fetched.getOrElse(qi, Array.empty).map(_._2).sortBy(_.rank)).toSeq
   }
 
   // ------------------------------------------------------------- execution
@@ -254,10 +351,14 @@ object Searcher {
       else byKey((r.field, r.term)) = r
     }
     val numDocs = numDocsBySeg.getOrElse(seg, if (norms != null) norms.length else 0)
+    // skip arrays parse once per term, shared by every cursor a query batch
+    // opens on it (cursor setup O(1))
+    val parsedCache = new scala.collection.mutable.HashMap[(String, String), graft.codec.ParsedSkip]()
     new QueryKernel.SegmentContext(numDocs, norms,
       (f, t) => byKey.get((f, t)) match {
-        case Some(r) => new graft.codec.SegmentPostings(r.docFreq, r.postings, r.skip, r.positions,
-          readFreqs = true)
+        case Some(r) =>
+          val ps = parsedCache.getOrElseUpdate((f, t), new graft.codec.ParsedSkip(r.skip, r.docFreq))
+          new graft.codec.SegmentPostings(r.postings, ps, r.positions, readFreqs = true)
         case None => null
       })
   }

@@ -220,6 +220,19 @@ class EndToEndSpec extends AnyFunSuite {
     }
   }
 
+  test("batchTopDocs == per-query topDocs") {
+    val qs: Seq[Query] = Seq(
+      Query.Term("text", "alpha"),
+      Query.must(Query.Term("text", "alpha"), Query.Term("text", "beta")),
+      Query.should(Query.Term("text", "beta"), Query.Term("text", "gamma")),
+      Query.Term("text", "zzzmissing"))
+    val batch = searcher.batchTopDocs(qs, 10)
+    qs.zipWithIndex.foreach { case (q, i) =>
+      val single = searcher.topDocs(q, 10).map(h => (h.url, h.score)).toList
+      assert(batch(i).map(h => (h.url, h.score)).toList == single, s"query $i")
+    }
+  }
+
   test("build determinism: second build of same corpus is identical") {
     val dir2 = java.nio.file.Files.createTempDirectory("graft-e2e2").toString
     val docs = WebCorpus.generate(spark, NumDocs.toLong, 7) // different gen parallelism
@@ -246,7 +259,6 @@ class EndToEndSpec extends AnyFunSuite {
     IndexManifest.write(spark, dir3, crippled)
     val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(s"$dir3/postings/segment=$victim"), true)
-    fs.delete(new org.apache.hadoop.fs.Path(s"$dir3/docmap/segment=$victim"), true)
     // resume
     val m2 = IndexBuilder.build(spark, docs.toDF(), dir3, IndexConfig(numPartitions = NumParts))
     assert(m2.segments.map(_.segment).sorted == m1.segments.map(_.segment).sorted)

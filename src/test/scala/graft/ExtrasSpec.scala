@@ -1,0 +1,85 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.corpus.{WebCorpus, WebDoc}
+import graft.index.{IndexBuilder, IndexConfig}
+import graft.search._
+
+class TokenizeExprSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("tantivy_tokenize expression matches the kernel analyzer (codegen path)") {
+    import spark.implicits._
+    graft.functions.TantivyTokenize.register(spark)
+    val texts = Seq("Hello, happy tax payer!", "C'est déjà l'été 42",
+      ("x" * 45) + " keep", "MiXeD CaSe tokens")
+    val df = texts.toDF("text")
+    val got = df.selectExpr("tantivy_tokenize(text) as toks").as[Seq[String]].collect()
+    val expected = texts.map(t => graft.analysis.Analyzer.terms(t).toSeq)
+    assert(got.toSeq == expected)
+    // column API too
+    val got2 = df.select(graft.functions.TantivyTokenize.tantivy_tokenize(col("text")))
+      .as[Seq[String]].collect()
+    assert(got2.toSeq == expected)
+  }
+}
+
+class MoreLikeThisSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("more-like-this retrieves the seed doc first") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mlt").toString
+    val docs = WebCorpus.generate(spark, 300L, 3)
+    IndexBuilder.build(spark, docs.toDF(), dir, IndexConfig(numPartitions = 2))
+    val searcher = new Searcher(spark, dir)
+    val seed = WebCorpus.genDoc(42L)
+    val q = MoreLikeThis.query(searcher, "text", seed.text,
+      MoreLikeThis.Config(minTermFreq = 1, minDocFreq = 1))
+    assert(q != Query.Nothing)
+    val hits = searcher.topDocs(q, 5)
+    assert(hits.nonEmpty)
+    assert(hits.head.url == seed.url, "seed doc should be its own best match")
+  }
+}
+
+class SnippetsSpec extends AnyFunSuite {
+  test("snippet highlights query terms in best window") {
+    val text = "the quick brown fox jumps over the lazy dog while the fox watches"
+    val s = Snippets.snippet(text, Set("fox", "dog"), 40)
+    assert(s.contains("<b>fox</b>"))
+    assert(s.length <= 40 + 7 * 4) // markup overhead
+    assert(Snippets.snippet(text, Set("absent")) == text.take(150))
+  }
+}
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("streaming micro-batches append segments; searcher sees each commit") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-stream-ckpt").toString
+    implicit val sq = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[WebDoc]
+    val cfg = IndexConfig(numPartitions = 2)
+    val query = graft.streaming.StreamingIndexer.start(mem.toDF(), dir, cfg, ckpt)
+    try {
+      mem.addData((0L until 100L).map(WebCorpus.genDoc): _*)
+      query.processAllAvailable()
+      val s1 = new Searcher(spark, dir)
+      assert(s1.manifest.totalDocs == 100L)
+      val c1 = s1.count(Query.Term("text", "alpha"))
+
+      mem.addData((100L until 200L).map(WebCorpus.genDoc): _*)
+      query.processAllAvailable()
+      val s2 = new Searcher(spark, dir)
+      assert(s2.manifest.totalDocs == 200L)
+      assert(s2.manifest.commitSeq > s1.manifest.commitSeq)
+      val expected = (0L until 200L).map(WebCorpus.genDoc)
+        .count(d => graft.analysis.Analyzer.terms(d.text).contains("alpha"))
+      assert(s2.count(Query.Term("text", "alpha")) == expected)
+      assert(c1 <= expected)
+    } finally query.stop()
+  }
+}
