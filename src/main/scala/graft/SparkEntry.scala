@@ -84,6 +84,8 @@ object SparkEntry {
       Occur.Must -> Query.Term("text", "table"),
       Occur.MustNot -> Query.Term("text", "spark"))))),
     "q_search_phrase" -> ((s, d) => engineMatches(s, d, Query.Phrase("text", Seq("fast", "table")))),
+    "q_search_regexphrase" -> ((s, d) => engineMatches(s, d,
+      Query.RegexPhrase("text", Seq("fa.t", "tab.*")))),
     "q_search_prefix" -> ((s, d) => engineMatches(s, d, Query.Prefix("text", "str"))),
     "q_search_fuzzy" -> ((s, d) => engineMatches(s, d, Query.Fuzzy("text", "spark", 1))),
     "q_search_regexp" -> ((s, d) => engineMatches(s, d, Query.Regexp("text", "ta.le"))),
@@ -210,6 +212,7 @@ object SparkEntry {
     "q_search_or" -> OracleSql.searchOr,
     "q_search_not" -> OracleSql.searchNot,
     "q_search_phrase" -> OracleSql.searchPhrase,
+    "q_search_regexphrase" -> OracleSql.searchRegexPhrase,
     "q_search_prefix" -> OracleSql.searchPrefix,
     "q_search_fuzzy" -> OracleSql.searchFuzzy,
     "q_search_regexp" -> OracleSql.searchRegexp,

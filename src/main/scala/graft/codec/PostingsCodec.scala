@@ -232,7 +232,7 @@ final class SegmentPostings(
     postings: Array[Byte],
     parsed: ParsedSkip,
     positionsBytes: Array[Byte],
-    readFreqs: Boolean) {
+    readFreqs: Boolean) extends PositionedPostings {
 
   import PostingsCodec._
 

@@ -25,6 +25,13 @@ object OracleSql {
     s"WITH $T SELECT doc_id FROM t WHERE list_contains(toks, 'table') AND NOT list_contains(toks, 'spark')"
   val searchPhrase: String =
     "SELECT doc_id FROM documents WHERE regexp_matches(lower(text), '(^|[^a-z0-9])fast[^a-z0-9]+table([^a-z0-9]|$)')"
+  /** Regex phrase `fa.t tab.*`: token-level regexes become text-level char
+    * classes ([a-z0-9] = token alphabet) with non-token separators between
+    * slots — same adjacency encoding as `searchPhrase`.
+    */
+  val searchRegexPhrase: String =
+    "SELECT doc_id FROM documents WHERE regexp_matches(lower(text), " +
+      "'(^|[^a-z0-9])fa[a-z0-9]t[^a-z0-9]+tab[a-z0-9]*([^a-z0-9]|$)')"
   val searchPrefix: String =
     s"WITH $T SELECT doc_id FROM t WHERE len(list_filter(toks, x -> x LIKE 'str%')) > 0"
   val searchFuzzy: String =

@@ -27,6 +27,19 @@ object Query {
       loInclusive: Boolean = true, hiInclusive: Boolean = false) extends Query
   final case class Prefix(field: String, prefix: String, maxExpansions: Int = 1024) extends Query
   final case class PhrasePrefix(field: String, terms: Seq[String], maxExpansions: Int = 50) extends Query
+  /** Phrase whose every slot is a regex over the term dictionary
+    * (`src/query/phrase_query/regex_phrase_query.rs:22-27`); slop is the
+    * shared budget of the carrying-slop algorithm. Scored with the BM25
+    * weight of the literal pattern strings, as the reference does
+    * (`regex_phrase_query.rs:145-149`).
+    */
+  final case class RegexPhrase(field: String, patterns: Seq[String], slop: Int = 0,
+      maxExpansions: Int = 1 << 14) extends Query
+  /** Internal: dictionary-expanded regex phrase — each slot carries its
+    * matched terms; `patterns` retained for weight statistics.
+    */
+  final case class MultiPhrase(field: String, slots: Seq[Seq[String]], patterns: Seq[String],
+      slop: Int) extends Query
   final case class Boost(inner: Query, boost: Float) extends Query
   final case class ConstScore(inner: Query, score: Float) extends Query
   final case class DisjunctionMax(disjuncts: Seq[Query], tieBreaker: Float = 0.0f) extends Query
@@ -45,6 +58,11 @@ sealed trait CQuery extends Serializable
 object CQuery {
   final case class CTerm(field: String, term: String, weight: Bm25.Weight) extends CQuery
   final case class CPhrase(field: String, terms: Seq[String], weight: Bm25.Weight, slop: Int) extends CQuery
+  /** Regex phrase after expansion: each slot = union of matched terms
+    * (`regex_phrase_weight.rs:58-99`).
+    */
+  final case class CMultiPhrase(field: String, slots: Seq[Seq[String]], weight: Bm25.Weight,
+      slop: Int) extends CQuery
   final case class CBool(must: Seq[CQuery], should: Seq[CQuery], mustNot: Seq[CQuery],
       minShouldMatch: Int) extends CQuery
   final case class CDisjMax(disjuncts: Seq[CQuery], tieBreaker: Float) extends CQuery
@@ -57,6 +75,7 @@ object CQuery {
   def termsOf(q: CQuery): Set[(String, String)] = q match {
     case CTerm(f, t, _) => Set(f -> t)
     case CPhrase(f, ts, _, _) => ts.map(f -> _).toSet
+    case CMultiPhrase(f, slots, _, _) => slots.flatten.map(f -> _).toSet
     case CBool(m, s, n, _) => (m ++ s ++ n).flatMap(termsOf).toSet
     case CDisjMax(ds, _) => ds.flatMap(termsOf).toSet
     case CConst(i, _) => termsOf(i)
@@ -104,7 +123,19 @@ object QueryKernel {
       if (p == null) new EmptyScorer
       else new TermScorer(p, ctx.norms, if (scored) w else null)
     case CPhrase(f, ts, w, slop) =>
-      val legs = ts.map(t => ctx.fresh(f, t))
+      val legs = ts.map(t => ctx.fresh(f, t): graft.codec.PositionedPostings)
+      if (legs.exists(_ == null)) new EmptyScorer
+      else new PhraseScorer(legs.toArray, ctx.norms, if (scored) w else null, slop)
+    case CMultiPhrase(f, slots, w, slop) =>
+      // each slot = union of its matched terms' cursors; a slot with no
+      // term present in this segment kills the phrase (the intersection
+      // can never align)
+      val legs: Seq[graft.codec.PositionedPostings] = slots.map { ts =>
+        val subs = ts.map(t => ctx.fresh(f, t)).filter(_ != null)
+        if (subs.isEmpty) null
+        else if (subs.size == 1) subs.head
+        else new graft.codec.UnionPostings(subs.toArray)
+      }
       if (legs.exists(_ == null)) new EmptyScorer
       else new PhraseScorer(legs.toArray, ctx.norms, if (scored) w else null, slop)
     case CConst(inner, s) =>

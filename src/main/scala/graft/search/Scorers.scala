@@ -266,12 +266,13 @@ final class BoostScorer(inner: Scorer, boost: Float) extends Scorer {
   * (`src/query/bm25.rs:120-127`).
   */
 final class PhraseScorer(
-    termPostings: Array[SegmentPostings], // in phrase order
+    termPostings: Array[graft.codec.PositionedPostings], // in phrase order
     norms: Array[Byte],
     weight: Bm25.Weight,
     slop: Int = 0) extends Scorer {
 
-  private val legs: Array[Scorer] = termPostings.map(p => new TermScorer(p, null, null, 0.0f): Scorer)
+  private val legs: Array[Scorer] =
+    termPostings.map(p => new PhraseScorer.LegScorer(p): Scorer)
   private val inter = new Intersection(legs)
   private var phraseFreq = 0
   advanceToMatch(first = true)
@@ -328,29 +329,21 @@ final class PhraseScorer(
       }
       count
     } else {
-      // 3+-term slop: per-adjacent-pair budget (simplification of the
-      // reference's carrying-slop algorithm, which itself documents
-      // approximate counts, phrase_scorer.rs:216-224)
-      val base = positions(0)
-      var count = 0
-      var i = 0
-      while (i < base.length) {
-        val p0 = base(i)
-        var ok = true
-        var t = 1
-        while (ok && t < positions.length) {
-          val arr = positions(t)
-          var found = false
-          var j = java.util.Arrays.binarySearch(arr, p0 - slop)
-          if (j < 0) j = -j - 1
-          while (!found && j < arr.length && arr(j) <= p0 + slop) { found = true; j += 1 }
-          ok = found
-          t += 1
-        }
-        if (ok) count += 1
-        i += 1
+      // 3+-term slop: the reference's carrying-slop algorithm — slop is a
+      // budget spent across ALL adjacent pairs; each fold keeps both sides
+      // of a match with the slop consumed so far (phrase_scorer.rs:232-345,
+      // compute_phrase_count:437-461)
+      var left = positions(0)
+      var slops = Array.emptyIntArray
+      var t = 1
+      while (t < positions.length - 1) {
+        val (_, nl, ns) = PhraseScorer.carryingSlop(left, slops, positions(t), slop, updateLeft = true)
+        left = nl
+        slops = ns
+        if (left.isEmpty) return 0
+        t += 1
       }
-      count
+      PhraseScorer.carryingSlop(left, slops, positions(positions.length - 1), slop, updateLeft = false)._1
     }
   }
 
@@ -380,4 +373,96 @@ final class PhraseScorer(
 
   /** Test hook: current doc's phrase frequency. */
   def phraseFreqForTest: Int = phraseFreq
+}
+
+object PhraseScorer {
+
+  /** Doc-iteration adapter over a position source (single-term or union). */
+  private final class LegScorer(p: graft.codec.PositionedPostings) extends Scorer {
+    def doc: Int = p.doc
+    def advance(): Int = p.advance()
+    override def seek(target: Int): Int = p.seek(target)
+    def score: Float = 0.0f
+    def cost: Long = p.docFreq.toLong
+  }
+
+  /** Faithful port of `intersection_count_with_carrying_slop`
+    * (`/root/reference/src/query/phrase_query/phrase_scorer.rs:232-345`):
+    * one fold of the multi-term sloppy-phrase intersection. `slops(i)` is
+    * the slop budget already spent reaching `left(i)` (empty array = all
+    * zero). A match keeps BOTH positions (with updated budgets) but counts
+    * once; consecutive duplicate positions keep the smaller budget. Returns
+    * (count, newLeft, newSlops); the latter two are empty unless
+    * `updateLeft`.
+    */
+  def carryingSlop(left: Array[Int], slops: Array[Int], right: Array[Int], maxSlop: Int,
+      updateLeft: Boolean): (Int, Array[Int], Array[Int]) = {
+    if (left.isEmpty || right.isEmpty) return (0, Array.emptyIntArray, Array.emptyIntArray)
+    val outPos = new scala.collection.mutable.ArrayBuffer[Int]()
+    val outSlop = new scala.collection.mutable.ArrayBuffer[Int]()
+    def addVal(s: Int, v: Int): Unit = if (updateLeft) {
+      if (outPos.nonEmpty && outPos.last == v) {
+        if (s < outSlop.last) outSlop(outSlop.length - 1) = s
+      } else {
+        outPos += v
+        outSlop += s
+      }
+    }
+    var li = 0
+    var ri = 0
+    var count = 0
+    var done = false
+    while (!done) {
+      val leftVal = left(li)
+      val slopSoFar = if (li < slops.length) slops(li) else 0
+      val rightVal = right(ri)
+      val distance = slopSoFar + math.abs(leftVal - rightVal)
+      if (distance <= maxSlop) {
+        val leftSmaller = leftVal < rightVal
+        val smallerPositions = if (leftSmaller) left else right
+        var smallerIdx = if (leftSmaller) li else ri
+        val smallerVal = if (leftSmaller) leftVal else rightVal
+        val largerVal = if (leftSmaller) rightVal else leftVal
+        var newSlop = distance
+        addVal(newSlop, smallerVal)
+        while (smallerIdx + 1 < smallerPositions.length &&
+            smallerPositions(smallerIdx + 1) <= largerVal) {
+          // a later same-side position is a better (closer) match
+          val nextVal = smallerPositions(smallerIdx + 1)
+          smallerIdx += 1
+          newSlop = slopSoFar + math.abs(nextVal - largerVal)
+          addVal(newSlop, nextVal)
+        }
+        addVal(newSlop, largerVal)
+        count += 1
+        li += 1
+        ri += 1
+      } else if (leftVal < rightVal) li += 1
+      else ri += 1
+      if (li >= left.length || ri >= right.length) {
+        // drain the unexhausted side against the other side's last value
+        if (li >= left.length) {
+          val lastLeft = left(left.length - 1)
+          val lastSlop = if (slops.nonEmpty) slops(slops.length - 1) else 0
+          var j = ri
+          while (j < right.length) {
+            val ns = math.abs(lastLeft - right(j)) + lastSlop
+            if (ns <= maxSlop) addVal(ns, right(j))
+            j += 1
+          }
+        } else {
+          val lastRight = right(right.length - 1)
+          var j = li
+          while (j < left.length) {
+            val sof = if (j < slops.length) slops(j) else 0
+            val ns = math.abs(left(j) - lastRight) + sof
+            if (ns <= maxSlop) addVal(ns, left(j))
+            j += 1
+          }
+        }
+        done = true
+      }
+    }
+    (count, outPos.toArray, outSlop.toArray)
+  }
 }

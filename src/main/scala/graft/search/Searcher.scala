@@ -68,6 +68,20 @@ final class Searcher(spark: SparkSession, indexDir: String) extends Serializable
       val expansions = expandTerms(f, col("term").startsWith(ts.last), max)
       if (expansions.isEmpty) Query.Nothing
       else Query.Bool(expansions.map(e => Occur.Should -> Query.Phrase(f, ts.init :+ e)))
+    case Query.RegexPhrase(f, pats, slop, max) =>
+      // one dictionary walk per slot; a slot with zero expansions means the
+      // phrase cannot match (regex_phrase_weight.rs:76-80). The expansion cap
+      // is across all slots, as in the reference (:81-86).
+      var budget = max
+      val slots = pats.map { p =>
+        val terms = expandTerms(f, col("term").rlike(s"^(?:$p)$$"), budget + 1)
+        if (terms.size > budget)
+          throw new IllegalArgumentException(s"regex phrase exceeded max expansions $max")
+        budget -= terms.size
+        terms
+      }
+      if (slots.exists(_.isEmpty)) Query.Nothing
+      else Query.MultiPhrase(f, slots, pats, slop)
     case Query.Bool(cs, msm) => Query.Bool(cs.map { case (o, c) => (o, expand(c)) }, msm)
     case Query.Boost(i, b) => Query.Boost(expand(i), b)
     case Query.ConstScore(i, s) => Query.ConstScore(expand(i), s)
@@ -111,6 +125,10 @@ final class Searcher(spark: SparkSession, indexDir: String) extends Serializable
   private def collectTerms(q: Query): Set[(String, String)] = q match {
     case Query.Term(f, t, _) => Set(f -> t)
     case Query.Phrase(f, ts, _) => ts.map(f -> _).toSet
+    case Query.MultiPhrase(f, slots, pats, _) =>
+      // slot terms feed the kernels' pruned scan; the literal patterns feed
+      // the BM25 weight stats (regex_phrase_query.rs:145-149)
+      (slots.flatten ++ pats).map(f -> _).toSet
     case Query.Bool(cs, _) => cs.flatMap(c => collectTerms(c._2)).toSet
     case Query.Boost(i, _) => collectTerms(i)
     case Query.ConstScore(i, _) => collectTerms(i)
@@ -148,6 +166,11 @@ final class Searcher(spark: SparkSession, indexDir: String) extends Serializable
         val freqs = ts.map(t => dfs((f, t)))
         if (freqs.contains(0L)) CQuery.CEmpty
         else CQuery.CPhrase(f, ts, Bm25.forTerms(freqs, n, totTokens).boostBy(boost), slop)
+      case Query.MultiPhrase(f, slots, pats, slop) =>
+        // weight from the literal patterns' doc freqs — usually 0, giving the
+        // constant-idf weight the reference produces (regex_phrase_query.rs:149)
+        val freqs = pats.map(p => dfs((f, p)))
+        CQuery.CMultiPhrase(f, slots, Bm25.forTerms(freqs, n, totTokens).boostBy(boost), slop)
       case Query.Bool(cs, msm) =>
         val must = cs.collect { case (Occur.Must, c) => go(c, boost) }
         val should = cs.collect { case (Occur.Should, c) => go(c, boost) }

@@ -23,7 +23,8 @@ class PhraseSlopSpec extends AnyFunSuite {
         perDoc.flatMap(_._2).toArray, _ => 0.toByte, withFreqs = true)
     }
     val scorers = enc.map(e =>
-      new SegmentPostings(e.docFreq, e.postings, e.skip, e.positions, readFreqs = true)).toArray
+      new SegmentPostings(e.docFreq, e.postings, e.skip, e.positions,
+        readFreqs = true): graft.codec.PositionedPostings).toArray
     val ps = new PhraseScorer(scorers, null, null, slop)
     val out = scala.collection.mutable.Map[Int, Int]()
     while (ps.doc != Scorer.Terminated) {
