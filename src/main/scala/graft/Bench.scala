@@ -82,7 +82,10 @@ object Bench {
       val buildSec = (System.nanoTime() - t0) / 1e9
       if (!withQueries) return (buildSec, 0.0, 0)
       val searcher = new Searcher(spark, dir)
-      searcher.topDocs(benchQueries.head, 10) // warm footers/codegen
+      // warm: parquet footers, codegen, df stats and broadcast path for the
+      // full query set (both legs identically) — the timed region then
+      // measures steady-state scoring throughput
+      searcher.batchTopDocs(benchQueries, 10)
       // batched execution: one kernel-CPU-bound job scoring the whole query
       // log (the throughput shape a cluster is sized for)
       val mult = sys.env.getOrElse("SPARK_GRAFT_QUERY_MULT", "330").toInt

@@ -34,6 +34,64 @@ object SegmentMerger {
       .toSeq
   }
 
+  /** The reference's `LogMergePolicy` (`log_merge_policy.rs:8-130`): merge
+    * segments of similar size. Segments sort by size (desc) and bucket into
+    * exponential levels — a new level opens when log2(clipped size) falls
+    * more than `levelLogSize` below the current level's opening size; levels
+    * with at least `minNumSegments` members become merge candidates.
+    * `maxFanIn` additionally chunks a wide level so no reducer sees more
+    * than `maxFanIn` posting rows per term in one round (the hot-term bound;
+    * the hierarchy's next rounds finish the level).
+    */
+  final case class LogMergePolicy(
+      minNumSegments: Int = 8,
+      maxDocsBeforeMerge: Int = 10000000,
+      minLayerSize: Int = 10000,
+      levelLogSize: Double = 0.75,
+      maxFanIn: Int = 16)
+
+  def planLog(manifest: IndexManifest, policy: LogMergePolicy): Seq[MergeGroup] = {
+    val sorted = manifest.segments
+      .filter(_.numDocs <= policy.maxDocsBeforeMerge)
+      .sortBy(m => -m.numDocs.toLong)
+    if (sorted.isEmpty) return Nil
+    val levels = scala.collection.mutable.ArrayBuffer.empty[scala.collection.mutable.ArrayBuffer[SegmentMeta]]
+    var currentMax = Double.MaxValue
+    sorted.foreach { m =>
+      val logSize = math.log(math.max(policy.minLayerSize, m.numDocs).toDouble) / math.log(2.0)
+      if (logSize < currentMax - policy.levelLogSize) {
+        currentMax = logSize
+        levels += scala.collection.mutable.ArrayBuffer.empty[SegmentMeta]
+      }
+      levels.last += m
+    }
+    var next = manifest.segments.map(_.segment).max + 1
+    levels.toSeq.filter(_.size >= policy.minNumSegments).flatMap { level =>
+      // merge in ascending-id order (global address determinism) and chunk
+      // wide levels to bound per-term reducer fan-in
+      level.map(_.segment).sorted.grouped(policy.maxFanIn).filter(_.size >= 2).map { g =>
+        val id = next
+        next += 1
+        MergeGroup(id, g.toSeq)
+      }
+    }
+  }
+
+  /** Run log-policy merge rounds until no level qualifies (the
+    * `SegmentUpdater` consolidation loop, sequential for determinism).
+    */
+  def mergeUntilStable(spark: SparkSession, indexDir: String,
+      policy: LogMergePolicy = LogMergePolicy()): IndexManifest = {
+    var m = IndexManifest.read(spark, indexDir)
+      .getOrElse(throw new IllegalStateException(s"no manifest at $indexDir"))
+    var groups = planLog(m, policy)
+    while (groups.nonEmpty) {
+      m = merge(spark, indexDir, groups)
+      groups = planLog(m, policy)
+    }
+    m
+  }
+
   /** Execute one merge round; returns the updated (published) manifest. */
   def merge(spark: SparkSession, indexDir: String, groups: Seq[MergeGroup],
       keepOld: Boolean = false): IndexManifest = {
@@ -53,6 +111,17 @@ object SegmentMerger {
     }.toMap
     val bcMap = spark.sparkContext.broadcast(mapping)
     val oldSegs = mapping.keys.toSeq
+
+    // exactly-once under kill/resume: a previous attempt of this same plan
+    // (ids are deterministic from the manifest) may have died after writing
+    // segment dirs but before the manifest swap — those ids are absent from
+    // the manifest, so their dirs are partial output; delete them first
+    val hconf = spark.sparkContext.hadoopConfiguration
+    groups.foreach { g =>
+      val pth = new org.apache.hadoop.fs.Path(s"$indexDir/postings/segment=${g.newSegment}")
+      val fs = pth.getFileSystem(hconf)
+      if (fs.exists(pth)) fs.delete(pth, true)
+    }
 
     val postings = spark.read.parquet(s"$indexDir/postings")
       .where(col("segment").isin(oldSegs: _*) && col("field") =!= PostingRow.StatsField)

@@ -222,6 +222,64 @@ object QueryKernel {
     }
   }
 
+  /** Score explanation of one doc (`Weight::explain`, weight.rs:75): None
+    * when the doc does not match this query in this segment. Tree wording
+    * follows the reference (Lucene-style).
+    */
+  def explain(q: CQuery, ctx: SegmentContext, doc: Int): Option[Explanation] = q match {
+    case CTerm(f, t, w) =>
+      val p = ctx.fresh(f, t)
+      if (p == null || p.seek(doc) != doc) None
+      else Some(w.explain(ctx.norms(doc), p.termFreq)
+        .addContext(s"""Term=(field="$f" term="$t")"""))
+    case CPhrase(_, _, w, _) =>
+      toScorer(q, ctx, scored = true) match {
+        case ps: PhraseScorer if ps.seek(doc) == doc =>
+          // phrase_weight.rs:85-99: "Phrase Scorer" wrapping the BM25 detail
+          Some(Explanation("Phrase Scorer", ps.score)
+            .addDetail(w.explain(ctx.norms(doc), ps.phraseFreqForTest)))
+        case _ => None
+      }
+    case CMultiPhrase(_, _, w, _) =>
+      toScorer(q, ctx, scored = true) match {
+        case ps: PhraseScorer if ps.seek(doc) == doc =>
+          Some(Explanation("Phrase Scorer", ps.score)
+            .addDetail(w.explain(ctx.norms(doc), ps.phraseFreqForTest)))
+        case _ => None
+      }
+    case CBool(must, should, _, _) =>
+      val s = toScorer(q, ctx, scored = true)
+      if (s.seek(doc) != doc) None
+      else {
+        // boolean_weight.rs:445-463: sum-of with each matching positive leg
+        val children = (must ++ should).flatMap(c => explain(c, ctx, doc))
+        Some(children.foldLeft(Explanation("BooleanClause. sum of ...", s.score))(_.addDetail(_)))
+      }
+    case CDisjMax(ds, tie) =>
+      val s = toScorer(q, ctx, scored = true)
+      if (s.seek(doc) != doc) None
+      else {
+        val children = ds.flatMap(c => explain(c, ctx, doc))
+        Some(children.foldLeft(
+          Explanation(s"DisjunctionMax with tie breaker $tie", s.score))(_.addDetail(_)))
+      }
+    case CConst(inner, score) =>
+      val s = toScorer(q, ctx, scored = true)
+      if (s.seek(doc) != doc) None
+      else {
+        // const_score_query.rs:71-82
+        val e = Explanation("Const", score)
+        Some(explain(inner, ctx, doc).fold(e)(e.addDetail))
+      }
+    case CBoost(inner, b) =>
+      explain(inner, ctx, doc).map { underlying =>
+        Explanation(s"Boost x$b of ...", underlying.value * b).addDetail(underlying)
+      }
+    case CAll =>
+      if (doc < ctx.numDocs) Some(Explanation("AllQuery", 1.0f)) else None
+    case CEmpty => None
+  }
+
   /** All matches with scores (exhaustive; no pruning). */
   def allMatches(q: CQuery, ctx: SegmentContext, scored: Boolean): Iterator[(Int, Float)] = {
     val s = toScorer(q, ctx, scored)

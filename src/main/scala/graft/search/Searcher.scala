@@ -110,16 +110,26 @@ final class Searcher(spark: SparkSession, indexDir: String) extends Serializable
     */
   def docFreqsPublic(terms: Set[(String, String)]): Map[(String, String), Long] = docFreqs(terms)
 
+  // memoized per-snapshot: the manifest is immutable, so a term's global df
+  // never changes for this Searcher — repeat batches over warm terms skip
+  // the stats job entirely
+  private val dfCache = scala.collection.concurrent.TrieMap.empty[(String, String), Long]
+
   private def docFreqs(terms: Set[(String, String)]): Map[(String, String), Long] = {
-    if (terms.isEmpty) return Map.empty
-    val fields = terms.map(_._1).toSeq
-    val termList = terms.map(_._2).toSeq
-    postingsDF
-      .where(col("field").isin(fields: _*) && col("term").isin(termList: _*))
-      .groupBy("field", "term").agg(sum("docFreq").as("df"))
-      .collect()
-      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
-      .toMap.withDefaultValue(0L)
+    if (terms.isEmpty) return Map.empty[(String, String), Long].withDefaultValue(0L)
+    val missing = terms.filterNot(dfCache.contains)
+    if (missing.nonEmpty) {
+      val fields = missing.map(_._1).toSeq
+      val termList = missing.map(_._2).toSeq
+      val found = postingsDF
+        .where(col("field").isin(fields: _*) && col("term").isin(termList: _*))
+        .groupBy("field", "term").agg(sum("docFreq").as("df"))
+        .collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+        .toMap
+      missing.foreach(t => dfCache(t) = found.getOrElse(t, 0L))
+    }
+    terms.iterator.map(t => t -> dfCache(t)).toMap.withDefaultValue(0L)
   }
 
   private def collectTerms(q: Query): Set[(String, String)] = q match {
@@ -196,19 +206,37 @@ final class Searcher(spark: SparkSession, indexDir: String) extends Serializable
     */
   def batchTopDocs(qs: Seq[Query], k: Int): Seq[Array[SearchHit]] = {
     // kernel stages are CPU-heavy but shuffle-light; AQE's bytes-based
-    // coalescing would fold them onto too few cores
-    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
-    val prevCoalesce = spark.conf.getOption(coalesceKey)
-    spark.conf.set(coalesceKey, "false")
+    // coalescing would fold them onto too few cores. Kernel sharding is one
+    // task per segment — the session's shuffle.partitions (sized for data
+    // volume) would hash several segments into one task and leave cores
+    // idle on the last wave.
+    val overrides = Seq(
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      // AQE's per-stage materialization + replan adds fixed latency and the
+      // kernel job's two stages are already statically sized (one task per
+      // segment; one reducer per query group)
+      "spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.shuffle.partitions" -> math.max(manifest.segments.size, 1).toString)
+    val prev = overrides.map { case (key, _) => key -> spark.conf.getOption(key) }
+    overrides.foreach { case (key, v) => spark.conf.set(key, v) }
     try batchTopDocsInner(qs, k)
-    finally prevCoalesce match {
-      case Some(v) => spark.conf.set(coalesceKey, v)
-      case None => spark.conf.unset(coalesceKey)
+    finally prev.foreach {
+      case (key, Some(v)) => spark.conf.set(key, v)
+      case (key, None) => spark.conf.unset(key)
     }
   }
 
+  private val timing = sys.env.contains("GRAFT_QUERY_TIMING")
+  @inline private def timed[T](label: String)(f: => T): T =
+    if (!timing) f else {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[qphase] $label%-8s ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+
   private def batchTopDocsInner(qs: Seq[Query], k: Int): Seq[Array[SearchHit]] = {
-    val cqs = planAll(qs)
+    val cqs = timed("plan")(planAll(qs))
     val live = cqs.zipWithIndex.filter(_._1 != CQuery.CEmpty)
     if (live.isEmpty) return qs.map(_ => Array.empty[SearchHit])
     val bcq = spark.sparkContext.broadcast(live)
@@ -231,14 +259,14 @@ final class Searcher(spark: SparkSession, indexDir: String) extends Serializable
     // per-query fruit merge as a second (tiny) shuffle stage — executor-side,
     // so the merge parallelizes with the batch instead of serializing on the
     // driver (collector merge_fruits, distributed)
-    val merged: Map[Int, Array[(Float, Long)]] = local
+    val merged: Map[Int, Array[(Float, Long)]] = timed("kernel")(local
       .groupByKey(_._1)
       .mapGroups { (qi, it) =>
         val m = new TopNComputer(kk)
         it.toArray.sortBy(_._2).foreach { case (_, addr, score) => m.push(score, addr) }
         (qi, m.intoSortedVec().map { case (s, a) => (s, a) })
       }
-      .collect().map { case (qi, arr) => qi -> arr }.toMap
+      .collect().map { case (qi, arr) => qi -> arr }.toMap)
     // one doc-fetch join for every query's survivors
     val addrRows = merged.toSeq.flatMap { case (qi, hits) =>
       hits.zipWithIndex.map { case ((score, addr), rank) =>
@@ -248,13 +276,13 @@ final class Searcher(spark: SparkSession, indexDir: String) extends Serializable
     if (addrRows.isEmpty) return qs.map(_ => Array.empty[SearchHit])
     val addrDF = spark.createDataFrame(addrRows).toDF("qi", "segment", "docId", "score", "rank")
     val segs = addrRows.map(_._2).distinct
-    val fetched = docmapDF
+    val fetched = timed("fetch")(docmapDF
       .where(col("segment").isin(segs: _*))
       .join(broadcast(addrDF), Seq("segment", "docId"))
       .select("qi", "rank", "url", "score", "segment", "docId")
       .collect()
       .map(r => (r.getInt(0), SearchHit(r.getInt(1), r.getString(2), r.getFloat(3), r.getInt(4), r.getInt(5))))
-      .groupBy(_._1)
+      .groupBy(_._1))
     qs.indices.map(qi => fetched.getOrElse(qi, Array.empty).map(_._2).sortBy(_.rank)).toSeq
   }
 
@@ -335,6 +363,25 @@ final class Searcher(spark: SparkSession, indexDir: String) extends Serializable
         QueryKernel.allMatches(bcq.value, ctx, sc).map { case (d, s) => (seg, d, s) }
       }.toDF("segment", "docId", "score")
   }
+
+  /** Score explanation for one (segment, docId) address — the reference's
+    * `Query::explain` (`src/query/query.rs`, `weight.rs:75`). The one
+    * segment's kernel rows are collected to the driver (a pruned read of the
+    * query terms' postings for that segment only) and the scorer DAG is
+    * replayed locally; None when the doc does not match.
+    */
+  def explain(q0: Query, segment: Int, docId: Int): Option[Explanation] = {
+    val cq = plan(q0)
+    if (cq == CQuery.CEmpty) return None
+    val rows = kernelRows(cq).where(col("segment") === segment).collect()
+    val ctx = Searcher.makeContext(rows.iterator, numDocsBySeg, segment)
+    QueryKernel.explain(cq, ctx, docId)
+  }
+
+  /** Explain by stored key (url): resolves the address via the docmap. */
+  def explain(q0: Query, url: String): Option[Explanation] =
+    docmapDF.where(col("url") === url).select("segment", "docId").collect()
+      .headOption.flatMap(r => explain(q0, r.getInt(0), r.getInt(1)))
 
   /** Matching-doc count; single-term queries take the doc_freq fast path
     * (`src/query/weight.rs:78-85`) — a pruned metadata aggregate, no kernel.

@@ -37,7 +37,7 @@ object QueryProbe {
       Query.Bool(Seq(Occur.Must -> Query.Term("text", "alpha"), Occur.MustNot -> Query.Term("text", "beta"))),
       Query.Phrase("text", Seq("alpha", "beta")),
       Query.should(Query.Term("text", "w00010"), Query.Term("text", "w00050"), Query.Term("text", "w00200")))
-    searcher.topDocs(qs.head, 10) // warm
+    searcher.batchTopDocs(qs, 10) // warm (footers, codegen, df stats) — as Bench does
     val batch = Seq.fill(mult)(qs).flatten
     val t0 = System.nanoTime()
     val res = searcher.batchTopDocs(batch, 10)
