@@ -154,6 +154,11 @@ object SparkEntry {
       round(expr("percentile(n_chars, 0.5)"), 4).as("p50"),
       round(expr("percentile(n_chars, 0.9)"), 4).as("p90"),
       round(expr("percentile(n_chars, 0.99)"), 4).as("p99"))),
+    // DDSketch family (reference percentiles.rs sketch); approximate ->
+    // rows-only driver check, accuracy pinned by DDSketchSpec
+    "q_percentiles_sketch" -> ((s, d) => docs(s, d).agg(
+      graft.agg.DDSketch.percentilesAgg(col("n_chars"), Seq(50.0, 90.0, 99.0)).as("pcts"))
+      .select(col("pcts")(0).as("p50"), col("pcts")(1).as("p90"), col("pcts")(2).as("p99"))),
     "q_range_fastfield" -> ((s, d) => docs(s, d)
       .where(col("n_chars") >= 200 && col("n_chars") < 400).select("doc_id")),
 

@@ -32,7 +32,8 @@ object AggRequest {
   final case class RangeAgg(field: String, ranges: Seq[(Option[Double], Option[Double])],
       subs: Map[String, Node]) extends Node
   final case class FilterAgg(predicate: String, subs: Map[String, Node]) extends Node
-  final case class Metric(kind: String, field: String, percents: Seq[Double]) extends Node
+  final case class Metric(kind: String, field: String, percents: Seq[Double],
+      sketch: Boolean = false) extends Node
 
   import org.json4s._
   import org.json4s.jackson.JsonMethods
@@ -72,7 +73,8 @@ object AggRequest {
           case JArray(vs) => vs.collect { case JInt(i) => i.toDouble; case JDouble(d) => d }
           case _ => Seq(1.0, 5.0, 25.0, 50.0, 75.0, 95.0, 99.0) // ES defaults
         }
-        Metric(k, str(body, "field").getOrElse(""), pcts)
+        val sk = (body \ "sketch") match { case JBool(b) => b; case _ => false }
+        Metric(k, str(body, "field").getOrElse(""), pcts, sk)
     }.getOrElse {
       if ((spec \ "terms") != JNothing) {
         val b = spec \ "terms"
@@ -117,6 +119,11 @@ object AggRequest {
       count(col(m.field)).as(s"${name}_count"), min(m.field).as(s"${name}_min"),
       max(m.field).as(s"${name}_max"), avg(m.field).as(s"${name}_avg"),
       sum(m.field).as(s"${name}_sum"))
+    case "percentiles" if m.sketch =>
+      // the reference's sketch family (DDSketch, percentiles.rs:217-227);
+      // one array-valued aggregate, split into per-percent columns
+      val arr = DDSketch.percentilesAgg(col(m.field), m.percents).as(s"__${name}_pcts")
+      Seq(arr) // split post-agg in aggregateAt via percentColumns
     case "percentiles" => m.percents.map(p =>
       expr(s"percentile(${m.field}, ${p / 100.0})").as(s"${name}_p${p.toInt}"))
     case "cardinality" => Seq(approx_count_distinct(m.field).as(s"${name}_cardinality"))
@@ -126,7 +133,9 @@ object AggRequest {
   private def compileOne(df: DataFrame, name: String, node: Node,
       groupCols: List[(String, Column)]): DataFrame = node match {
     case m: Metric =>
-      aggregateAt(df, groupCols, metricColumns(name, m), sortKeys = groupCols.map(_._1))
+      expandSketch(
+        aggregateAt(df, groupCols, metricColumns(name, m), sortKeys = groupCols.map(_._1)),
+        Seq(name -> m))
     case Terms(field, size, minDocCount, subs) =>
       val keyed = (s"${name}_key", col(field))
       val out = withSubs(df, groupCols :+ keyed, subs)
@@ -170,9 +179,22 @@ object AggRequest {
       val metricCols = metricSubs.toSeq.flatMap { case (n, m) =>
         metricColumns(n, m.asInstanceOf[Metric])
       }
-      aggregateAt(df, groupCols, metricCols, groupCols.map(_._1))
+      expandSketch(
+        aggregateAt(df, groupCols, metricCols, groupCols.map(_._1)),
+        metricSubs.toSeq.map { case (n, m) => n -> m.asInstanceOf[Metric] })
     }
   }
+
+  /** Split each sketch-percentiles array column into per-percent columns
+    * (same output shape as the exact path).
+    */
+  private def expandSketch(df: DataFrame, metrics: Seq[(String, Metric)]): DataFrame =
+    metrics.filter(nm => nm._2.kind == "percentiles" && nm._2.sketch).foldLeft(df) {
+      case (d, (n, m)) =>
+        m.percents.zipWithIndex.foldLeft(d) { case (dd, (p, i)) =>
+          dd.withColumn(s"${n}_p${p.toInt}", col(s"__${n}_pcts")(i))
+        }.drop(s"__${n}_pcts")
+    }
 
   private def aggregateAt(df: DataFrame, groupCols: List[(String, Column)],
       metricCols: Seq[Column], sortKeys: Seq[String]): DataFrame = {
