@@ -107,6 +107,32 @@ object SparkEntry {
       ).toDF("label", "cnt")
     }),
 
+    // --- snippets + more-like-this (engine-backed; no SQL-expressible
+    // oracle -> rows-only driver check; semantics pinned by specs)
+    "q_snippets" -> ((s, d) => {
+      import s.implicits._
+      val sr = searcherFor(s, d)
+      val terms = Set("spark", "table")
+      val q = Query.should(terms.toSeq.map(t => Query.Term("text", t)): _*)
+      val hits = sr.topDocs(q, 10)
+      val ids = hits.map(_.url.toLong).toSeq
+      val byId = docs(s, d).where(col("doc_id").isin(ids: _*))
+        .select(col("doc_id"), col("text")).as[(Long, String)].collect().toMap
+      hits.toSeq.map(h => (h.rank, h.url.toLong,
+        graft.search.Snippets.snippet(byId(h.url.toLong), terms)))
+        .toDF("rank", "doc_id", "snippet")
+    }),
+    "q_mlt" -> ((s, d) => {
+      import s.implicits._
+      val sr = searcherFor(s, d)
+      val seed = docs(s, d).where(col("doc_id") === 0L).select("text").head.getString(0)
+      val q = graft.search.MoreLikeThis.query(sr, "text", seed,
+        graft.search.MoreLikeThis.Config(minTermFreq = 1, minDocFreq = 2))
+      sr.topDocs(q, 10).toSeq
+        .map(h => (h.rank, h.url.toLong, math.round(h.score * 10000.0) / 10000.0))
+        .toDF("rank", "doc_id", "score")
+    }),
+
     // --- BM25 at the DataFrame level, double precision (SQL-parity scoring)
     "q_bm25_scores" -> ((s, d) => bm25Df(s, docs(s, d), Seq("spark", "vector"))),
 

@@ -127,7 +127,11 @@ object PipelineOps {
   def ngramJaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
     val sh = withShingles(docs).select(col("doc_id"), col("sh"))
     val sizes = sh.select(col("doc_id"), size(col("sh")).as("sz"))
-    val ex = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+    // join/shuffle on the 64-bit shingle hash, not the string: ~4x smaller
+    // shuffle rows and cheaper equality; |A ∩ B| is unchanged absent a
+    // same-pair xxhash64 collision (P ~ |shingles|^2 / 2^64)
+    val ex = sh.select(col("doc_id"), explode(col("sh")).as("s0"))
+      .select(col("doc_id"), xxhash64(col("s0")).as("s"))
     val inter = ex.toDF("ia", "s").join(ex.toDF("ib", "s2"),
         col("s") === col("s2") && col("ia") < col("ib"))
       .groupBy("ia", "ib").agg(count(lit(1)).cast("double").as("inter"))
