@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DoubleType}
+
+/** The library's SQL function surface, registered either through
+  * `spark.sql.extensions=graft.GraftExtensions` / `.withExtensions(...)`
+  * (cluster-wide) or `GraftFunctions.registerAll(spark)` (an existing
+  * session) — the extension-surface analog of the reference's tokenizer /
+  * aggregation registries (`tokenizer_manager.rs:56`, SURVEY §2.8).
+  */
+object GraftFunctions {
+
+  private def info(clazz: Class[_], name: String): ExpressionInfo =
+    new ExpressionInfo(clazz.getName, name)
+
+  /** ES default percents (percentiles.rs request defaults). */
+  private val DefaultPercents = Seq(1.0, 5.0, 25.0, 50.0, 75.0, 95.0, 99.0)
+
+  val all: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("tantivy_tokenize"),
+      info(classOf[functions.TantivyTokenize], "tantivy_tokenize"),
+      (es: Seq[Expression]) => functions.TantivyTokenize(es.head)),
+    (FunctionIdentifier("porter_stem"),
+      info(classOf[functions.PorterStem], "porter_stem"),
+      (es: Seq[Expression]) => functions.PorterStem(es.head)),
+    (FunctionIdentifier("ddsketch_percentiles"),
+      info(classOf[agg.DDSketchPercentiles], "ddsketch_percentiles"),
+      (es: Seq[Expression]) => {
+        // percents must be a foldable numeric array (evaluated at plan time)
+        val percents =
+          if (es.length < 2) DefaultPercents
+          else {
+            val cast = Cast(es(1), ArrayType(DoubleType))
+            require(cast.foldable, "ddsketch_percentiles: percents must be a literal array")
+            cast.eval(null).asInstanceOf[ArrayData].toDoubleArray().toSeq
+          }
+        agg.DDSketchPercentiles(Cast(es.head, DoubleType), percents)
+      }))
+
+  /** Register on an already-running session's function registry. */
+  def registerAll(spark: SparkSession): Unit = all.foreach { case (id, inf, builder) =>
+    spark.sessionState.functionRegistry.registerFunction(id, inf, builder)
+  }
+}
+
+/** `spark.sql.extensions` entry point. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach(ext.injectFunction)
+}
