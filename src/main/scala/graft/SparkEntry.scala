@@ -165,6 +165,30 @@ object SparkEntry {
       min("n_chars").cast("long").as("min_c"), max("n_chars").cast("long").as("max_c"),
       sum("n_chars").cast("long").as("sum_c"), round(avg("n_chars"), 4).as("avg_c"),
       count(lit(1)).as("cnt"))),
+    "q_extended_stats" -> ((s, d) => graft.agg.AggRequest.run(docs(s, d),
+      """{"st": {"extended_stats": {"field": "n_chars"}}}""")("st")
+      .select(col("st_count").as("cnt"),
+        col("st_min").cast("long").as("min_c"), col("st_max").cast("long").as("max_c"),
+        round(col("st_avg"), 4).as("avg_c"), col("st_sum").cast("long").as("sum_c"),
+        col("st_sum_of_squares").cast("long").as("sum_sq"),
+        round(col("st_std_deviation"), 4).as("std_dev"))),
+    "q_terms_missing" -> ((s, d) => graft.agg.AggRequest.run(
+      docs(s, d).withColumn("langN",
+        when(col("doc_id") % 10 === 0, lit(null)).otherwise(col("lang"))),
+      """{"by_lang": {"terms": {"field": "langN", "size": 100, "missing": "(none)"}}}""")("by_lang")
+      .select(col("by_lang_key").as("lang"), col("doc_count").as("cnt"))),
+    "q_histogram_bounds" -> ((s, d) => graft.agg.AggRequest.run(docs(s, d),
+      """{"h": {"histogram": {"field": "n_chars", "interval": 500,
+        | "extended_bounds": {"min": 0, "max": 6000}}}}""".stripMargin)("h")
+      .select(col("h_key").cast("long").as("bucket"), col("doc_count").as("cnt"))),
+    "q_tweak_score" -> ((s, d) => {
+      import s.implicits._
+      val sr = searcherFor(s, d)
+      sr.topDocsBy(Query.Term("text", "spark"), 20, Seq(
+        (col("url").cast("long") % 97).desc, col("url").cast("long").asc))
+        .select(col("url").cast("long").as("doc_id"),
+          (col("url").cast("long") % 97).as("tweak"))
+    }),
     "q_cardinality" -> ((s, d) => PipelineOps.withTokens(docs(s, d))
       .select(explode(col("toks")).as("tok"))
       .agg(countDistinct("tok").as("n_terms"))),
@@ -266,6 +290,10 @@ object SparkEntry {
     "q_histogram" -> OracleSql.histogram,
     "q_stats" -> OracleSql.statsAgg,
     "q_cardinality" -> OracleSql.cardinality,
+    "q_extended_stats" -> OracleSql.extendedStats,
+    "q_terms_missing" -> OracleSql.termsMissing,
+    "q_histogram_bounds" -> OracleSql.histogramBounds,
+    "q_tweak_score" -> OracleSql.tweakScore,
     "q_top_hits" -> OracleSql.topHits,
     "q_facet_source" -> OracleSql.facetSource,
     "q_facet_lang" -> OracleSql.facetLang,

@@ -24,9 +24,10 @@ object AggRequest {
 
   sealed trait Node
   final case class Terms(field: String, size: Int, minDocCount: Long,
-      subs: Map[String, Node]) extends Node
+      subs: Map[String, Node], missing: Option[String] = None) extends Node
   final case class Histogram(field: String, interval: Double, offset: Double,
-      subs: Map[String, Node]) extends Node
+      subs: Map[String, Node],
+      extendedBounds: Option[(Double, Double)] = None) extends Node
   final case class DateHistogram(field: String, intervalExpr: String,
       subs: Map[String, Node]) extends Node
   final case class RangeAgg(field: String, ranges: Seq[(Option[Double], Option[Double])],
@@ -65,7 +66,7 @@ object AggRequest {
   private def parseNode(spec: JValue): Node = {
     val subs = parseAggs(spec \ "aggs")
     val metricKinds = Seq("avg", "min", "max", "sum", "value_count", "stats",
-      "percentiles", "cardinality")
+      "extended_stats", "percentiles", "cardinality")
     metricKinds.collectFirst {
       case k if (spec \ k) != JNothing =>
         val body = spec \ k
@@ -79,11 +80,17 @@ object AggRequest {
       if ((spec \ "terms") != JNothing) {
         val b = spec \ "terms"
         Terms(str(b, "field").get, num(b, "size").map(_.toInt).getOrElse(10),
-          num(b, "min_doc_count").map(_.toLong).getOrElse(1L), subs)
+          num(b, "min_doc_count").map(_.toLong).getOrElse(1L), subs,
+          missing = str(b, "missing"))
       } else if ((spec \ "histogram") != JNothing) {
         val b = spec \ "histogram"
+        val eb = (b \ "extended_bounds") match {
+          case JNothing => None
+          case ebj =>
+            for (lo <- num(ebj, "min"); hi <- num(ebj, "max")) yield (lo, hi)
+        }
         Histogram(str(b, "field").get, num(b, "interval").get,
-          num(b, "offset").getOrElse(0.0), subs)
+          num(b, "offset").getOrElse(0.0), subs, eb)
       } else if ((spec \ "date_histogram") != JNothing) {
         val b = spec \ "date_histogram"
         DateHistogram(str(b, "field").get,
@@ -119,6 +126,15 @@ object AggRequest {
       count(col(m.field)).as(s"${name}_count"), min(m.field).as(s"${name}_min"),
       max(m.field).as(s"${name}_max"), avg(m.field).as(s"${name}_avg"),
       sum(m.field).as(s"${name}_sum"))
+    case "extended_stats" => Seq(
+      // ES extended_stats: stats + sum_of_squares + population variance/std
+      // (extended_stats.rs in the reference aggregation module)
+      count(col(m.field)).as(s"${name}_count"), min(m.field).as(s"${name}_min"),
+      max(m.field).as(s"${name}_max"), avg(m.field).as(s"${name}_avg"),
+      sum(m.field).as(s"${name}_sum"),
+      sum(col(m.field) * col(m.field)).as(s"${name}_sum_of_squares"),
+      var_pop(m.field).as(s"${name}_variance"),
+      stddev_pop(m.field).as(s"${name}_std_deviation"))
     case "percentiles" if m.sketch =>
       // the reference's sketch family (DDSketch, percentiles.rs:217-227);
       // one array-valued aggregate, split into per-percent columns
@@ -136,17 +152,30 @@ object AggRequest {
       expandSketch(
         aggregateAt(df, groupCols, metricColumns(name, m), sortKeys = groupCols.map(_._1)),
         Seq(name -> m))
-    case Terms(field, size, minDocCount, subs) =>
-      val keyed = (s"${name}_key", col(field))
+    case Terms(field, size, minDocCount, subs, missing) =>
+      // ES `missing`: null keys fall into the given bucket value
+      val keyCol = missing.map(mv => coalesce(col(field), lit(mv))).getOrElse(col(field))
+      val keyed = (s"${name}_key", keyCol)
       val out = withSubs(df, groupCols :+ keyed, subs)
         .where(col("doc_count") >= minDocCount)
       if (groupCols.isEmpty)
         out.orderBy(col("doc_count").desc, col(keyed._1)).limit(size)
       else out // nested terms: size applies per parent bucket; left unbounded (flat form)
-    case Histogram(field, interval, offset, subs) =>
+    case Histogram(field, interval, offset, subs, extendedBounds) =>
       val bucket = (floor((col(field) - offset) / interval) * interval + offset).as(s"${name}_key")
-      withSubs(df, groupCols :+ ((s"${name}_key", bucket)), subs)
-        .orderBy(groupCols.map(c => col(c._1)) :+ col(s"${name}_key"): _*)
+      val out = withSubs(df, groupCols :+ ((s"${name}_key", bucket)), subs)
+      val bounded = extendedBounds match {
+        case Some((lo, hi)) if groupCols.isEmpty =>
+          // ES extended_bounds: materialize empty buckets across [min, max]
+          val loB = math.floor((lo - offset) / interval) * interval + offset
+          val n = math.floor((hi - loB) / interval).toLong
+          val allBuckets = df.sparkSession.range(n + 1)
+            .select((lit(loB) + col("id") * interval).as(s"${name}_key"))
+          allBuckets.join(out, Seq(s"${name}_key"), "full_outer")
+            .withColumn("doc_count", coalesce(col("doc_count"), lit(0L)))
+        case _ => out
+      }
+      bounded.orderBy(groupCols.map(c => col(c._1)) :+ col(s"${name}_key"): _*)
     case DateHistogram(field, interval, subs) =>
       val bucket = window(col(field).cast("timestamp"), interval).getField("start").as(s"${name}_key")
       withSubs(df, groupCols :+ ((s"${name}_key", bucket)), subs)

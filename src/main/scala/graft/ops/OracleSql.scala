@@ -179,6 +179,27 @@ GROUP BY tok ORDER BY df DESC, term LIMIT 10"""
       "sum(n_chars)::BIGINT AS sum_c, round(avg(n_chars), 4) AS avg_c, count(*)::BIGINT AS cnt " +
       "FROM documents"
 
+  val extendedStats: String =
+    "SELECT count(*)::BIGINT AS cnt, min(n_chars)::BIGINT AS min_c, max(n_chars)::BIGINT AS max_c, " +
+      "round(avg(n_chars), 4) AS avg_c, sum(n_chars)::BIGINT AS sum_c, " +
+      "sum(n_chars * n_chars)::BIGINT AS sum_sq, " +
+      "round(stddev_pop(n_chars), 4) AS std_dev FROM documents"
+
+  val termsMissing: String =
+    "SELECT coalesce(CASE WHEN doc_id % 10 = 0 THEN NULL ELSE lang END, '(none)') AS lang, " +
+      "count(*)::BIGINT AS cnt FROM documents GROUP BY 1"
+
+  val histogramBounds: String =
+    "WITH b AS (SELECT CAST(floor(n_chars / 500.0) * 500 AS BIGINT) AS bucket, " +
+      "count(*)::BIGINT AS cnt FROM documents GROUP BY 1), " +
+      "allb AS (SELECT (g * 500)::BIGINT AS bucket FROM generate_series(0, 12) s(g)) " +
+      "SELECT coalesce(allb.bucket, b.bucket) AS bucket, coalesce(b.cnt, 0)::BIGINT AS cnt " +
+      "FROM allb FULL OUTER JOIN b ON allb.bucket = b.bucket"
+
+  val tweakScore: String =
+    s"WITH $T SELECT doc_id, doc_id % 97 AS tweak FROM t WHERE list_contains(toks, 'spark') " +
+      "ORDER BY tweak DESC, doc_id LIMIT 20"
+
   val cardinality: String =
     s"WITH $T SELECT count(DISTINCT tok)::BIGINT AS n_terms FROM (SELECT unnest(toks) AS tok FROM t)"
 

@@ -364,6 +364,19 @@ final class Searcher(spark: SparkSession, indexDir: String) extends Serializable
       }.toDF("segment", "docId", "score")
   }
 
+  /** `TopDocs::tweak_score` / `order_by_fast_field` analog
+    * (`src/collector/top_score_collector.rs`): matched docs joined to the
+    * docmap's stored/fast fields, re-ranked by an arbitrary Column over
+    * (score, url, warc_ts, lang, ...). Declarative top-k: Catalyst compiles
+    * the orderBy+limit to TakeOrderedAndProject (per-partition heaps + one
+    * tiny final merge — the distributed collector shape).
+    */
+  def topDocsBy(q: Query, k: Int, sortCols: Seq[org.apache.spark.sql.Column]): DataFrame =
+    allMatches(q, scored = true)
+      .join(docmapDF, Seq("segment", "docId"))
+      .orderBy(sortCols: _*)
+      .limit(k)
+
   /** Score explanation for one (segment, docId) address — the reference's
     * `Query::explain` (`src/query/query.rs`, `weight.rs:75`). The one
     * segment's kernel rows are collected to the driver (a pruned read of the
