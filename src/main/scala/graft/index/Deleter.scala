@@ -1,0 +1,33 @@
+package graft.index
+
+import org.apache.spark.sql.SparkSession
+
+/** Delete-by-term — the reference's `IndexWriter::delete_term`
+  * (`/root/reference/src/indexer/index_writer.rs:680`,
+  * `src/indexer/delete_queue.rs`): a tombstone recorded with the commit
+  * opstamp in the atomically-swapped manifest. Docs matching the term in
+  * segments committed BEFORE the tombstone are dead: excluded at query
+  * time (executor-side, from the term's own postings — the alive-bitset
+  * analog) and physically purged by the next merge of their segment.
+  */
+object Deleter {
+
+  def deleteTerm(spark: SparkSession, indexDir: String, field: String, term: String)
+      : IndexManifest = {
+    val m = IndexManifest.read(spark, indexDir)
+      .getOrElse(throw new IllegalStateException(s"no manifest at $indexDir"))
+    val opstamp = m.commitSeq + 1
+    val out = m.copy(
+      commitSeq = opstamp,
+      deletes = m.deletes :+ DeleteTerm(field, term, opstamp))
+    IndexManifest.write(spark, indexDir, out)
+    out
+  }
+
+  /** Delete by primary key (the keyField raw term). */
+  def deleteKey(spark: SparkSession, indexDir: String, key: String): IndexManifest = {
+    val m = IndexManifest.read(spark, indexDir)
+      .getOrElse(throw new IllegalStateException(s"no manifest at $indexDir"))
+    deleteTerm(spark, indexDir, m.keyField, key)
+  }
+}

@@ -104,6 +104,9 @@ object IndexBuilder {
       .where(col("field") === PostingRow.StatsField)
       .select("segment", "docFreq", "totalTf", "postings")
       .collect()
+    val newCommitSeq = prior.map(_.commitSeq + 1).getOrElse(1L)
+    val priorMeta: Map[Int, SegmentMeta] =
+      prior.map(_.segments.map(m => m.segment -> m).toMap).getOrElse(Map.empty)
     val metas = statRows.map { r =>
       val segment = r.getInt(0)
       val extra = new String(r.getAs[Array[Byte]](3), java.nio.charset.StandardCharsets.UTF_8)
@@ -116,17 +119,22 @@ object IndexBuilder {
         buildMillis = extra.getOrElse("buildMillis", 0L),
         docsPerSec = if (extra.getOrElse("buildMillis", 0L) > 0)
           r.getInt(1).toDouble * 1000.0 / extra("buildMillis") else 0.0,
-        mergeFanIn = extra.getOrElse("mergeFanIn", 1L).toInt)
+        mergeFanIn = extra.getOrElse("mergeFanIn", 1L).toInt,
+        // opstamp: pre-existing segments keep their creation seq; segments
+        // published by THIS commit are stamped with it (deletes recorded
+        // earlier do not apply to them)
+        createdSeq = priorMeta.get(segment).map(_.createdSeq).getOrElse(newCommitSeq))
     }.sortBy(_.segment).toSeq
 
     val manifest = IndexManifest(
       version = IndexManifest.FormatVersion,
-      commitSeq = prior.map(_.commitSeq + 1).getOrElse(1L),
+      commitSeq = newCommitSeq,
       keyField = cfg.keyField,
       textField = cfg.textField,
       rawFields = cfg.rawFields,
       numPartitions = cfg.numPartitions,
-      segments = metas)
+      segments = metas,
+      deletes = prior.map(_.deletes).getOrElse(Nil))
     IndexManifest.write(spark, indexDir, manifest)
     manifest
   }

@@ -59,7 +59,18 @@ final case class SegmentMeta(
     postingsBytes: Long,
     buildMillis: Long,
     docsPerSec: Double,
-    mergeFanIn: Int)
+    mergeFanIn: Int,
+    /** commitSeq at which this segment was published — the opstamp that
+      * decides which deletes apply to it (a delete only affects segments
+      * committed before it, `src/indexer/delete_queue.rs` semantics).
+      */
+    createdSeq: Long = 0L)
+
+/** One tombstone: delete-by-term recorded at `opstamp` (= the commitSeq the
+  * delete was published with). Applies to a segment iff
+  * `segment.createdSeq < opstamp` (docs added after the delete survive).
+  */
+final case class DeleteTerm(field: String, term: String, opstamp: Long)
 
 /** Index manifest = the reference's `meta.json` (ARCHITECTURE.md:51-53):
   * atomically swapped on commit, carries the segment list + schema + commit
@@ -73,15 +84,19 @@ final case class IndexManifest(
     textField: String,
     rawFields: Seq[String],
     numPartitions: Int,
-    segments: Seq[SegmentMeta]) {
+    segments: Seq[SegmentMeta],
+    deletes: Seq[DeleteTerm] = Nil) {
   def totalDocs: Long = segments.map(_.numDocs.toLong).sum
   def totalTokens: Long = segments.map(_.totalTokens).sum
   def segmentIds: Seq[Int] = segments.map(_.segment)
+  /** Tombstones applicable to one segment (opstamp ordering). */
+  def deletesFor(meta: SegmentMeta): Seq[DeleteTerm] =
+    deletes.filter(d => meta.createdSeq < d.opstamp)
 }
 
 object IndexManifest {
   /** On-disk format version (bumped when the segment schema changes). */
-  val FormatVersion = 2
+  val FormatVersion = 3
 
   import org.json4s._
   import org.json4s.jackson.Serialization

@@ -92,24 +92,60 @@ object SegmentMerger {
     m
   }
 
-  /** Execute one merge round; returns the updated (published) manifest. */
+  /** Execute one merge round; returns the updated (published) manifest.
+    * Segments carrying applicable tombstones are PURGED: dead docs are
+    * dropped, docIds compact (the reference merger's `doc_id_mapping`,
+    * `merger.rs:316-330`), and fully-applied tombstones leave the manifest.
+    */
   def merge(spark: SparkSession, indexDir: String, groups: Seq[MergeGroup],
       keepOld: Boolean = false): IndexManifest = {
     import spark.implicits._
     val manifest = IndexManifest.read(spark, indexDir)
       .getOrElse(throw new IllegalStateException(s"no manifest at $indexDir"))
     val byId = manifest.segments.map(m => m.segment -> m).toMap
+    val oldSegsAll = groups.flatMap(_.oldSegments)
 
-    // (oldSegment) -> (newSegment, docId offset, ordinal in group)
+    // dead docIds per old segment (from the tombstoned terms' own postings;
+    // one tiny pruned read, decoded on the driver — tombstone counts are
+    // small relative to segment data)
+    val deletedBySeg: Map[Int, Array[Int]] = {
+      val terms: Map[Int, Set[(String, String)]] = oldSegsAll
+        .map(s => s -> manifest.deletesFor(byId(s)).map(d => (d.field, d.term)).toSet)
+        .filter(_._2.nonEmpty).toMap
+      if (terms.isEmpty) Map.empty
+      else {
+        val pairs = terms.values.flatten.toSet
+        val cond = pairs.groupBy(_._1).map { case (f, ts) =>
+          col("field") === f && col("term").isin(ts.map(_._2).toSeq: _*)
+        }.reduce(_ || _)
+        spark.read.parquet(s"$indexDir/postings")
+          .where(col("segment").isin(terms.keys.toSeq: _*) && cond)
+          .as[PostingRow].collect()
+          .groupBy(_.segment)
+          .map { case (s, rs) =>
+            val applicable = terms(s)
+            val buf = rs.filter(r => applicable((r.field, r.term))).flatMap { r =>
+              PostingsCodec.decodeAll(r.docFreq, r.postings, r.skip, readFreqs = true)._1
+            }
+            s -> buf.distinct.sorted.toArray
+          }
+          .filter(_._2.nonEmpty)
+      }
+    }
+    @inline def aliveCount(s: Int): Int =
+      byId(s).numDocs - deletedBySeg.get(s).map(_.length).getOrElse(0)
+
+    // (oldSegment) -> (newSegment, ALIVE docId offset, ordinal in group)
     val mapping: Map[Int, (Int, Int, Int)] = groups.flatMap { g =>
       var off = 0
       g.oldSegments.zipWithIndex.map { case (old, ord) =>
         val e = old -> ((g.newSegment, off, ord))
-        off += byId(old).numDocs
+        off += aliveCount(old)
         e
       }
     }.toMap
     val bcMap = spark.sparkContext.broadcast(mapping)
+    val bcDel = spark.sparkContext.broadcast(deletedBySeg)
     val oldSegs = mapping.keys.toSeq
 
     // exactly-once under kill/resume: a previous attempt of this same plan
@@ -129,69 +165,114 @@ object SegmentMerger {
 
     val merged = postings
       .groupByKey(r => (bcMap.value(r.segment)._1, r.field, r.term))
-      .mapGroups { (key: (Int, String, String), rows: Iterator[PostingRow]) =>
+      .flatMapGroups { (key: (Int, String, String), rows: Iterator[PostingRow]) =>
         val (newSeg, field, term) = key
         val sorted = rows.toArray.sortBy(r => bcMap.value(r.segment)._3)
+        @inline def deletedOf(s: Int): Array[Int] =
+          bcDel.value.getOrElse(s, Array.emptyIntArray)
+        // alive rebase: new id = group offset + old id − |dead ids below it|
+        @inline def rebase(s: Int, d: Int): Int = {
+          val del = deletedOf(s)
+          val idx = java.util.Arrays.binarySearch(del, d)
+          bcMap.value(s)._2 + d - (-idx - 1)
+        }
         if (field == PostingRow.DocField) {
-          // doc-map row: unique per (segment, url) — rebase its docId
+          // doc-map row: unique per (segment, url) — rebase or drop if dead
           val r = sorted.head
-          r.copy(segment = newSeg, docFreq = r.docFreq + bcMap.value(r.segment)._2)
+          if (java.util.Arrays.binarySearch(deletedOf(r.segment), r.docFreq) >= 0) Iterator.empty
+          else Iterator.single(r.copy(segment = newSeg, docFreq = rebase(r.segment, r.docFreq)))
         } else if (field == PostingRow.NormsField) {
-          // norms: plain concatenation in group order (1 byte per doc)
-          val total = sorted.map(_.postings.length).sum
+          // norms: concatenation in group order, dead bytes dropped
+          val total = sorted.map(r => r.postings.length - deletedOf(r.segment).length).sum
           val out = new Array[Byte](total)
           var p = 0
-          sorted.foreach { r => System.arraycopy(r.postings, 0, out, p, r.postings.length); p += r.postings.length }
-          PostingRow(newSeg, field, term, sorted.map(_.docFreq).sum, sorted.map(_.totalTf).sum,
-            out, Array.emptyByteArray, Array.emptyByteArray)
-        } else {
-          val n = sorted.map(_.docFreq).sum
-          val docs = new Array[Int](n)
-          val tfs = new Array[Int](n)
-          val bounds = new Array[Byte](n)
-          var p = 0
-          var posBytes = 0
           sorted.foreach { r =>
-            val off = bcMap.value(r.segment)._2
-            val (d, t, b) = PostingsCodec.decodeAll(r.docFreq, r.postings, r.skip, readFreqs = true)
-            var i = 0
-            while (i < d.length) {
-              docs(p) = d(i) + off
-              tfs(p) = t(i)
-              bounds(p) = b(i)
-              p += 1
-              i += 1
-            }
-            posBytes += r.positions.length
-          }
-          val positions =
-            if (posBytes == 0) Array.emptyByteArray
-            else {
-              val out = new Array[Byte](posBytes)
-              var q = 0
-              sorted.foreach { r =>
-                System.arraycopy(r.positions, 0, out, q, r.positions.length)
-                q += r.positions.length
+            val del = deletedOf(r.segment)
+            if (del.isEmpty) {
+              System.arraycopy(r.postings, 0, out, p, r.postings.length)
+              p += r.postings.length
+            } else {
+              var i = 0
+              var di = 0
+              while (i < r.postings.length) {
+                if (di < del.length && del(di) == i) di += 1
+                else { out(p) = r.postings(i); p += 1 }
+                i += 1
               }
-              out
             }
-          val enc = PostingsCodec.encodeWithNormBounds(docs, tfs, positions, bounds)
-          PostingRow(newSeg, field, term, enc.docFreq, enc.totalTf, enc.postings, enc.skip, enc.positions)
+          }
+          Iterator.single(PostingRow(newSeg, field, term, total, sorted.map(_.totalTf).sum,
+            out, Array.emptyByteArray, Array.emptyByteArray))
+        } else {
+          val docsB = new scala.collection.mutable.ArrayBuffer[Int]()
+          val tfsB = new scala.collection.mutable.ArrayBuffer[Int]()
+          val boundsB = new scala.collection.mutable.ArrayBuffer[Byte]()
+          val posOut = new java.io.ByteArrayOutputStream()
+          sorted.foreach { r =>
+            val del = deletedOf(r.segment)
+            val (d, t, b) = PostingsCodec.decodeAll(r.docFreq, r.postings, r.skip, readFreqs = true)
+            if (del.isEmpty) {
+              val off = bcMap.value(r.segment)._2
+              var i = 0
+              while (i < d.length) {
+                docsB += d(i) + off
+                tfsB += t(i)
+                boundsB += b(i)
+                i += 1
+              }
+              posOut.write(r.positions)
+            } else {
+              // positions are per-doc independent VInt runs: copy alive runs
+              val cur = new graft.codec.Codec.ByteCursor(r.positions, 0)
+              val hasPos = r.positions.nonEmpty
+              var i = 0
+              while (i < d.length) {
+                val start = cur.pos
+                if (hasPos) cur.skipVInts(t(i))
+                if (java.util.Arrays.binarySearch(del, d(i)) < 0) {
+                  docsB += rebase(r.segment, d(i))
+                  tfsB += t(i)
+                  boundsB += b(i)
+                  if (hasPos) posOut.write(r.positions, start, cur.pos - start)
+                }
+                i += 1
+              }
+            }
+          }
+          if (docsB.isEmpty) Iterator.empty // term existed only in dead docs
+          else {
+            val enc = PostingsCodec.encodeWithNormBounds(
+              docsB.toArray, tfsB.toArray, posOut.toByteArray, boundsB.toArray)
+            Iterator.single(PostingRow(newSeg, field, term,
+              enc.docFreq, enc.totalTf, enc.postings, enc.skip, enc.positions))
+          }
         }
       }
     merged.toDF().write.mode("append").partitionBy("segment").parquet(s"$indexDir/postings")
 
+    // purged segments: exact alive token totals from the merged postings
+    // (total tokens == sum of term tfs), one pruned aggregate
+    val tokSums: Map[Int, Long] =
+      if (deletedBySeg.isEmpty) Map.empty
+      else spark.read.parquet(s"$indexDir/postings")
+        .where(col("segment").isin(groups.map(_.newSegment): _*) &&
+          col("field") === manifest.textField)
+        .groupBy("segment").agg(org.apache.spark.sql.functions.sum("totalTf").as("tt"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+
+    val newCommitSeq = manifest.commitSeq + 1
     // stats rows for merged segments (so manifest reassembly keeps working)
     val newMetas = groups.map { g =>
       val olds = g.oldSegments.map(byId)
       SegmentMeta(
         segment = g.newSegment,
-        numDocs = olds.map(_.numDocs).sum,
-        totalTokens = olds.map(_.totalTokens).sum,
+        numDocs = g.oldSegments.map(aliveCount).sum,
+        totalTokens = tokSums.getOrElse(g.newSegment, olds.map(_.totalTokens).sum),
         postingsBytes = olds.map(_.postingsBytes).sum,
         buildMillis = olds.map(_.buildMillis).sum,
         docsPerSec = 0.0,
-        mergeFanIn = g.oldSegments.size)
+        mergeFanIn = g.oldSegments.size,
+        createdSeq = newCommitSeq)
     }
     val statsRows = newMetas.map { m =>
       val json = s"buildMillis:${m.buildMillis},postingsBytes:${m.postingsBytes},mergeFanIn:${m.mergeFanIn}"
@@ -202,9 +283,12 @@ object SegmentMerger {
     statsRows.toDS().toDF().write.mode("append").partitionBy("segment").parquet(s"$indexDir/postings")
 
     val untouched = manifest.segments.filterNot(m => mapping.contains(m.segment))
+    val outSegments = (untouched ++ newMetas).sortBy(_.segment)
     val out = manifest.copy(
-      commitSeq = manifest.commitSeq + 1,
-      segments = (untouched ++ newMetas).sortBy(_.segment))
+      commitSeq = newCommitSeq,
+      segments = outSegments,
+      // a tombstone leaves the manifest once no remaining segment predates it
+      deletes = manifest.deletes.filter(d => outSegments.exists(s => s.createdSeq < d.opstamp)))
     IndexManifest.write(spark, indexDir, out)
 
     if (!keepOld) {

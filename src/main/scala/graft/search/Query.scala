@@ -107,12 +107,19 @@ object QueryKernel {
 
   /** One segment's lookup context. `postingsFor` returns a FRESH decoder per
     * call (scorer legs must not share cursors); null when the term is absent.
+    * `deleted` is the segment's dead-doc set (sorted docIds — the alive
+    * bitset complement, `src/fastfield/alive_bitset.rs` analog), assembled
+    * from the tombstoned terms' own postings.
     */
   final class SegmentContext(
       val numDocs: Int,
       val norms: Array[Byte],
-      postingsFor: (String, String) => graft.codec.SegmentPostings) {
+      postingsFor: (String, String) => graft.codec.SegmentPostings,
+      val deleted: Array[Int] = Array.emptyIntArray) {
     def fresh(field: String, term: String): graft.codec.SegmentPostings = postingsFor(field, term)
+    @inline def isDeleted(doc: Int): Boolean =
+      deleted.length > 0 && java.util.Arrays.binarySearch(deleted, doc) >= 0
+    def numAlive: Int = numDocs - deleted.length
   }
 
   import CQuery._
@@ -199,8 +206,10 @@ object QueryKernel {
     * exhaustive scorer walk otherwise. Exact same results either way.
     */
   def topK(q: CQuery, ctx: SegmentContext, k: Int, topN: TopNComputer, segBase: Long): Unit = {
+    // dead docs never reach the collector; WAND pruning stays valid (the
+    // threshold only ever rises from pushed alive docs)
     val cb: (Int, Float) => Float = { (doc, score) =>
-      topN.push(score, segBase | doc.toLong)
+      if (!ctx.isDeleted(doc)) topN.push(score, segBase | doc.toLong)
       topN.threshold
     }
     CQuery.wandTerms(q) match {
@@ -216,7 +225,7 @@ object QueryKernel {
         val s = toScorer(q, ctx, scored = true)
         var d = s.doc
         while (d != Scorer.Terminated) {
-          topN.push(s.score, segBase | d.toLong)
+          if (!ctx.isDeleted(d)) topN.push(s.score, segBase | d.toLong)
           d = s.advance()
         }
     }
@@ -226,7 +235,10 @@ object QueryKernel {
     * when the doc does not match this query in this segment. Tree wording
     * follows the reference (Lucene-style).
     */
-  def explain(q: CQuery, ctx: SegmentContext, doc: Int): Option[Explanation] = q match {
+  def explain(q: CQuery, ctx: SegmentContext, doc: Int): Option[Explanation] =
+    if (ctx.isDeleted(doc)) None else explainAlive(q, ctx, doc)
+
+  private def explainAlive(q: CQuery, ctx: SegmentContext, doc: Int): Option[Explanation] = q match {
     case CTerm(f, t, w) =>
       val p = ctx.fresh(f, t)
       if (p == null || p.seek(doc) != doc) None
@@ -290,14 +302,17 @@ object QueryKernel {
         s.advance()
         r
       }
-    }
+    }.filter(r => !ctx.isDeleted(r._1))
   }
 
   def count(q: CQuery, ctx: SegmentContext): Long = {
     val s = toScorer(q, ctx, scored = false)
     var n = 0L
     var d = s.doc
-    while (d != Scorer.Terminated) { n += 1; d = s.advance() }
+    while (d != Scorer.Terminated) {
+      if (!ctx.isDeleted(d)) n += 1
+      d = s.advance()
+    }
     n
   }
 }

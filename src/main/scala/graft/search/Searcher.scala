@@ -41,6 +41,25 @@ final class Searcher(spark: SparkSession, indexDir: String) extends Serializable
 
   private val segBaseBits = 32
 
+  /** Tombstoned (field, term) pairs applicable per segment (opstamp rule);
+    * their postings ride along in every pruned kernel read so executors can
+    * assemble the dead-doc set without an extra job.
+    */
+  private val deleteTermsBySeg: Map[Int, Seq[(String, String)]] =
+    manifest.segments
+      .map(m => m.segment -> manifest.deletesFor(m).map(d => (d.field, d.term)))
+      .filter(_._2.nonEmpty).toMap
+  private val allDeleteTerms: Set[(String, String)] =
+    deleteTermsBySeg.values.flatten.toSet
+  private lazy val bDeletes = spark.sparkContext.broadcast(deleteTermsBySeg)
+
+  /** OR-condition matching a set of (field, term) pairs. */
+  private def termsCond(terms: Set[(String, String)]): org.apache.spark.sql.Column =
+    if (terms.isEmpty) lit(false)
+    else terms.groupBy(_._1).map { case (f, ts) =>
+      col("field") === f && col("term").isin(ts.map(_._2).toSeq: _*)
+    }.reduce(_ || _)
+
   // ------------------------------------------------------------- planning
 
   /** Resolve term-expansion queries against the term dictionary (the
@@ -243,13 +262,12 @@ final class Searcher(spark: SparkSession, indexDir: String) extends Serializable
     val bNumDocs = spark.sparkContext.broadcast(numDocsBySeg)
     val kk = k
     val allTerms = live.map(_._1).flatMap(CQuery.termsOf).toSet
-    val termCond = allTerms.groupBy(_._1).map { case (f, ts) =>
-      col("field") === f && col("term").isin(ts.map(_._2).toSeq: _*)
-    }.reduce(_ || _)
+    val termCond = termsCond(allTerms ++ allDeleteTerms)
     val normsCond = col("field") === PostingRow.NormsField && col("term") === manifest.textField
     val rows = postingsDF.where(termCond || normsCond).as[PostingRow]
+    val bDel = bDeletes
     val local = rows.groupByKey(_.segment).flatMapGroups { (seg, it) =>
-      val ctx = Searcher.makeContext(it, bNumDocs.value, seg)
+      val ctx = Searcher.makeContext(it, bNumDocs.value, seg, bDel.value)
       bcq.value.iterator.flatMap { case (cq, qi) =>
         val topN = new TopNComputer(kk)
         QueryKernel.topK(cq, ctx, kk, topN, seg.toLong << 32)
@@ -292,12 +310,7 @@ final class Searcher(spark: SparkSession, indexDir: String) extends Serializable
     * posting rows plus each segment's norms row.
     */
   private def kernelRows(cq: CQuery) = {
-    val terms = CQuery.termsOf(cq)
-    val termCond =
-      if (terms.isEmpty) lit(false)
-      else terms.groupBy(_._1).map { case (f, ts) =>
-        col("field") === f && col("term").isin(ts.map(_._2).toSeq: _*)
-      }.reduce(_ || _)
+    val termCond = termsCond(CQuery.termsOf(cq) ++ allDeleteTerms)
     val normsCond = col("field") === PostingRow.NormsField && col("term") === manifest.textField
     postingsDF.where(termCond || normsCond).as[PostingRow]
   }
@@ -310,11 +323,12 @@ final class Searcher(spark: SparkSession, indexDir: String) extends Serializable
     if (cq == CQuery.CEmpty) return Array.empty
     val bcq = spark.sparkContext.broadcast(cq)
     val bNumDocs = spark.sparkContext.broadcast(numDocsBySeg)
+    val bDel = bDeletes
     val kk = k
     val localTopK = kernelRows(cq)
       .groupByKey(_.segment)
       .flatMapGroups { (seg, it) =>
-        val ctx = Searcher.makeContext(it, bNumDocs.value, seg)
+        val ctx = Searcher.makeContext(it, bNumDocs.value, seg, bDel.value)
         val topN = new TopNComputer(kk)
         QueryKernel.topK(bcq.value, ctx, kk, topN, seg.toLong << 32)
         topN.intoSortedVec().iterator.map { case (score, addr) =>
@@ -353,13 +367,14 @@ final class Searcher(spark: SparkSession, indexDir: String) extends Serializable
     val cq = plan(q)
     val bcq = spark.sparkContext.broadcast(cq)
     val bNumDocs = spark.sparkContext.broadcast(numDocsBySeg)
+    val bDel = bDeletes
     val sc = scored
     if (cq == CQuery.CEmpty)
       return Seq.empty[(Int, Int, Float)].toDF("segment", "docId", "score")
     kernelRows(cq)
       .groupByKey(_.segment)
       .flatMapGroups { (seg, it) =>
-        val ctx = Searcher.makeContext(it, bNumDocs.value, seg)
+        val ctx = Searcher.makeContext(it, bNumDocs.value, seg, bDel.value)
         QueryKernel.allMatches(bcq.value, ctx, sc).map { case (d, s) => (seg, d, s) }
       }.toDF("segment", "docId", "score")
   }
@@ -387,7 +402,7 @@ final class Searcher(spark: SparkSession, indexDir: String) extends Serializable
     val cq = plan(q0)
     if (cq == CQuery.CEmpty) return None
     val rows = kernelRows(cq).where(col("segment") === segment).collect()
-    val ctx = Searcher.makeContext(rows.iterator, numDocsBySeg, segment)
+    val ctx = Searcher.makeContext(rows.iterator, numDocsBySeg, segment, deleteTermsBySeg)
     QueryKernel.explain(cq, ctx, docId)
   }
 
@@ -400,7 +415,7 @@ final class Searcher(spark: SparkSession, indexDir: String) extends Serializable
     * (`src/query/weight.rs:78-85`) — a pruned metadata aggregate, no kernel.
     */
   def count(q: Query): Long = q match {
-    case Query.Term(f, t, _) =>
+    case Query.Term(f, t, _) if manifest.deletes.isEmpty =>
       postingsDF.where(col("field") === f && col("term") === t)
         .agg(sum("docFreq")).collect()(0) match {
           case r if r.isNullAt(0) => 0L
@@ -411,10 +426,11 @@ final class Searcher(spark: SparkSession, indexDir: String) extends Serializable
       if (cq == CQuery.CEmpty) return 0L
       val bcq = spark.sparkContext.broadcast(cq)
       val bNumDocs = spark.sparkContext.broadcast(numDocsBySeg)
+      val bDel = bDeletes
       kernelRows(cq)
         .groupByKey(_.segment)
         .mapGroups { (seg, it) =>
-          QueryKernel.count(bcq.value, Searcher.makeContext(it, bNumDocs.value, seg))
+          QueryKernel.count(bcq.value, Searcher.makeContext(it, bNumDocs.value, seg, bDel.value))
         }.collect().sum
   }
 }
@@ -425,7 +441,8 @@ object Searcher {
   /** Executor-side: assemble one segment's kernel context from its posting
     * rows (static — keeps the Searcher instance out of task closures).
     */
-  def makeContext(rows: Iterator[PostingRow], numDocsBySeg: Map[Int, Int], seg: Int)
+  def makeContext(rows: Iterator[PostingRow], numDocsBySeg: Map[Int, Int], seg: Int,
+      deleteTermsBySeg: Map[Int, Seq[(String, String)]] = Map.empty)
       : QueryKernel.SegmentContext = {
     val byKey = new scala.collection.mutable.HashMap[(String, String), PostingRow]()
     var norms: Array[Byte] = null
@@ -434,6 +451,28 @@ object Searcher {
       else byKey((r.field, r.term)) = r
     }
     val numDocs = numDocsBySeg.getOrElse(seg, if (norms != null) norms.length else 0)
+    // dead-doc set from the tombstoned terms' own postings (sorted, deduped)
+    val deleted: Array[Int] = deleteTermsBySeg.get(seg) match {
+      case None => Array.emptyIntArray
+      case Some(dts) =>
+        val buf = new scala.collection.mutable.ArrayBuffer[Int]()
+        dts.foreach { case (f, t) =>
+          byKey.get((f, t)).foreach { r =>
+            val (docs, _, _) =
+              graft.codec.PostingsCodec.decodeAll(r.docFreq, r.postings, r.skip, readFreqs = true)
+            buf ++= docs
+          }
+        }
+        val arr = buf.toArray
+        java.util.Arrays.sort(arr)
+        var w = 0
+        var i = 0
+        while (i < arr.length) {
+          if (w == 0 || arr(i) != arr(w - 1)) { arr(w) = arr(i); w += 1 }
+          i += 1
+        }
+        if (w == arr.length) arr else java.util.Arrays.copyOf(arr, w)
+    }
     // skip arrays parse once per term, shared by every cursor a query batch
     // opens on it (cursor setup O(1))
     val parsedCache = new scala.collection.mutable.HashMap[(String, String), graft.codec.ParsedSkip]()
@@ -443,6 +482,6 @@ object Searcher {
           val ps = parsedCache.getOrElseUpdate((f, t), new graft.codec.ParsedSkip(r.skip, r.docFreq))
           new graft.codec.SegmentPostings(r.postings, ps, r.positions, readFreqs = true)
         case None => null
-      })
+      }, deleted)
   }
 }

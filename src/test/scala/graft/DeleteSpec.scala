@@ -1,0 +1,116 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.analysis.Analyzer
+import graft.corpus.WebCorpus
+import graft.index._
+import graft.search._
+
+/** Delete-by-term: opstamp semantics, query-time exclusion (alive-bitset
+  * analog), and merge-time purge with docId compaction + exact stat
+  * recompute.
+  */
+class DeleteSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.spark
+
+  private val NumDocs = 500
+  private def freshIndex(): (String, IndexManifest) = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-del").toString
+    val m = IndexBuilder.build(spark, WebCorpus.generate(spark, NumDocs.toLong, 3).toDF(),
+      dir, IndexConfig(numPartitions = 4))
+    (dir, m)
+  }
+
+  private lazy val corpus: Map[String, Seq[String]] =
+    (0L until NumDocs.toLong).map { i =>
+      val d = WebCorpus.genDoc(i)
+      d.url -> Analyzer.terms(d.text).toSeq
+    }.toMap
+
+  test("query-time exclusion with unchanged scores; opstamp spares newer docs") {
+    val (dir, _) = freshIndex()
+    val s0 = new Searcher(spark, dir)
+    val q = Query.Term("text", "alpha")
+    val before = s0.topDocs(q, 20)
+    val countBefore = s0.count(q)
+
+    // delete two docs that are in the current top-20 and one without alpha
+    val dead = before.take(2).map(_.url)
+    val nonAlpha = corpus.collectFirst { case (u, t) if !t.contains("alpha") => u }.get
+    (dead :+ nonAlpha).foreach(u => Deleter.deleteKey(spark, dir, u))
+
+    val s1 = new Searcher(spark, dir)
+    assert(s1.manifest.deletes.size == 3)
+    val after = s1.topDocs(q, 20)
+    assert(!after.exists(h => dead.contains(h.url)))
+    // surviving docs keep their exact f32 scores (stats unchanged until merge)
+    val beforeScores = before.map(h => h.url -> h.score).toMap
+    after.foreach(h => beforeScores.get(h.url).foreach(sc => assert(sc == h.score, h.url)))
+    assert(s1.count(q) == countBefore - dead.count(u => corpus(u).contains("alpha")))
+    assert(s1.count(Query.All) == NumDocs - 3)
+    // allMatches excludes; explain of a dead doc is None
+    import spark.implicits._
+    val matchedUrls = s1.allMatches(q, scored = false)
+      .join(s1.docmapDF, Seq("segment", "docId")).select("url").as[String].collect().toSet
+    assert(dead.forall(u => !matchedUrls.contains(u)))
+    assert(s1.explain(q, dead.head).isEmpty)
+
+    // opstamp: re-adding one deleted url in a NEW segment revives the key
+    val idx = (0L until NumDocs.toLong).find(i => WebCorpus.genDoc(i).url == dead.head).get
+    val readd = WebCorpus.genDoc(idx)
+    val one = Seq((readd.url, readd.text, readd.lang, readd.warc_ts))
+      .toDF("url", "text", "lang", "warc_ts")
+    IndexBuilder.build(spark, one, dir, IndexConfig(numPartitions = 4), segmentBase = 100000)
+    val s2 = new Searcher(spark, dir)
+    val revived = s2.allMatches(Query.Term(s2.manifest.keyField, dead.head), scored = false)
+    assert(revived.count() == 1) // only the new copy is alive
+    assert(s2.count(Query.All) == NumDocs - 3 + 1)
+  }
+
+  test("merge purges dead docs: compacted ids, exact stats, positions intact") {
+    val (dir, _) = freshIndex()
+    val q = Query.Term("text", "alpha")
+    val phrase = Query.Phrase("text", Seq("alpha", "beta"))
+    val s0 = new Searcher(spark, dir)
+    val dead = s0.topDocs(q, 3).map(_.url)
+    dead.foreach(u => Deleter.deleteKey(spark, dir, u))
+    val s1 = new Searcher(spark, dir)
+    val aliveMatches = {
+      import spark.implicits._
+      s1.allMatches(q, scored = false).join(s1.docmapDF, Seq("segment", "docId"))
+        .select("url").as[String].collect().toSet
+    }
+    val phraseCountBefore = s1.count(phrase)
+
+    val m2 = SegmentMerger.mergeUntilStable(spark, dir,
+      SegmentMerger.LogMergePolicy(minNumSegments = 2, maxFanIn = 4))
+    assert(m2.deletes.isEmpty, "fully-applied tombstones leave the manifest")
+    assert(m2.totalDocs == NumDocs - dead.length)
+    val s2 = new Searcher(spark, dir)
+    import spark.implicits._
+    val mergedMatches = s2.allMatches(q, scored = false)
+      .join(s2.docmapDF, Seq("segment", "docId")).select("url").as[String].collect().toSet
+    assert(mergedMatches == aliveMatches)
+    assert(s2.count(phrase) == phraseCountBefore)
+
+    // post-purge stats are the ALIVE corpus stats: f32-exact score oracle
+    val alive = corpus -- dead
+    val n = alive.size.toLong
+    val totTokens = alive.values.map(_.size.toLong).sum
+    assert(m2.totalTokens == totTokens, "exact alive token total")
+    val df = alive.values.count(_.contains("alpha")).toLong
+    val w = Bm25.forOneTerm(df, n, totTokens.toFloat / n.toFloat)
+    val top = s2.topDocs(q, 5)
+    top.foreach { h =>
+      val toks = alive(h.url)
+      val expected = w.score(
+        FieldNorms.fieldNormToId(toks.size.toLong), toks.count(_ == "alpha"))
+      assert(expected == h.score, h.url)
+    }
+
+    // dead keys are physically gone from the docmap
+    assert(s2.docmapDF.where(org.apache.spark.sql.functions.col("url")
+      .isin(dead.toSeq: _*)).count() == 0)
+  }
+}
