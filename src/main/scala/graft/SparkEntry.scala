@@ -86,6 +86,10 @@ object SparkEntry {
     "q_search_phrase" -> ((s, d) => engineMatches(s, d, Query.Phrase("text", Seq("fast", "table")))),
     "q_search_regexphrase" -> ((s, d) => engineMatches(s, d,
       Query.RegexPhrase("text", Seq("fa.t", "tab.*")))),
+    "q_search_phraseprefix" -> ((s, d) => engineMatches(s, d,
+      Query.PhrasePrefix("text", Seq("fast", "tab"), maxExpansions = 1024))),
+    "q_search_slop" -> ((s, d) => engineMatches(s, d,
+      Query.Phrase("text", Seq("fast", "table"), slop = 1))),
     "q_search_prefix" -> ((s, d) => engineMatches(s, d, Query.Prefix("text", "str"))),
     "q_search_fuzzy" -> ((s, d) => engineMatches(s, d, Query.Fuzzy("text", "spark", 1))),
     "q_search_regexp" -> ((s, d) => engineMatches(s, d, Query.Regexp("text", "ta.le"))),
@@ -268,6 +272,8 @@ object SparkEntry {
     "q_search_not" -> OracleSql.searchNot,
     "q_search_phrase" -> OracleSql.searchPhrase,
     "q_search_regexphrase" -> OracleSql.searchRegexPhrase,
+    "q_search_phraseprefix" -> OracleSql.searchPhrasePrefix,
+    "q_search_slop" -> OracleSql.searchSlop,
     "q_search_prefix" -> OracleSql.searchPrefix,
     "q_search_fuzzy" -> OracleSql.searchFuzzy,
     "q_search_regexp" -> OracleSql.searchRegexp,

@@ -32,6 +32,16 @@ object OracleSql {
   val searchRegexPhrase: String =
     "SELECT doc_id FROM documents WHERE regexp_matches(lower(text), " +
       "'(^|[^a-z0-9])fa[a-z0-9]t[^a-z0-9]+tab[a-z0-9]*([^a-z0-9]|$)')"
+  /** Phrase prefix `"fast tab*"`: last slot is a prefix over the dictionary. */
+  val searchPhrasePrefix: String =
+    "SELECT doc_id FROM documents WHERE regexp_matches(lower(text), " +
+      "'(^|[^a-z0-9])fast[^a-z0-9]+tab[a-z0-9]*([^a-z0-9]|$)')"
+  /** 2-term slop 1: adjacency or exactly one intervening token (abs-distance
+    * semantics — transposition costs 2, so order cannot swap at slop 1).
+    */
+  val searchSlop: String =
+    "SELECT doc_id FROM documents WHERE regexp_matches(lower(text), " +
+      "'(^|[^a-z0-9])fast[^a-z0-9]+([a-z0-9]+[^a-z0-9]+)?table([^a-z0-9]|$)')"
   val searchPrefix: String =
     s"WITH $T SELECT doc_id FROM t WHERE len(list_filter(toks, x -> x LIKE 'str%')) > 0"
   val searchFuzzy: String =
