@@ -18,11 +18,14 @@ object BlockWand {
     */
   def run(scorersIn: Seq[TermScorer], threshold0: Float, callback: (Int, Float) => Float): Unit = {
     var threshold = threshold0
-    val buf = scala.collection.mutable.ArrayBuffer[TermScorer]()
-    scorersIn.foreach(s => if (!s.isTerminated) buf += s)
-    var scorers = buf.sortBy(_.doc)
+    val scorers = scala.collection.mutable.ArrayBuffer[TermScorer]()
+    scorersIn.foreach(s => if (!s.isTerminated) scorers += s)
+    sortByDoc(scorers)
+    // reusable scratch for query-leg-order scoring: the hot loop must not
+    // allocate (every matched doc passes through it when pruning can't bite)
+    val scratch = new Array[TermScorer](scorers.length)
 
-    while (true) {
+    while (scorers.nonEmpty) {
       // find pivot (block_wand.rs:16-43)
       var maxScoreSum = 0.0f
       var beforePivotLen = 0
@@ -50,19 +53,41 @@ object BlockWand {
       } else if (alignScorers(scorers, pivotDoc, beforePivotLen)) {
         // all scorers [0, pivotLen) positioned on pivotDoc: score it,
         // summing in canonical query-leg order (bit-identical to the
-        // exhaustive Union path)
-        var s = 0.0f
-        val onPivot = scorers.take(pivotLen).sortBy(_.ord)
+        // exhaustive Union path); insertion sort on the scratch array,
+        // no allocation
         i = 0
-        while (i < pivotLen) { s += onPivot(i).score; i += 1 }
+        while (i < pivotLen) { scratch(i) = scorers(i); i += 1 }
+        i = 1
+        while (i < pivotLen) {
+          val t = scratch(i)
+          var j = i - 1
+          while (j >= 0 && scratch(j).ord > t.ord) { scratch(j + 1) = scratch(j); j -= 1 }
+          scratch(j + 1) = t
+          i += 1
+        }
+        var s = 0.0f
+        i = 0
+        while (i < pivotLen) { s += scratch(i).score; i += 1 }
         if (s > threshold) threshold = callback(pivotDoc, s)
         // advance all scorers on the pivot (block_wand.rs:131-146)
         i = 0
         while (i < pivotLen) { scorers(i).advance(); i += 1 }
-        scorers = scorers.filter(!_.isTerminated).sortBy(_.doc)
-        if (scorers.isEmpty) return
+        sortByDoc(scorers) // mostly sorted: insertion restore, in place
+        removeTerminated(scorers)
       }
       // else: align failed; outer loop re-picks a pivot (ordering restored inside)
+    }
+  }
+
+  /** In-place insertion sort by current doc (inputs are nearly sorted). */
+  private def sortByDoc(a: scala.collection.mutable.ArrayBuffer[TermScorer]): Unit = {
+    var i = 1
+    while (i < a.length) {
+      val t = a(i)
+      var j = i - 1
+      while (j >= 0 && a(j).doc > t.doc) { a(j + 1) = a(j); j -= 1 }
+      a(j + 1) = t
+      i += 1
     }
   }
 

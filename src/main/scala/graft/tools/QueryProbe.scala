@@ -38,6 +38,16 @@ object QueryProbe {
       Query.Phrase("text", Seq("alpha", "beta")),
       Query.should(Query.Term("text", "w00010"), Query.Term("text", "w00050"), Query.Term("text", "w00200")))
     searcher.batchTopDocs(qs, 10) // warm (footers, codegen, df stats) — as Bench does
+    if (sys.env.contains("QPROBE_PER_TYPE")) {
+      val names = Seq("term", "and2", "or3", "not", "phrase", "rare-or3")
+      qs.zip(names).foreach { case (q, name) =>
+        val b = Seq.fill(mult)(q)
+        val t0 = System.nanoTime()
+        searcher.batchTopDocs(b, 10)
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"[qtype] $name%-9s n=$mult wall=$sec%6.2f s qps=${mult / sec}%7.1f")
+      }
+    }
     val batch = Seq.fill(mult)(qs).flatten
     val t0 = System.nanoTime()
     val res = searcher.batchTopDocs(batch, 10)
