@@ -275,22 +275,27 @@ final class PhraseScorer(
     termPostings.map(p => new PhraseScorer.LegScorer(p): Scorer)
   private val inter = new Intersection(legs)
   private var phraseFreq = 0
+  // reused across docs: holds each leg's offset-adjusted positions
+  // (initialized before the constructor's first advanceToMatch below)
+  private val posBufs = new Array[Array[Int]](termPostings.length)
   advanceToMatch(first = true)
 
   private def countOccurrences(): Int = {
     // decode in phrase order; cursors require ascending doc which holds.
     // positions are offset-adjusted by the term's phrase index so a match is
-    // equality (the reference reads positions with that offset built in).
-    val positions: Array[Array[Int]] = termPostings.zipWithIndex.map { case (p, t) =>
-      val raw = p.positionsForCurrent()
-      if (t == 0) raw
-      else {
-        val out = new Array[Int](raw.length)
+    // equality (the reference reads positions with that offset built in);
+    // the decode output is owned here, so the adjust is in place
+    var t0 = 0
+    while (t0 < termPostings.length) {
+      val raw = termPostings(t0).positionsForCurrent()
+      if (t0 > 0) {
         var i = 0
-        while (i < raw.length) { out(i) = raw(i) - t; i += 1 }
-        out
+        while (i < raw.length) { raw(i) -= t0; i += 1 }
       }
+      posBufs(t0) = raw
+      t0 += 1
     }
+    val positions = posBufs
     if (slop == 0) {
       // exact: repeated sorted-array intersection (phrase_scorer.rs:111-136)
       var left = positions(0)
