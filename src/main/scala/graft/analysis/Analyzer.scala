@@ -179,4 +179,96 @@ object Analyzer extends Serializable {
     if (ts.length < n) { if (ts.isEmpty) Set.empty else Set(ts.mkString(" ")) }
     else (0 to ts.length - n).map(i => ts.slice(i, i + n).mkString(" ")).toSet
   }
+
+  // ---------------------------------------------- auxiliary analyzers (§2.5)
+
+  /** NgramTokenizer (`src/tokenizer/ngram_tokenizer.rs:10-30`): every
+    * codepoint n-gram with minGram <= len <= maxGram, emitted in start
+    * order, shorter grams first; `prefixOnly` keeps only grams anchored at
+    * the text start. All positions are 0, exactly like the reference.
+    */
+  def ngramTokens(text: String, minGram: Int, maxGram: Int,
+      prefixOnly: Boolean = false): ArrayBuffer[Token] = {
+    require(minGram > 0, "minGram must be greater than 0")
+    require(minGram <= maxGram, "minGram must not be greater than maxGram")
+    // codepoint frontiers (char offsets at codepoint boundaries)
+    val frontiers = new ArrayBuffer[Int]()
+    var i = 0
+    frontiers += 0
+    while (i < text.length) {
+      i += Character.charCount(text.codePointAt(i))
+      frontiers += i
+    }
+    val out = new ArrayBuffer[Token]()
+    var a = 0
+    val lastStart = frontiers.length - 1 - minGram
+    while (a <= lastStart && (!prefixOnly || a == 0)) {
+      var g = minGram
+      while (g <= maxGram && a + g < frontiers.length) {
+        out += Token(text.substring(frontiers(a), frontiers(a + g)), 0,
+          frontiers(a), frontiers(a + g))
+        g += 1
+      }
+      a += 1
+    }
+    out
+  }
+
+  /** RegexTokenizer (`src/tokenizer/regex_tokenizer.rs`): one token per
+    * regex match, ordinal positions.
+    */
+  def regexTokens(text: String, pattern: String): ArrayBuffer[Token] = {
+    val m = java.util.regex.Pattern.compile(pattern).matcher(text)
+    val out = new ArrayBuffer[Token]()
+    var pos = -1
+    while (m.find()) {
+      pos += 1
+      out += Token(m.group(), pos, m.start(), m.end())
+    }
+    out
+  }
+
+  /** FacetTokenizer (`src/tokenizer/facet_tokenizer.rs:4-11`): a path facet
+    * `/a/b/c` emits itself and every ancestor, root-first:
+    * `/a`, `/a/b`, `/a/b/c`. Positions are all 0.
+    */
+  def facetTokens(path: String): ArrayBuffer[Token] = {
+    val out = new ArrayBuffer[Token]()
+    if (path.isEmpty || path == "/") return out
+    var idx = path.indexOf('/', 1)
+    while (idx != -1) {
+      out += Token(path.substring(0, idx), 0, 0, idx)
+      idx = path.indexOf('/', idx + 1)
+    }
+    out += Token(path, 0, 0, path.length)
+    out
+  }
+
+  /** AlphaNumOnlyFilter (`src/tokenizer/alphanum_only.rs`): drop tokens
+    * containing any non-alphanumeric codepoint (position gaps remain).
+    */
+  def alphaNumOnly(toks: ArrayBuffer[Token]): ArrayBuffer[Token] =
+    toks.filter { t =>
+      var i = 0
+      var ok = true
+      while (ok && i < t.text.length) {
+        val cp = t.text.codePointAt(i)
+        ok = isAlphanumeric(cp)
+        i += Character.charCount(cp)
+      }
+      ok
+    }
+
+  /** StopWordFilter (`src/tokenizer/stop_word_filter`): drop members of the
+    * stop set; dropped tokens leave position gaps like every filter.
+    */
+  def removeStopWords(toks: ArrayBuffer[Token], stopWords: Set[String]): ArrayBuffer[Token] =
+    toks.filterNot(t => stopWords.contains(t.text))
+
+  /** The classic Lucene/tantivy English stop list (35 terms). */
+  val EnglishStopWords: Set[String] = Set(
+    "a", "an", "and", "are", "as", "at", "be", "but", "by", "for", "if",
+    "in", "into", "is", "it", "no", "not", "of", "on", "or", "such", "that",
+    "the", "their", "then", "there", "these", "they", "this", "to", "was",
+    "will", "with")
 }
