@@ -125,19 +125,27 @@ object PipelineOps {
     * 100 TB: shuffle keyed by shingle, combine keyed by pair.
     */
   def ngramJaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
-    val sh = withShingles(docs).select(col("doc_id"), col("sh"))
-    val sizes = sh.select(col("doc_id"), size(col("sh")).as("sz"))
-    // join/shuffle on the 64-bit shingle hash, not the string: ~4x smaller
-    // shuffle rows and cheaper equality; |A ∩ B| is unchanged absent a
-    // same-pair xxhash64 collision (P ~ |shingles|^2 / 2^64)
-    val ex = sh.select(col("doc_id"), explode(col("sh")).as("s0"))
-      .select(col("doc_id"), xxhash64(col("s0")).as("s"))
-    val inter = ex.toDF("ia", "s").join(ex.toDF("ib", "s2"),
-        col("s") === col("s2") && col("ia") < col("ib"))
-      .groupBy("ia", "ib").agg(count(lit(1)).cast("double").as("inter"))
-    inter
-      .join(broadcast(sizes.toDF("ia", "sza")), "ia")
-      .join(broadcast(sizes.toDF("ib", "szb")), "ib")
+    // exact set-similarity join with PREFIX FILTERING (AllPairs, Bayardo et
+    // al. 2007): order each doc's shingles by a global total order (their
+    // 64-bit hash), and explode only the first |A| - ceil(t*|A|) + 1 of
+    // them — any pair with Jaccard >= t MUST share a prefix token, so
+    // candidate generation is exact while the hot-shingle pair blowup
+    // shrinks. Candidates verify against the full sorted hash arrays.
+    // Hashing is collision-safe in expectation (P ~ |shingles|^2 / 2^64).
+    val sized = withShingles(docs)
+      .select(col("doc_id"),
+        array_sort(transform(col("sh"), s => xxhash64(s))).as("hs"))
+      .withColumn("sz", size(col("hs")))
+      .withColumn("plen", (col("sz") - ceil(col("sz") * threshold) + 1).cast("int"))
+    val pref = sized.select(col("doc_id"),
+      explode(slice(col("hs"), lit(1), col("plen"))).as("p"))
+    val cand = pref.toDF("ia", "p").join(pref.toDF("ib", "p2"),
+        col("p") === col("p2") && col("ia") < col("ib"))
+      .select("ia", "ib").distinct()
+    cand
+      .join(sized.select(col("doc_id").as("ia"), col("hs").as("ha"), col("sz").as("sza")), "ia")
+      .join(sized.select(col("doc_id").as("ib"), col("hs").as("hb"), col("sz").as("szb")), "ib")
+      .withColumn("inter", size(array_intersect(col("ha"), col("hb"))).cast("double"))
       .select(col("ia"), col("ib"),
         (col("inter") / (col("sza") + col("szb") - col("inter"))).as("j"))
       .where(col("j") >= threshold)
