@@ -159,12 +159,17 @@ object PipelineOps {
     */
   def dedupMinHash(docs: DataFrame, threshold: Double): DataFrame = {
     val sh = withShingles(docs).select(col("doc_id"), col("sh"))
-    val exploded = sh.select(col("doc_id"), explode(col("sh")).as("tok"))
-      .withColumn("h", expr(TokHashSpark))
-    val minhashAggs = MinHashA.indices.map { i =>
-      min(expr(s"(h * ${MinHashA(i)}L + ${MinHashB(i)}L) % ${MinHashP}L")).as(s"mh$i")
+    // signatures as per-row array ops — no explode, no shuffle: each doc's
+    // min over its hashed shingles per permutation computes inside
+    // whole-stage codegen (identical values to the exploded groupBy form)
+    val hashed = sh.withColumn("hh",
+      expr("transform(sh, tok -> " + TokHashSpark + ")"))
+    val minhashCols = MinHashA.indices.map { i =>
+      expr(s"array_min(transform(hh, h -> (h * ${MinHashA(i)}L + ${MinHashB(i)}L) % ${MinHashP}L))")
+        .as(s"mh$i")
     }
-    val sigs = exploded.groupBy("doc_id").agg(minhashAggs.head, minhashAggs.tail: _*)
+    val sigs = hashed.select(col("doc_id") +: col("sh") +: minhashCols: _*)
+      .drop("sh")
     val bandCols = (0 until Bands).map { b =>
       val parts = (0 until RowsPerBand).map(r => col(s"mh${b * RowsPerBand + r}"))
       struct(lit(b).as("band"), concat_ws("_", parts: _*).as("sig"))
