@@ -322,10 +322,13 @@ object SparkEntry {
     val t = PipelineOps.withTokens(documents).select(col("doc_id"), col("toks"))
     val stats = t.agg(count(lit(1)).cast("long").as("n"),
       sum(size(col("toks"))).cast("long").as("tot"))
-    val norms = FieldNorms.Table.toSeq.toDF("val")
-    val dl = t.select(col("doc_id"), size(col("toks")).as("dl"))
-    val dlq = dl.crossJoin(broadcast(norms)).where(col("val") <= col("dl"))
-      .groupBy("doc_id").agg(max("val").as("dlq"))
+    // quantized doc length = max table value <= dl, as a per-row fold over
+    // the 256-entry literal table (no join, stays in codegen)
+    val tableLit = typedlit(FieldNorms.Table.toSeq)
+    val dlq = t.select(col("doc_id"), size(col("toks")).as("dl"))
+      .select(col("doc_id"),
+        aggregate(tableLit, lit(0L),
+          (acc, x) => when(x <= col("dl"), greatest(acc, x)).otherwise(acc)).as("dlq"))
     val tf = t.select(col("doc_id"), explode(col("toks")).as("tok"))
       .where(col("tok").isin(terms: _*))
       .groupBy("doc_id", "tok").agg(count(lit(1)).cast("long").as("tf"))
