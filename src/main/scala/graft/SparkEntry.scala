@@ -100,15 +100,14 @@ object SparkEntry {
     "q_count_matrix" -> ((s, d) => {
       import s.implicits._
       val sr = searcherFor(s, d)
-      Seq(
-        ("spark", sr.count(Query.Term("text", "spark"))),
-        ("vector", sr.count(Query.Term("text", "vector"))),
-        ("spark_and_table", sr.count(Query.must(
-          Query.Term("text", "spark"), Query.Term("text", "table")))),
-        ("vector_or_stream", sr.count(Query.should(
-          Query.Term("text", "vector"), Query.Term("text", "stream")))),
-        ("all_docs", sr.count(Query.All))
-      ).toDF("label", "cnt")
+      val labels = Seq("spark", "vector", "spark_and_table", "vector_or_stream", "all_docs")
+      val counts = sr.batchCount(Seq(
+        Query.Term("text", "spark"),
+        Query.Term("text", "vector"),
+        Query.must(Query.Term("text", "spark"), Query.Term("text", "table")),
+        Query.should(Query.Term("text", "vector"), Query.Term("text", "stream")),
+        Query.All))
+      labels.zip(counts).toDF("label", "cnt")
     }),
 
     // --- snippets + more-like-this (engine-backed; no SQL-expressible

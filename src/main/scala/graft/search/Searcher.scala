@@ -254,6 +254,31 @@ final class Searcher(spark: SparkSession, indexDir: String) extends Serializable
       r
     }
 
+  /** Many counts in ONE job: shared stats aggregate, one pruned scan of the
+    * union of all query terms, one kernel task per segment running every
+    * query's count, driver-side summing of the tiny per-segment results.
+    */
+  def batchCount(qs: Seq[Query]): Seq[Long] = {
+    val cqs = planAll(qs)
+    val live = cqs.zipWithIndex.filter(_._1 != CQuery.CEmpty)
+    if (live.isEmpty) return qs.map(_ => 0L)
+    val bcq = spark.sparkContext.broadcast(live)
+    val bNumDocs = spark.sparkContext.broadcast(numDocsBySeg)
+    val bDel = bDeletes
+    val allTerms = live.map(_._1).flatMap(CQuery.termsOf).toSet
+    val termCond = termsCond(allTerms ++ allDeleteTerms)
+    val normsCond = col("field") === PostingRow.NormsField && col("term") === manifest.textField
+    val counts = postingsDF.where(termCond || normsCond).as[PostingRow]
+      .groupByKey(_.segment)
+      .flatMapGroups { (seg, it) =>
+        val ctx = Searcher.makeContext(it, bNumDocs.value, seg, bDel.value)
+        bcq.value.iterator.map { case (cq, qi) => (qi, QueryKernel.count(cq, ctx)) }
+      }
+      .collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    qs.indices.map(qi => counts.getOrElse(qi, 0L))
+  }
+
   private def batchTopDocsInner(qs: Seq[Query], k: Int): Seq[Array[SearchHit]] = {
     val cqs = timed("plan")(planAll(qs))
     val live = cqs.zipWithIndex.filter(_._1 != CQuery.CEmpty)

@@ -233,6 +233,16 @@ class EndToEndSpec extends AnyFunSuite {
     }
   }
 
+  test("batchCount == per-query count") {
+    val qs: Seq[Query] = Seq(
+      Query.Term("text", "alpha"),
+      Query.must(Query.Term("text", "alpha"), Query.Term("text", "beta")),
+      Query.should(Query.Term("text", "beta"), Query.Term("text", "gamma")),
+      Query.Term("text", "zzzmissing"),
+      Query.All)
+    assert(searcher.batchCount(qs) == qs.map(searcher.count))
+  }
+
   test("build determinism: second build of same corpus is identical") {
     val dir2 = java.nio.file.Files.createTempDirectory("graft-e2e2").toString
     val docs = WebCorpus.generate(spark, NumDocs.toLong, 7) // different gen parallelism
