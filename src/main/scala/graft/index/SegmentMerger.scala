@@ -177,10 +177,13 @@ object SegmentMerger {
           bcMap.value(s)._2 + d - (-idx - 1)
         }
         if (field == PostingRow.DocField) {
-          // doc-map row: unique per (segment, url) — rebase or drop if dead
-          val r = sorted.head
-          if (java.util.Arrays.binarySearch(deletedOf(r.segment), r.docFreq) >= 0) Iterator.empty
-          else Iterator.single(r.copy(segment = newSeg, docFreq = rebase(r.segment, r.docFreq)))
+          // doc-map rows: one per (segment, url). A delete→re-add flow puts
+          // the SAME url in two group segments (dead old copy + alive new
+          // copy) — drop dead rows first, then rebase every survivor, so the
+          // re-added doc's map row is never shadowed by the dead one.
+          sorted.iterator
+            .filter(r => java.util.Arrays.binarySearch(deletedOf(r.segment), r.docFreq) < 0)
+            .map(r => r.copy(segment = newSeg, docFreq = rebase(r.segment, r.docFreq)))
         } else if (field == PostingRow.NormsField) {
           // norms: concatenation in group order, dead bytes dropped
           val total = sorted.map(r => r.postings.length - deletedOf(r.segment).length).sum

@@ -113,4 +113,34 @@ class DeleteSpec extends AnyFunSuite {
     assert(s2.docmapDF.where(org.apache.spark.sql.functions.col("url")
       .isin(dead.toSeq: _*)).count() == 0)
   }
+
+  test("merge across delete→re-add boundary keeps the re-added doc-map row") {
+    import spark.implicits._
+    val (dir, _) = freshIndex()
+    val s0 = new Searcher(spark, dir)
+    val victim = s0.topDocs(Query.Term("text", "alpha"), 1).head.url
+    Deleter.deleteKey(spark, dir, victim)
+    // re-add the same url in a NEW segment; the merge group below contains
+    // both the dead old copy and the alive new copy of this url
+    val idx = (0L until NumDocs.toLong).find(i => WebCorpus.genDoc(i).url == victim).get
+    val readd = WebCorpus.genDoc(idx)
+    IndexBuilder.build(spark,
+      Seq((readd.url, readd.text, readd.lang, readd.warc_ts))
+        .toDF("url", "text", "lang", "warc_ts"),
+      dir, IndexConfig(numPartitions = 4), segmentBase = 100000)
+
+    val m = SegmentMerger.mergeUntilStable(spark, dir,
+      SegmentMerger.LogMergePolicy(minNumSegments = 2, maxFanIn = 16))
+    assert(m.totalDocs == NumDocs, "one dead copy purged, one alive re-add kept")
+    val s2 = new Searcher(spark, dir)
+    // the doc-map row survived: fetch join resolves the url, exactly once
+    assert(s2.docmapDF.where(org.apache.spark.sql.functions.col("url") === victim)
+      .count() == 1)
+    val hits = s2.topDocs(Query.Term(s2.manifest.keyField, victim), 10)
+    assert(hits.map(_.url).toSeq == Seq(victim))
+    // and the alive copy still matches content queries end-to-end
+    val matched = s2.allMatches(Query.Term("text", "alpha"), scored = false)
+      .join(s2.docmapDF, Seq("segment", "docId")).select("url").as[String].collect().toSet
+    assert(matched.contains(victim) == corpus(victim).contains("alpha"))
+  }
 }
