@@ -1,0 +1,79 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.ops.PipelineOps
+
+/** Embedding similarity operators: the block-matrix near-dup kernel must be
+  * value-identical to the declarative expression form (same double
+  * arithmetic order), and the multi-probe LSH ANN must hit a measured
+  * recall@10 floor against the exact scan.
+  */
+class SimilaritySpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.spark
+
+  /** Deterministic clustered embeddings (dim 64 like the driver's table):
+    * `nClusters` unit-ish centroids, each vector = centroid + seeded noise,
+    * so near-dup pairs above 0.35 and meaningful nearest neighbors exist.
+    */
+  private def genEmbeddings(n: Int, nClusters: Int = 12, noise: Double = 0.35): DataFrame = {
+    import spark.implicits._
+    val dim = 64
+    val rnd = new scala.util.Random(42)
+    val centroids = Array.fill(nClusters, dim)(rnd.nextGaussian())
+    val rows = (0L until n.toLong).map { i =>
+      val r = new scala.util.Random(1000 + i)
+      val c = centroids((i % nClusters).toInt)
+      val v = Array.tabulate(dim)(d => (c(d) + noise * r.nextGaussian()).toFloat)
+      (i, v.toSeq)
+    }
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("block-matrix near-dup kernel == expression-form cartesian (bit-exact)") {
+    val e = genEmbeddings(300)
+    val threshold = 0.35
+    // the pre-kernel declarative form (what the DuckDB oracle mirrors)
+    val a = e.select(col("vec_id").as("ia"), col("embedding").cast("array<double>").as("va"))
+    val b = e.select(col("vec_id").as("ib"), col("embedding").cast("array<double>").as("vb"))
+    val expected = a.crossJoin(b).where(col("ia") < col("ib"))
+      .select(col("ia"), col("ib"),
+        PipelineOps.cosineExpr(col("va"), col("vb")).as("c"))
+      .where(col("c") >= threshold)
+      .select(col("ia"), col("ib"), round(col("c"), 4).as("cos"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(expected.nonEmpty, "generator must produce near-dup pairs")
+
+    for (blocks <- Seq(1, 4, 32)) {
+      val got = PipelineOps.embeddingNearDupPairs(e, threshold, blocks)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == expected, s"blocks=$blocks")
+    }
+  }
+
+  test("multi-probe LSH ANN: recall@10 >= 0.8 vs exact cosine top-k") {
+    val e = genEmbeddings(1000)
+    val queries = Seq(0L, 7L, 123L, 500L, 999L)
+    val recalls = queries.map { q =>
+      val exact = PipelineOps.cosineTopK(e, q, 10)
+        .collect().map(_.getLong(0)).toSet
+      val ann = PipelineOps.annTopK(e, q, 10, nBits = 8, maxHamming = 2)
+        .collect().map(_.getLong(0)).toSet
+      // ANN cos values for returned ids match the exact computation
+      exact.intersect(ann).size.toDouble / exact.size
+    }
+    val mean = recalls.sum / recalls.size
+    info(f"recall@10 per query: ${recalls.map(r => f"$r%.2f").mkString(", ")} (mean $mean%.3f)")
+    assert(mean >= 0.8, s"mean recall@10 $mean below 0.8 gate")
+  }
+
+  test("single-bucket vs multi-probe: probing strictly widens candidates") {
+    val e = genEmbeddings(1000)
+    val single = PipelineOps.annTopK(e, 0L, 10, nBits = 8, maxHamming = 0).count()
+    val probed = PipelineOps.annTopK(e, 0L, 10, nBits = 8, maxHamming = 2).count()
+    assert(probed >= single)
+    assert(probed <= 10)
+  }
+}
