@@ -39,11 +39,17 @@ object SparkEntry {
         fs.delete(new org.apache.hadoop.fs.Path(dir), true)
       }
       if (graft.index.IndexManifest.read(spark, dir).isEmpty) {
+        // deterministic per-doc timestamp (doc_id % 720 hours into 2025-01)
+        // so date ranges are non-trivial; indexed both as a fast field (ts)
+        // and as typed micros terms for in-engine range queries
         val in = docs(spark, sfDir)
-          .withColumn("warc_ts", to_timestamp(lit("2025-01-01 00:00:00")))
+          .withColumn("warc_ts",
+            expr("timestampadd(HOUR, cast(doc_id % 720 as int), timestamp'2025-01-01 00:00:00')"))
+          .withColumn("ts_micros", expr("unix_micros(warc_ts)"))
         IndexBuilder.build(spark, in, dir, IndexConfig(
           numPartitions = 4, keyField = "doc_id", textField = "text",
-          langField = "lang", tsField = "warc_ts"))
+          langField = "lang", tsField = "warc_ts",
+          longFields = Seq("n_chars", "ts_micros")))
       }
       dir
     })
@@ -97,6 +103,18 @@ object SparkEntry {
       Query.TermSet("text", Seq("spark", "vector", "window")))),
     "q_search_range" -> ((s, d) => engineMatches(s, d,
       Query.TermRange("text", Some("table"), Some("tables")))),
+    // typed numeric/date term ranges INSIDE a boolean engine query (the
+    // order-preserving term-encoding path; kernels walk their own dictionary)
+    "q_search_range_numeric" -> ((s, d) => engineMatches(s, d,
+      Query.must(Query.Term("text", "spark"),
+        Query.longRange("n_chars", Some(500L), Some(1500L))))),
+    "q_search_range_date" -> ((s, d) => {
+      def utcMicros(iso: String) = java.time.Instant.parse(iso).toEpochMilli * 1000L
+      engineMatches(s, d, Query.must(Query.Term("text", "table"),
+        Query.longRange("ts_micros",
+          Some(utcMicros("2025-01-10T00:00:00Z")),
+          Some(utcMicros("2025-01-20T00:00:00Z")), loInclusive = true, hiInclusive = false)))
+    }),
     "q_count_matrix" -> ((s, d) => {
       import s.implicits._
       val sr = searcherFor(s, d)
@@ -278,6 +296,8 @@ object SparkEntry {
     "q_search_regexp" -> OracleSql.searchRegexp,
     "q_search_termset" -> OracleSql.searchTermSet,
     "q_search_range" -> OracleSql.searchRange,
+    "q_search_range_numeric" -> OracleSql.searchRangeNumeric,
+    "q_search_range_date" -> OracleSql.searchRangeDate,
     "q_count_matrix" -> OracleSql.countMatrix,
     "q_bm25_scores" -> OracleSql.bm25Scores(Seq("spark", "vector")),
     "q_token_count" -> OracleSql.tokenCount,

@@ -24,15 +24,24 @@ final case class IndexConfig(
     langField: String = "lang",
     tsField: String = "warc_ts",
     maxDocsPerSegment: Int = 1 << 21,
-    storePositions: Boolean = true) {
+    storePositions: Boolean = true,
+    /** Numeric columns indexed as TYPED terms: each value becomes one
+      * order-preserving `TypedTerms.encodeLong` term in the field's own term
+      * space (the reference's u64/i64/date term encoding,
+      * `src/schema/field_type.rs:53-74`) — `Query.longRange`/`longTerm` then
+      * range-scan the dictionary inside boolean engine queries.
+      */
+    longFields: Seq[String] = Nil) {
   /** chunk ordinal cap per partition — segment id = pid * ChunksPerPartition + chunk */
   def rawFields: Seq[String] = Seq(keyField, langField)
 }
 
 /** Normalized input row for the builder (public: Catalyst codegen
-  * instantiates it in generated deserializers).
+  * instantiates it in generated deserializers). `longs` holds the typed
+  * numeric field values aligned with `IndexConfig.longFields` (nulls absent).
   */
-final case class InDoc(key: String, text: String, lang: String, ts: java.sql.Timestamp)
+final case class InDoc(key: String, text: String, lang: String, ts: java.sql.Timestamp,
+    longs: Map[String, Long])
 
 object IndexBuilder {
 
@@ -69,11 +78,17 @@ object IndexBuilder {
     cleanUnfinished(spark, indexDir, done, segmentBase,
       segmentBase + cfg.numPartitions * ChunksPerPartition)
 
+    val longsCol =
+      if (cfg.longFields.isEmpty) typedlit(Map.empty[String, Long])
+      else map_filter(
+        map(cfg.longFields.flatMap(f => Seq(lit(f), col(f).cast("long"))): _*),
+        (_, v) => v.isNotNull)
     val in: Dataset[InDoc] = source.select(
         col(cfg.keyField).cast("string").as("key"),
         col(cfg.textField).cast("string").as("text"),
         col(cfg.langField).cast("string").as("lang"),
-        col(cfg.tsField).cast("timestamp").as("ts"))
+        col(cfg.tsField).cast("timestamp").as("ts"),
+        longsCol.as("longs"))
       .as[InDoc]
 
     val parted = in
@@ -195,13 +210,20 @@ object IndexBuilder {
       }
       norms(docId) = graft.index.FieldNorms.fieldNormToId(toks.length.toLong)
       totalTokens += toks.length
-      // raw fields: whole value = one term (RawTokenizer)
+      // raw fields: whole value = one term (RawTokenizer); typed long fields:
+      // one order-preserving encoded term per value
       Seq(cfg.keyField -> d.key, cfg.langField -> d.lang).foreach { case (f, v) =>
         if (v != null) {
           var vec = raw.get((f, v))
           if (vec == null) { vec = new IntVec(); raw.put((f, v), vec) }
           vec += docId
         }
+      }
+      d.longs.foreach { case (f, v) =>
+        val key = (f, TypedTerms.encodeLong(v))
+        var vec = raw.get(key)
+        if (vec == null) { vec = new IntVec(); raw.put(key, vec) }
+        vec += docId
       }
       docId += 1
     }

@@ -52,6 +52,17 @@ object OracleSql {
     s"WITH $T SELECT doc_id FROM t WHERE len(list_filter(toks, x -> x IN ('spark','vector','window'))) > 0"
   val searchRange: String =
     s"WITH $T SELECT doc_id FROM t WHERE len(list_filter(toks, x -> x >= 'table' AND x < 'tables')) > 0"
+  /** Typed numeric range inside a boolean query: token match AND value range. */
+  val searchRangeNumeric: String =
+    s"WITH $T SELECT t.doc_id FROM t JOIN documents d ON t.doc_id = d.doc_id " +
+      "WHERE list_contains(t.toks, 'spark') AND d.n_chars >= 500 AND d.n_chars <= 1500"
+  /** Typed date range: the engine indexes unix_micros(warc_ts) where warc_ts
+    * = 2025-01-01 + (doc_id % 720) hours (SparkEntry's derivation).
+    */
+  val searchRangeDate: String =
+    s"WITH $T SELECT doc_id FROM t WHERE list_contains(toks, 'table') " +
+      "AND (TIMESTAMP '2025-01-01 00:00:00' + (doc_id % 720) * INTERVAL 1 HOUR) >= TIMESTAMP '2025-01-10 00:00:00' " +
+      "AND (TIMESTAMP '2025-01-01 00:00:00' + (doc_id % 720) * INTERVAL 1 HOUR) < TIMESTAMP '2025-01-20 00:00:00'"
 
   val countMatrix: String = {
     def c(pred: String) = s"(SELECT count(*) FROM t WHERE $pred)"

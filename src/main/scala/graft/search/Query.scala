@@ -43,11 +43,37 @@ object Query {
   final case class Boost(inner: Query, boost: Float) extends Query
   final case class ConstScore(inner: Query, score: Float) extends Query
   final case class DisjunctionMax(disjuncts: Seq[Query], tieBreaker: Float = 0.0f) extends Query
+  /** Range over a TYPED term field (numeric/date values indexed through
+    * `TypedTerms` order-preserving encodings — `src/query/range_query/
+    * range_query.rs:16-71`). Unlike `TermRange` (driver-side dictionary
+    * expansion, capped), the bounds ship to the kernels, which walk their own
+    * segment dictionary and union matching postings into a bitset — the
+    * reference's `BitSetDocSet` fast-field-less range path. Constant score.
+    */
+  final case class TypedRange(field: String, lo: Option[String], hi: Option[String],
+      loInclusive: Boolean = true, hiInclusive: Boolean = true) extends Query
   case object All extends Query
   case object Nothing extends Query
 
   def must(qs: Query*): Bool = Bool(qs.map(Occur.Must -> _))
   def should(qs: Query*): Bool = Bool(qs.map(Occur.Should -> _))
+
+  import graft.index.TypedTerms
+  /** Exact-value term over a typed long field. */
+  def longTerm(field: String, v: Long, boost: Float = 1.0f): Term =
+    Term(field, TypedTerms.encodeLong(v), boost)
+  def longRange(field: String, lo: Option[Long], hi: Option[Long],
+      loInclusive: Boolean = true, hiInclusive: Boolean = true): TypedRange =
+    TypedRange(field, lo.map(TypedTerms.encodeLong), hi.map(TypedTerms.encodeLong),
+      loInclusive, hiInclusive)
+  def doubleRange(field: String, lo: Option[Double], hi: Option[Double],
+      loInclusive: Boolean = true, hiInclusive: Boolean = true): TypedRange =
+    TypedRange(field, lo.map(TypedTerms.encodeDouble), hi.map(TypedTerms.encodeDouble),
+      loInclusive, hiInclusive)
+  def dateRange(field: String, lo: Option[java.sql.Timestamp], hi: Option[java.sql.Timestamp],
+      loInclusive: Boolean = true, hiInclusive: Boolean = true): TypedRange =
+    TypedRange(field, lo.map(TypedTerms.encodeTimestamp), hi.map(TypedTerms.encodeTimestamp),
+      loInclusive, hiInclusive)
 }
 
 /** Stats-bound, segment-independent compiled query — what ships to the
@@ -68,6 +94,11 @@ object CQuery {
   final case class CDisjMax(disjuncts: Seq[CQuery], tieBreaker: Float) extends CQuery
   final case class CConst(inner: CQuery, score: Float) extends CQuery
   final case class CBoost(inner: CQuery, boost: Float) extends CQuery
+  /** Typed range: bounds in the order-preserving term encoding; the kernel
+    * walks its segment dictionary and unions postings into a bitset.
+    */
+  final case class CRange(field: String, lo: Option[String], hi: Option[String],
+      loInclusive: Boolean, hiInclusive: Boolean, score: Float) extends CQuery
   case object CAll extends CQuery
   case object CEmpty extends CQuery
 
@@ -80,7 +111,21 @@ object CQuery {
     case CDisjMax(ds, _) => ds.flatMap(termsOf).toSet
     case CConst(i, _) => termsOf(i)
     case CBoost(i, _) => termsOf(i)
+    case _: CRange => Set.empty
     case CAll | CEmpty => Set.empty
+  }
+
+  /** All range predicates the kernel will walk — these extend the pruned
+    * Parquet scan with term-range conditions (still pushed down: the term
+    * column is sorted within each segment's row groups).
+    */
+  def rangesOf(q: CQuery): Seq[CRange] = q match {
+    case r: CRange => Seq(r)
+    case CBool(m, s, n, _) => (m ++ s ++ n).flatMap(rangesOf)
+    case CDisjMax(ds, _) => ds.flatMap(rangesOf)
+    case CConst(i, _) => rangesOf(i)
+    case CBoost(i, _) => rangesOf(i)
+    case _ => Seq.empty
   }
 
   /** True when the whole query is a disjunction of scored terms — the shape
@@ -115,8 +160,16 @@ object QueryKernel {
       val numDocs: Int,
       val norms: Array[Byte],
       postingsFor: (String, String) => graft.codec.SegmentPostings,
-      val deleted: Array[Int] = Array.emptyIntArray) {
+      val deleted: Array[Int] = Array.emptyIntArray,
+      rangeFor: (String, Option[String], Option[String], Boolean, Boolean) =>
+        Array[graft.codec.SegmentPostings] = null) {
     def fresh(field: String, term: String): graft.codec.SegmentPostings = postingsFor(field, term)
+    /** Fresh cursors for every term of `field` inside the bound range — the
+      * segment-local dictionary range walk backing `CRange`.
+      */
+    def freshRange(field: String, lo: Option[String], hi: Option[String],
+        loInc: Boolean, hiInc: Boolean): Array[graft.codec.SegmentPostings] =
+      if (rangeFor == null) Array.empty else rangeFor(field, lo, hi, loInc, hiInc)
     @inline def isDeleted(doc: Int): Boolean =
       deleted.length > 0 && java.util.Arrays.binarySearch(deleted, doc) >= 0
     def numAlive: Int = numDocs - deleted.length
@@ -153,6 +206,20 @@ object QueryKernel {
       }
     case CBoost(inner, b) =>
       new BoostScorer(toScorer(inner, ctx, scored), if (scored) b else 0.0f)
+    case CRange(f, lo, hi, li, hie, sc) =>
+      val cursors = ctx.freshRange(f, lo, hi, li, hie)
+      if (cursors.isEmpty) new EmptyScorer
+      else {
+        // union all matching terms' postings into one bitset upfront
+        // (range_query.rs builds a BitSetDocSet the same way)
+        val bits = new java.util.BitSet(ctx.numDocs)
+        cursors.foreach { p =>
+          var d = p.doc
+          while (d != Scorer.Terminated) { bits.set(d); d = p.advance() }
+        }
+        if (bits.isEmpty) new EmptyScorer
+        else new BitSetScorer(bits, if (scored) sc else 0.0f)
+      }
     case CAll => new AllScorer(ctx.numDocs)
     case CEmpty => new EmptyScorer
     case CDisjMax(ds, tie) =>
@@ -287,6 +354,10 @@ object QueryKernel {
       explain(inner, ctx, doc).map { underlying =>
         Explanation(s"Boost x$b of ...", underlying.value * b).addDetail(underlying)
       }
+    case CRange(_, _, _, _, _, sc) =>
+      val s = toScorer(q, ctx, scored = true)
+      if (s.seek(doc) != doc) None
+      else Some(Explanation("RangeQuery", sc))
     case CAll =>
       if (doc < ctx.numDocs) Some(Explanation("AllQuery", 1.0f)) else None
     case CEmpty => None

@@ -239,6 +239,32 @@ final class RequiredOptional(required: Scorer, optional: Scorer) extends Scorer 
 }
 
 /** Constant score wrapper (`src/query/const_score_query.rs:12`). */
+/** Constant-score iterator over a precomputed doc bitset — the reference's
+  * `BitSetDocSet` (`src/query/bitset/mod.rs`) that backs range queries: the
+  * matching terms' postings are unioned upfront, then iteration is
+  * nextSetBit.
+  */
+final class BitSetScorer(bits: java.util.BitSet, constScore: Float) extends Scorer {
+  private var d = { val f = bits.nextSetBit(0); if (f < 0) Scorer.Terminated else f }
+  def doc: Int = d
+  def advance(): Int = {
+    if (d != Scorer.Terminated) {
+      val n = bits.nextSetBit(d + 1)
+      d = if (n < 0) Scorer.Terminated else n
+    }
+    d
+  }
+  override def seek(target: Int): Int = {
+    if (d != Scorer.Terminated && d < target) {
+      val n = bits.nextSetBit(target)
+      d = if (n < 0) Scorer.Terminated else n
+    }
+    d
+  }
+  def score: Float = constScore
+  def cost: Long = bits.cardinality().toLong
+}
+
 final class ConstScorer(inner: Scorer, constScore: Float) extends Scorer {
   def doc: Int = inner.doc
   def advance(): Int = inner.advance()

@@ -60,6 +60,21 @@ final class Searcher(spark: SparkSession, indexDir: String) extends Serializable
       col("field") === f && col("term").isin(ts.map(_._2).toSeq: _*)
     }.reduce(_ || _)
 
+  /** OR-condition matching the typed-range predicates of compiled queries —
+    * rides the same pruned scan (the sorted `term` column makes these
+    * row-group range prunes, the dictionary-range analog of the FST walk).
+    */
+  private def rangesCond(cqs: Iterable[CQuery]): Option[org.apache.spark.sql.Column] = {
+    val rs = cqs.flatMap(CQuery.rangesOf).toSeq.distinct
+    if (rs.isEmpty) None
+    else Some(rs.map { r =>
+      val preds = Seq(Some(col("field") === r.field),
+        r.lo.map(v => if (r.loInclusive) col("term") >= v else col("term") > v),
+        r.hi.map(v => if (r.hiInclusive) col("term") <= v else col("term") < v)).flatten
+      preds.reduce(_ && _)
+    }.reduce(_ || _))
+  }
+
   // ------------------------------------------------------------- planning
 
   /** Resolve term-expansion queries against the term dictionary (the
@@ -208,6 +223,7 @@ final class Searcher(spark: SparkSession, indexDir: String) extends Serializable
       case Query.Boost(i, b) => go(i, boost * b)
       case Query.ConstScore(i, s) => CQuery.CConst(go(i, 0.0f), s * boost)
       case Query.DisjunctionMax(ds, t) => CQuery.CDisjMax(ds.map(go(_, boost)), t)
+      case Query.TypedRange(f, lo, hi, li, hie) => CQuery.CRange(f, lo, hi, li, hie, boost)
       case Query.All => CQuery.CAll
       case Query.Nothing => CQuery.CEmpty
       case other => throw new IllegalStateException(s"unexpanded query: $other")
@@ -268,7 +284,9 @@ final class Searcher(spark: SparkSession, indexDir: String) extends Serializable
     val allTerms = live.map(_._1).flatMap(CQuery.termsOf).toSet
     val termCond = termsCond(allTerms ++ allDeleteTerms)
     val normsCond = col("field") === PostingRow.NormsField && col("term") === manifest.textField
-    val counts = postingsDF.where(termCond || normsCond).as[PostingRow]
+    val baseCond = termCond || normsCond
+    val countCond = rangesCond(live.map(_._1)).map(baseCond || _).getOrElse(baseCond)
+    val counts = postingsDF.where(countCond).as[PostingRow]
       .groupByKey(_.segment)
       .flatMapGroups { (seg, it) =>
         val ctx = Searcher.makeContext(it, bNumDocs.value, seg, bDel.value)
@@ -289,7 +307,9 @@ final class Searcher(spark: SparkSession, indexDir: String) extends Serializable
     val allTerms = live.map(_._1).flatMap(CQuery.termsOf).toSet
     val termCond = termsCond(allTerms ++ allDeleteTerms)
     val normsCond = col("field") === PostingRow.NormsField && col("term") === manifest.textField
-    val rows = postingsDF.where(termCond || normsCond).as[PostingRow]
+    val baseCond = termCond || normsCond
+    val rowCond = rangesCond(live.map(_._1)).map(baseCond || _).getOrElse(baseCond)
+    val rows = postingsDF.where(rowCond).as[PostingRow]
     val bDel = bDeletes
     val local = rows.groupByKey(_.segment).flatMapGroups { (seg, it) =>
       val ctx = Searcher.makeContext(it, bNumDocs.value, seg, bDel.value)
@@ -337,7 +357,9 @@ final class Searcher(spark: SparkSession, indexDir: String) extends Serializable
   private def kernelRows(cq: CQuery) = {
     val termCond = termsCond(CQuery.termsOf(cq) ++ allDeleteTerms)
     val normsCond = col("field") === PostingRow.NormsField && col("term") === manifest.textField
-    postingsDF.where(termCond || normsCond).as[PostingRow]
+    val base = termCond || normsCond
+    val cond = rangesCond(Seq(cq)).map(base || _).getOrElse(base)
+    postingsDF.where(cond).as[PostingRow]
   }
 
   private def numDocsBySeg: Map[Int, Int] = manifest.segments.map(m => m.segment -> m.numDocs).toMap
@@ -470,10 +492,15 @@ object Searcher {
       deleteTermsBySeg: Map[Int, Seq[(String, String)]] = Map.empty)
       : QueryKernel.SegmentContext = {
     val byKey = new scala.collection.mutable.HashMap[(String, String), PostingRow]()
+    val byField = new scala.collection.mutable.HashMap[String, scala.collection.mutable.ArrayBuffer[PostingRow]]()
     var norms: Array[Byte] = null
     rows.foreach { r =>
       if (r.field == PostingRow.NormsField) norms = r.postings
-      else byKey((r.field, r.term)) = r
+      else {
+        byKey((r.field, r.term)) = r
+        if (!r.field.startsWith("__"))
+          byField.getOrElseUpdate(r.field, new scala.collection.mutable.ArrayBuffer[PostingRow]()) += r
+      }
     }
     val numDocs = numDocsBySeg.getOrElse(seg, if (norms != null) norms.length else 0)
     // dead-doc set from the tombstoned terms' own postings (sorted, deduped)
@@ -501,12 +528,25 @@ object Searcher {
     // skip arrays parse once per term, shared by every cursor a query batch
     // opens on it (cursor setup O(1))
     val parsedCache = new scala.collection.mutable.HashMap[(String, String), graft.codec.ParsedSkip]()
+    @inline def cursor(r: PostingRow): graft.codec.SegmentPostings = {
+      val ps = parsedCache.getOrElseUpdate((r.field, r.term),
+        new graft.codec.ParsedSkip(r.skip, r.docFreq))
+      new graft.codec.SegmentPostings(r.postings, ps, r.positions, readFreqs = true)
+    }
     new QueryKernel.SegmentContext(numDocs, norms,
       (f, t) => byKey.get((f, t)) match {
-        case Some(r) =>
-          val ps = parsedCache.getOrElseUpdate((f, t), new graft.codec.ParsedSkip(r.skip, r.docFreq))
-          new graft.codec.SegmentPostings(r.postings, ps, r.positions, readFreqs = true)
+        case Some(r) => cursor(r)
         case None => null
-      }, deleted)
+      }, deleted,
+      // segment-local dictionary range walk: the pruned scan already
+      // restricted rows to the union of the batch's term + range conditions,
+      // so re-filtering by THIS range's bounds is exact
+      (f, lo, hi, loInc, hiInc) => byField.get(f) match {
+        case None => Array.empty[graft.codec.SegmentPostings]
+        case Some(rs) => rs.iterator.filter { r =>
+          lo.forall(v => if (loInc) r.term >= v else r.term > v) &&
+            hi.forall(v => if (hiInc) r.term <= v else r.term < v)
+        }.map(cursor).toArray
+      })
   }
 }

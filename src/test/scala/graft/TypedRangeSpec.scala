@@ -1,0 +1,96 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.analysis.Analyzer
+import graft.corpus.WebCorpus
+import graft.index._
+import graft.search._
+
+/** Typed term encoding (order-preserving long/double/date maps) and
+  * in-engine typed RangeQuery: kernels walk their own segment dictionary and
+  * union postings into a bitset — checked against a driver-side brute-force
+  * oracle, before and after segment merge.
+  */
+class TypedRangeSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.spark
+
+  test("encodings preserve order and roundtrip") {
+    val longs = Seq(Long.MinValue, -1000000007L, -100L, -1L, 0L, 1L, 42L,
+      1L << 40, Long.MaxValue)
+    val le = longs.map(TypedTerms.encodeLong)
+    assert(le == le.sorted)
+    assert(le.forall(_.length == 16))
+    longs.foreach(v => assert(TypedTerms.decodeLong(TypedTerms.encodeLong(v)) == v))
+
+    val doubles = Seq(Double.NegativeInfinity, -1e300, -2.5, -1e-300, -0.0,
+      0.0, 1e-300, 1.0, 2.5, 1e300, Double.PositiveInfinity)
+    val de = doubles.map(TypedTerms.encodeDouble)
+    assert(de == de.sorted)
+    doubles.foreach(v => assert(TypedTerms.decodeDouble(TypedTerms.encodeDouble(v)) == v))
+
+    val ts = java.sql.Timestamp.valueOf("2025-03-04 05:06:07.123456789")
+    assert(TypedTerms.timestampMicros(ts) % 1000000L == 123456L)
+  }
+
+  test("typed range inside boolean engine query == brute-force oracle; survives merge") {
+    import spark.implicits._
+    val n = 400
+    val dir = java.nio.file.Files.createTempDirectory("graft-typed").toString
+    val src = WebCorpus.generate(spark, n.toLong, 3).toDF()
+      .withColumn("nlen", length(col("text")).cast("long"))
+    IndexBuilder.build(spark, src, dir, IndexConfig(numPartitions = 4, longFields = Seq("nlen")))
+
+    val corpus: Map[String, (Seq[String], Long)] = (0L until n.toLong).map { i =>
+      val d = WebCorpus.genDoc(i)
+      d.url -> ((Analyzer.terms(d.text).toSeq, d.text.length.toLong))
+    }.toMap
+
+    def engineUrls(q: Query): Set[String] = {
+      val s = new Searcher(spark, dir)
+      s.allMatches(q, scored = false).join(s.docmapDF, Seq("segment", "docId"))
+        .select("url").as[String].collect().toSet
+    }
+    def oracleUrls(tok: Option[String], lo: Option[Long], hi: Option[Long],
+        loInc: Boolean = true, hiInc: Boolean = true): Set[String] =
+      corpus.collect { case (u, (toks, len))
+        if tok.forall(toks.contains) &&
+          lo.forall(v => if (loInc) len >= v else len > v) &&
+          hi.forall(v => if (hiInc) len <= v else len < v) => u
+      }.toSet
+
+    val lens = corpus.values.map(_._2)
+    val (lo, hi) = (lens.min + (lens.max - lens.min) / 4, lens.min + 3 * (lens.max - lens.min) / 4)
+
+    def checkAll(): Unit = {
+      // bare typed range
+      assert(engineUrls(Query.longRange("nlen", Some(lo), Some(hi))) ==
+        oracleUrls(None, Some(lo), Some(hi)))
+      // inside a boolean MUST with a scored text term
+      assert(engineUrls(Query.must(Query.Term("text", "alpha"),
+        Query.longRange("nlen", Some(lo), Some(hi)))) ==
+        oracleUrls(Some("alpha"), Some(lo), Some(hi)))
+      // exclusive bounds + open ends
+      assert(engineUrls(Query.longRange("nlen", Some(lo), Some(hi),
+        loInclusive = false, hiInclusive = false)) ==
+        oracleUrls(None, Some(lo), Some(hi), loInc = false, hiInc = false))
+      assert(engineUrls(Query.longRange("nlen", None, Some(lo))) ==
+        oracleUrls(None, None, Some(lo)))
+      assert(engineUrls(Query.longRange("nlen", Some(hi), None)) ==
+        oracleUrls(None, Some(hi), None))
+      // count path and batch path agree
+      val s = new Searcher(spark, dir)
+      val q = Query.longRange("nlen", Some(lo), Some(hi))
+      assert(s.count(q) == oracleUrls(None, Some(lo), Some(hi)).size)
+      val hits = s.batchTopDocs(Seq(Query.must(Query.Term("text", "alpha"), q)), 5).head
+      assert(hits.forall { h =>
+        val (toks, len) = corpus(h.url); toks.contains("alpha") && len >= lo && len <= hi
+      })
+    }
+    checkAll()
+    SegmentMerger.mergeUntilStable(spark, dir,
+      SegmentMerger.LogMergePolicy(minNumSegments = 2, maxFanIn = 4))
+    checkAll()
+  }
+}
