@@ -101,6 +101,23 @@ object SparkEntry {
     "q_search_regexp" -> ((s, d) => engineMatches(s, d, Query.Regexp("text", "ta.le"))),
     "q_search_termset" -> ((s, d) => engineMatches(s, d,
       Query.TermSet("text", Seq("spark", "vector", "window")))),
+    "q_search_disjmax" -> ((s, d) => engineMatches(s, d,
+      Query.DisjunctionMax(Seq(Query.Term("text", "spark"), Query.Term("text", "table")), 0.5f))),
+    "q_search_msm" -> ((s, d) => engineMatches(s, d, Query.Bool(Seq(
+      Occur.Should -> Query.Term("text", "spark"),
+      Occur.Should -> Query.Term("text", "table"),
+      Occur.Should -> Query.Term("text", "vector")), minShouldMatch = 2))),
+    // boost/const-score with EXACT float scores (integer-valued constants
+    // survive the f32->double cast bit-exactly, so the oracle can hash-match)
+    "q_search_boost" -> ((s, d) => {
+      val sr = searcherFor(s, d)
+      val q = Query.Bool(Seq(
+        Occur.Should -> Query.ConstScore(Query.Term("text", "spark"), 3.0f),
+        Occur.Should -> Query.Boost(Query.ConstScore(Query.Term("text", "table"), 1.0f), 2.0f)))
+      sr.allMatches(q, scored = true)
+        .join(sr.docmapDF, Seq("segment", "docId"))
+        .select(col("url").cast("long").as("doc_id"), col("score").cast("double").as("score"))
+    }),
     "q_search_range" -> ((s, d) => engineMatches(s, d,
       Query.TermRange("text", Some("table"), Some("tables")))),
     // typed numeric/date term ranges INSIDE a boolean engine query (the
@@ -202,6 +219,33 @@ object SparkEntry {
       """{"h": {"histogram": {"field": "n_chars", "interval": 500,
         | "extended_bounds": {"min": 0, "max": 6000}}}}""".stripMargin)("h")
       .select(col("h_key").cast("long").as("bucket"), col("doc_count").as("cnt"))),
+    // nested agg tree: terms -> (metric + terms(size per parent) -> metric)
+    "q_nested_agg" -> ((s, d) => graft.agg.AggRequest.run(docs(s, d),
+      """{"by_lang": {"terms": {"field": "lang", "size": 10},
+        | "aggs": {"avgc": {"avg": {"field": "n_chars"}},
+        |          "by_src": {"terms": {"field": "source", "size": 3},
+        |                     "aggs": {"sumc": {"sum": {"field": "n_chars"}}}}}}}""".stripMargin)("by_lang")
+      .select(col("by_lang_key").as("lang"), col("by_src_key").as("source"),
+        col("doc_count").as("cnt"), col("sumc_sum").cast("long").as("sum_c"),
+        col("by_lang_doc_count").as("lang_cnt"), round(col("avgc_avg"), 4).as("avg_c"))),
+    // top_hits as a sub-aggregation in the tree (metric/top_hits.rs)
+    "q_agg_top_hits" -> ((s, d) => graft.agg.AggRequest.run(docs(s, d),
+      """{"by_lang": {"terms": {"field": "lang", "size": 10},
+        | "aggs": {"hits": {"top_hits": {"size": 2,
+        |   "sort": [{"n_chars": {"order": "desc"}}, {"doc_id": {"order": "asc"}}],
+        |   "_source": ["doc_id", "n_chars"]}}}}}""".stripMargin)("by_lang")
+      .select(col("by_lang_key").as("lang"), col("hits_rank").cast("long").as("rank"),
+        col("doc_id"), col("n_chars"), col("doc_count").as("cnt"))),
+    "q_range_agg" -> ((s, d) => graft.agg.AggRequest.run(docs(s, d),
+      """{"r": {"range": {"field": "n_chars",
+        | "ranges": [{"to": 1000}, {"from": 1000, "to": 3000}, {"from": 3000}]},
+        | "aggs": {"s": {"sum": {"field": "n_chars"}}}}}""".stripMargin)("r")
+      .select(col("r_key").as("bucket"), col("doc_count").as("cnt"),
+        col("s_sum").cast("long").as("sum_c"))),
+    "q_filter_agg" -> ((s, d) => graft.agg.AggRequest.run(docs(s, d),
+      """{"f": {"filter": {"query_string": "n_chars >= 1000"},
+        | "aggs": {"m": {"avg": {"field": "n_chars"}}}}}""".stripMargin)("f")
+      .select(col("doc_count").as("cnt"), round(col("m_avg"), 4).as("avg_c"))),
     "q_tweak_score" -> ((s, d) => {
       import s.implicits._
       val sr = searcherFor(s, d)
@@ -298,6 +342,13 @@ object SparkEntry {
     "q_search_range" -> OracleSql.searchRange,
     "q_search_range_numeric" -> OracleSql.searchRangeNumeric,
     "q_search_range_date" -> OracleSql.searchRangeDate,
+    "q_search_disjmax" -> OracleSql.searchDisjMax,
+    "q_search_msm" -> OracleSql.searchMsm,
+    "q_search_boost" -> OracleSql.searchBoost,
+    "q_nested_agg" -> OracleSql.nestedAgg,
+    "q_agg_top_hits" -> OracleSql.aggTopHits,
+    "q_range_agg" -> OracleSql.rangeAgg,
+    "q_filter_agg" -> OracleSql.filterAgg,
     "q_count_matrix" -> OracleSql.countMatrix,
     "q_bm25_scores" -> OracleSql.bm25Scores(Seq("spark", "vector")),
     "q_token_count" -> OracleSql.tokenCount,

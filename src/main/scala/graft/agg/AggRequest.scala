@@ -23,6 +23,13 @@ import org.apache.spark.sql.functions._
 object AggRequest {
 
   sealed trait Node
+  /** `top_hits` leaf (the reference's `metric/top_hits.rs`): per-bucket
+    * top-`size` documents by `sort`, emitting `source` columns. In the
+    * flattened output the hit rows ARE the leaf rows, with the bucket's
+    * doc_count and sibling metrics joined on.
+    */
+  final case class TopHits(size: Int, sort: Seq[(String, Boolean)],
+      source: Seq[String]) extends Node
   final case class Terms(field: String, size: Int, minDocCount: Long,
       subs: Map[String, Node], missing: Option[String] = None) extends Node
   final case class Histogram(field: String, interval: Double, offset: Double,
@@ -65,6 +72,20 @@ object AggRequest {
 
   private def parseNode(spec: JValue): Node = {
     val subs = parseAggs(spec \ "aggs")
+    if ((spec \ "top_hits") != JNothing) {
+      val b = spec \ "top_hits"
+      val sort = (b \ "sort") match {
+        case JArray(ss) => ss.collect { case JObject((f, fs) :: Nil) =>
+          (f, str(fs, "order").forall(_ == "asc"))
+        }
+        case _ => Seq.empty
+      }
+      val source = (b \ "_source") match {
+        case JArray(vs) => vs.collect { case JString(s) => s }
+        case _ => Seq.empty
+      }
+      return TopHits(num(b, "size").map(_.toInt).getOrElse(3), sort, source)
+    }
     val metricKinds = Seq("avg", "min", "max", "sum", "value_count", "stats",
       "extended_stats", "percentiles", "cardinality")
     metricKinds.collectFirst {
@@ -155,25 +176,53 @@ object AggRequest {
     case Terms(field, size, minDocCount, subs, missing) =>
       // ES `missing`: null keys fall into the given bucket value
       val keyCol = missing.map(mv => coalesce(col(field), lit(mv))).getOrElse(col(field))
-      val keyed = (s"${name}_key", keyCol)
-      val out = withSubs(df, groupCols :+ keyed, subs)
-        .where(col("doc_count") >= minDocCount)
-      if (groupCols.isEmpty)
-        out.orderBy(col("doc_count").desc, col(keyed._1)).limit(size)
-      else out // nested terms: size applies per parent bucket; left unbounded (flat form)
+      val keyName = s"${name}_key"
+      val keyed = (keyName, keyCol)
+      val path = groupCols :+ keyed
+      val inner = withSubs(df, path, subs)
+      val hasDeeper = subs.values.exists(n => !n.isInstanceOf[Metric] && !n.isInstanceOf[TopHits]) ||
+        subs.values.exists(_.isInstanceOf[TopHits])
+      if (!hasDeeper && groupCols.isEmpty) {
+        // flat terms: doc_count in `inner` is this level's count
+        inner.where(col("doc_count") >= minDocCount)
+          .orderBy(col("doc_count").desc, col(keyName)).limit(size)
+      } else {
+        // `size` applies PER PARENT BUCKET and min_doc_count to THIS level's
+        // counts (term_agg.rs:202-240): rank this level's buckets inside
+        // each parent (count desc, key asc — the ES ordering) and keep the
+        // leaf rows of surviving buckets via a semi join on the path keys
+        val levelCounts = aggregateAt(df, path, Nil, Nil)
+          .where(col("doc_count") >= minDocCount)
+        val limited =
+          if (groupCols.isEmpty) levelCounts.orderBy(col("doc_count").desc, col(keyName)).limit(size)
+          else {
+            import org.apache.spark.sql.expressions.Window
+            val w = Window.partitionBy(groupCols.map(g => col(g._1)): _*)
+              .orderBy(col("doc_count").desc, col(keyName))
+            levelCounts.withColumn("__rn", row_number().over(w))
+              .where(col("__rn") <= size).drop("__rn")
+          }
+        inner.join(limited.select(path.map(c => col(c._1)): _*), path.map(_._1), "left_semi")
+      }
     case Histogram(field, interval, offset, subs, extendedBounds) =>
       val bucket = (floor((col(field) - offset) / interval) * interval + offset).as(s"${name}_key")
       val out = withSubs(df, groupCols :+ ((s"${name}_key", bucket)), subs)
       val bounded = extendedBounds match {
-        case Some((lo, hi)) if groupCols.isEmpty =>
-          // ES extended_bounds: materialize empty buckets across [min, max]
+        case Some((lo, hi)) =>
+          // ES extended_bounds: materialize empty buckets across [min, max] —
+          // per parent bucket when nested (each parent shows the full range)
           val loB = math.floor((lo - offset) / interval) * interval + offset
           val n = math.floor((hi - loB) / interval).toLong
           val allBuckets = df.sparkSession.range(n + 1)
             .select((lit(loB) + col("id") * interval).as(s"${name}_key"))
-          allBuckets.join(out, Seq(s"${name}_key"), "full_outer")
+          val base =
+            if (groupCols.isEmpty) allBuckets
+            else out.select(groupCols.map(c => col(c._1)): _*).distinct().crossJoin(allBuckets)
+          val joinKeys = groupCols.map(_._1) :+ s"${name}_key"
+          val joinType = if (groupCols.isEmpty) "full_outer" else "left_outer"
+          base.join(out, joinKeys, joinType)
             .withColumn("doc_count", coalesce(col("doc_count"), lit(0L)))
-        case _ => out
+        case None => out
       }
       bounded.orderBy(groupCols.map(c => col(c._1)) :+ col(s"${name}_key"): _*)
     case DateHistogram(field, interval, subs) =>
@@ -196,22 +245,61 @@ object AggRequest {
   /** Group by the accumulated bucket keys, computing doc_count plus all
     * metric leaves of `subs`; recurse into nested bucket subs.
     */
+  /** Flattened-tree semantics: output rows are the DEEPEST level's rows
+    * (leaf buckets, or top_hits rows); every shallower level's metrics and
+    * doc_count are joined onto them by the bucket-path prefix (named
+    * `<levelName>_doc_count` to keep the leaf's own `doc_count` column).
+    * One bucket sub-aggregation per level — siblings express as separate
+    * root aggs (the output is a rectangle, not a tree).
+    */
   private def withSubs(df: DataFrame, groupCols: List[(String, Column)],
       subs: Map[String, Node]): DataFrame = {
-    val (metricSubs, bucketSubs) = subs.partition(_._2.isInstanceOf[Metric])
-    if (bucketSubs.nonEmpty) {
-      // flatten: nested bucket path recurses; metrics at this level ignored
-      // unless no deeper bucket (flat-output design: deepest path wins)
-      val (subName, subNode) = bucketSubs.head
-      compileOne(df, subName, subNode, groupCols)
-    } else {
-      val metricCols = metricSubs.toSeq.flatMap { case (n, m) =>
-        metricColumns(n, m.asInstanceOf[Metric])
-      }
-      expandSketch(
-        aggregateAt(df, groupCols, metricCols, groupCols.map(_._1)),
-        metricSubs.toSeq.map { case (n, m) => n -> m.asInstanceOf[Metric] })
+    val metricSubs = subs.collect { case (n, m: Metric) => (n, m) }.toSeq.sortBy(_._1)
+    val topHitsSubs = subs.collect { case (n, t: TopHits) => (n, t) }.toSeq.sortBy(_._1)
+    val bucketSubs = (subs -- metricSubs.map(_._1) -- topHitsSubs.map(_._1)).toSeq.sortBy(_._1)
+    require(bucketSubs.size <= 1,
+      "flattened output supports one bucket sub-aggregation per level; use sibling root aggs")
+    require(topHitsSubs.size <= 1, "one top_hits per level")
+    require(bucketSubs.isEmpty || topHitsSubs.isEmpty,
+      "top_hits alongside a deeper bucket agg is unsupported in flattened output")
+
+    val metricCols = metricSubs.flatMap { case (n, m) => metricColumns(n, m) }
+    def here: DataFrame = expandSketch(
+      aggregateAt(df, groupCols, metricCols, groupCols.map(_._1)), metricSubs)
+
+    (bucketSubs.headOption, topHitsSubs.headOption) match {
+      case (None, None) => here
+      case (Some((subName, subNode)), None) =>
+        val deeper = compileOne(df, subName, subNode, groupCols)
+        if (metricSubs.isEmpty) deeper
+        else {
+          val levelName = groupCols.lastOption.map(_._1.stripSuffix("_key")).getOrElse("root")
+          val hereR = here.withColumnRenamed("doc_count", s"${levelName}_doc_count")
+          if (groupCols.isEmpty) deeper.crossJoin(broadcast(hereR))
+          else deeper.join(hereR, groupCols.map(_._1), "left")
+        }
+      case (None, Some((thName, th))) =>
+        val hits = topHitsRows(df, groupCols, thName, th)
+        // bucket doc_count (+ sibling metrics) ride along on every hit row
+        if (groupCols.isEmpty) hits.crossJoin(broadcast(here))
+        else hits.join(here, groupCols.map(_._1), "left")
+      case (Some(_), Some(_)) => throw new IllegalStateException("unreachable")
     }
+  }
+
+  /** Per-bucket top-`size` rows by the request's sort — declarative window
+    * top-k (Catalyst runs per-partition heaps; no global sort).
+    */
+  private def topHitsRows(df: DataFrame, groupCols: List[(String, Column)],
+      name: String, th: TopHits): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val withKeys = groupCols.foldLeft(df) { case (d, (n, c)) => d.withColumn(n, c) }
+    val sortCols = th.sort.map { case (f, asc) => if (asc) col(f).asc else col(f).desc }
+    val w = Window.partitionBy(groupCols.map(g => col(g._1)): _*).orderBy(sortCols: _*)
+    withKeys.withColumn(s"${name}_rank", row_number().over(w))
+      .where(col(s"${name}_rank") <= th.size)
+      .select(groupCols.map(g => col(g._1)) ++
+        (col(s"${name}_rank") +: th.source.map(col)): _*)
   }
 
   /** Split each sketch-percentiles array column into per-percent columns

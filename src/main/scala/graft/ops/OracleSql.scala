@@ -52,6 +52,23 @@ object OracleSql {
     s"WITH $T SELECT doc_id FROM t WHERE len(list_filter(toks, x -> x IN ('spark','vector','window'))) > 0"
   val searchRange: String =
     s"WITH $T SELECT doc_id FROM t WHERE len(list_filter(toks, x -> x >= 'table' AND x < 'tables')) > 0"
+  /** DisjunctionMax doc set == the disjuncts' union (scores differ, docs don't). */
+  val searchDisjMax: String =
+    s"WITH $T SELECT doc_id FROM t WHERE list_contains(toks, 'spark') OR list_contains(toks, 'table')"
+  val searchMsm: String =
+    s"WITH $T SELECT doc_id FROM t WHERE " +
+      "(CASE WHEN list_contains(toks,'spark') THEN 1 ELSE 0 END + " +
+      "CASE WHEN list_contains(toks,'table') THEN 1 ELSE 0 END + " +
+      "CASE WHEN list_contains(toks,'vector') THEN 1 ELSE 0 END) >= 2"
+  /** Const-score 3 on spark + boost 2x const-score 1 on table, sum-combined:
+    * integer-valued f32 constants sum bit-exactly in double.
+    */
+  val searchBoost: String =
+    s"WITH $T SELECT doc_id, " +
+      "(CASE WHEN list_contains(toks,'spark') THEN 3.0 ELSE 0.0 END + " +
+      "CASE WHEN list_contains(toks,'table') THEN 2.0 ELSE 0.0 END)::DOUBLE AS score " +
+      "FROM t WHERE list_contains(toks,'spark') OR list_contains(toks,'table')"
+
   /** Typed numeric range inside a boolean query: token match AND value range. */
   val searchRangeNumeric: String =
     s"WITH $T SELECT t.doc_id FROM t JOIN documents d ON t.doc_id = d.doc_id " +
@@ -185,6 +202,33 @@ p AS (SELECT a.vec_id AS ia, b.vec_id AS ib, ${cosineSql("a.v", "b.v")} AS c
 SELECT ia, ib, round(c, 4) AS cos FROM p WHERE c >= $threshold"""
 
   // ------------------------------------------------------- aggregations
+
+  /** Nested terms tree: per-parent top-3 sources (count desc, key asc) with
+    * leaf sums plus parent-level count and avg on every leaf row.
+    */
+  val nestedAgg: String =
+    """WITH lvl1 AS (SELECT lang, count(*)::BIGINT AS lang_cnt,
+      |  round(avg(n_chars), 4) AS avg_c FROM documents GROUP BY lang),
+      |lvl2 AS (SELECT lang, source, count(*)::BIGINT AS cnt,
+      |  sum(n_chars)::BIGINT AS sum_c FROM documents GROUP BY lang, source),
+      |ranked AS (SELECT *, row_number() OVER
+      |  (PARTITION BY lang ORDER BY cnt DESC, source) AS rn FROM lvl2)
+      |SELECT r.lang, r.source, r.cnt, r.sum_c, l.lang_cnt, l.avg_c
+      |FROM ranked r JOIN lvl1 l USING (lang) WHERE rn <= 3""".stripMargin
+  val aggTopHits: String =
+    """WITH ranked AS (SELECT lang, doc_id, n_chars, row_number() OVER
+      |  (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rank FROM documents),
+      |cnts AS (SELECT lang, count(*)::BIGINT AS cnt FROM documents GROUP BY lang)
+      |SELECT r.lang, r.rank::BIGINT AS rank, r.doc_id, r.n_chars, c.cnt
+      |FROM ranked r JOIN cnts c USING (lang) WHERE rank <= 2""".stripMargin
+  val rangeAgg: String =
+    """SELECT (CASE WHEN n_chars < 1000 THEN '*-1000.0'
+      |  WHEN n_chars < 3000 THEN '1000.0-3000.0' ELSE '3000.0-*' END) AS bucket,
+      |count(*)::BIGINT AS cnt, sum(n_chars)::BIGINT AS sum_c
+      |FROM documents GROUP BY bucket""".stripMargin
+  val filterAgg: String =
+    "SELECT count(*)::BIGINT AS cnt, round(avg(n_chars), 4) AS avg_c " +
+      "FROM documents WHERE n_chars >= 1000"
 
   val termsAgg: String =
     s"""WITH $T SELECT tok AS term, count(*)::BIGINT AS df

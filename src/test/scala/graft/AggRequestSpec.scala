@@ -58,4 +58,69 @@ class AggRequestSpec extends AnyFunSuite {
     assert(out.getAs[Long]("doc_count") == expected)
     assert(out.getAs[Long]("n_count") == expected)
   }
+
+  test("nested terms: per-parent size, intermediate metrics kept") {
+    import org.apache.spark.sql.functions._
+    val req = """{"aggs": {"by_lang": {"terms": {"field": "lang", "size": 10},
+      "aggs": {"avgc": {"avg": {"field": "n_chars"}},
+               "by_src": {"terms": {"field": "source", "size": 2},
+                          "aggs": {"sumc": {"sum": {"field": "n_chars"}}}}}}}}"""
+    val out = AggRequest.run(docs, req)("by_lang")
+    val rows = out.collect()
+    // per-parent size: at most 2 source buckets per lang
+    val perLang = rows.groupBy(_.getAs[String]("by_lang_key"))
+    assert(perLang.values.forall(_.length <= 2))
+    // the kept sources are each lang's top-2 by count (desc, key asc)
+    val expTop = docs.groupBy("lang", "source").count().collect()
+      .groupBy(_.getString(0)).map { case (l, rs) =>
+        l -> rs.sortBy(r => (-r.getLong(2), r.getString(1))).take(2)
+          .map(r => (r.getString(1), r.getLong(2))).toSeq
+      }
+    perLang.foreach { case (l, rs) =>
+      val got = rs.sortBy(r => (-r.getAs[Long]("doc_count"), r.getAs[String]("by_src_key")))
+        .map(r => (r.getAs[String]("by_src_key"), r.getAs[Long]("doc_count"))).toSeq
+      assert(got == expTop(l), l)
+    }
+    // intermediate metrics: parent avg + parent doc_count on every leaf row
+    val expLang = docs.groupBy("lang")
+      .agg(count(lit(1)).as("c"), avg("n_chars").as("a")).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    rows.foreach { r =>
+      val (c, a) = expLang(r.getAs[String]("by_lang_key"))
+      assert(r.getAs[Long]("by_lang_doc_count") == c)
+      assert(math.abs(r.getAs[Double]("avgc_avg") - a) < 1e-9)
+    }
+  }
+
+  test("top_hits inside terms: per-bucket hits with doc_count") {
+    val req = """{"aggs": {"by_lang": {"terms": {"field": "lang", "size": 10},
+      "aggs": {"hits": {"top_hits": {"size": 2,
+        "sort": [{"n_chars": {"order": "desc"}}, {"doc_id": {"order": "asc"}}],
+        "_source": ["doc_id", "n_chars"]}}}}}}"""
+    val rows = AggRequest.run(docs, req)("by_lang").collect()
+    val perLang = rows.groupBy(_.getAs[String]("by_lang_key"))
+    assert(perLang.values.forall(_.length == 2))
+    val exp = docs.collect().map(r => (r.getAs[String]("lang"), r.getAs[Long]("doc_id"),
+      r.getAs[Long]("n_chars"))).groupBy(_._1)
+    perLang.foreach { case (l, rs) =>
+      val want = exp(l).sortBy(t => (-t._3, t._2)).take(2).map(t => (t._2, t._3)).toSeq
+      val got = rs.sortBy(_.getAs[Int]("hits_rank")).map(r =>
+        (r.getAs[Long]("doc_id"), r.getAs[Long]("n_chars"))).toSeq
+      assert(got == want, l)
+      assert(rs.forall(_.getAs[Long]("doc_count") == exp(l).length.toLong))
+    }
+  }
+
+  test("nested histogram materializes extended_bounds per parent bucket") {
+    val req = """{"aggs": {"by_lang": {"terms": {"field": "lang", "size": 10},
+      "aggs": {"h": {"histogram": {"field": "n_chars", "interval": 2000,
+        "extended_bounds": {"min": 0, "max": 8000}}}}}}}"""
+    val rows = AggRequest.run(docs, req)("by_lang").collect()
+    val perLang = rows.groupBy(_.getAs[String]("by_lang_key"))
+    // every parent shows the full [0, 8000] bucket range (5 buckets)
+    perLang.values.foreach(rs =>
+      assert(rs.map(_.getAs[Double]("h_key")).sorted.toSeq ==
+        Seq(0.0, 2000.0, 4000.0, 6000.0, 8000.0)))
+    assert(rows.map(_.getAs[Long]("doc_count")).sum == docs.count())
+  }
 }
