@@ -46,10 +46,15 @@ object SparkEntry {
           .withColumn("warc_ts",
             expr("timestampadd(HOUR, cast(doc_id % 720 as int), timestamp'2025-01-01 00:00:00')"))
           .withColumn("ts_micros", expr("unix_micros(warc_ts)"))
+          // deterministic dynamic-schema JSON column (mirrors the documents
+          // columns so DuckDB oracles stay expressible)
+          .withColumn("attrs", concat(lit("{\"meta\": {\"src\": \""), col("source"),
+            lit("\", \"n\": "), col("n_chars"), lit("}}")))
         IndexBuilder.build(spark, in, dir, IndexConfig(
           numPartitions = 4, keyField = "doc_id", textField = "text",
           langField = "lang", tsField = "warc_ts",
-          longFields = Seq("n_chars", "ts_micros")))
+          longFields = Seq("n_chars", "ts_micros"),
+          jsonFields = Seq("attrs")))
       }
       dir
     })
@@ -132,6 +137,13 @@ object SparkEntry {
           Some(utcMicros("2025-01-10T00:00:00Z")),
           Some(utcMicros("2025-01-20T00:00:00Z")), loInclusive = true, hiInclusive = false)))
     }),
+    // dynamic JSON field terms via the parser's path:value syntax
+    "q_search_json" -> ((s, d) => engineMatches(s, d,
+      new graft.search.QueryParser("text", jsonFields = Set("attrs"), conjunctionByDefault = true)
+        .parse("text:table AND attrs.meta.src:src3"))),
+    "q_search_json_range" -> ((s, d) => engineMatches(s, d,
+      new graft.search.QueryParser("text", jsonFields = Set("attrs"), conjunctionByDefault = true)
+        .parse("text:table AND attrs.meta.n:[800 TO 2000}"))),
     "q_count_matrix" -> ((s, d) => {
       import s.implicits._
       val sr = searcherFor(s, d)
@@ -342,6 +354,8 @@ object SparkEntry {
     "q_search_range" -> OracleSql.searchRange,
     "q_search_range_numeric" -> OracleSql.searchRangeNumeric,
     "q_search_range_date" -> OracleSql.searchRangeDate,
+    "q_search_json" -> OracleSql.searchJson,
+    "q_search_json_range" -> OracleSql.searchJsonRange,
     "q_search_disjmax" -> OracleSql.searchDisjMax,
     "q_search_msm" -> OracleSql.searchMsm,
     "q_search_boost" -> OracleSql.searchBoost,

@@ -31,17 +31,26 @@ final case class IndexConfig(
       * `src/schema/field_type.rs:53-74`) — `Query.longRange`/`longTerm` then
       * range-scan the dictionary inside boolean engine queries.
       */
-    longFields: Seq[String] = Nil) {
+    longFields: Seq[String] = Nil,
+    /** JSON columns indexed as dynamic fields: every leaf becomes a
+      * path-prefixed term (`JsonTerms` layout — string tokens analyzed with
+      * positions, numbers/bools typed) so `path:value` queries and numeric
+      * path ranges work without a declared schema
+      * (`src/postings/json_postings_writer.rs`). Unparseable JSON indexes
+      * nothing for that doc (lenient, pipeline-friendly).
+      */
+    jsonFields: Seq[String] = Nil) {
   /** chunk ordinal cap per partition — segment id = pid * ChunksPerPartition + chunk */
   def rawFields: Seq[String] = Seq(keyField, langField)
 }
 
 /** Normalized input row for the builder (public: Catalyst codegen
   * instantiates it in generated deserializers). `longs` holds the typed
-  * numeric field values aligned with `IndexConfig.longFields` (nulls absent).
+  * numeric field values aligned with `IndexConfig.longFields` (nulls
+  * absent); `jsons` the raw JSON strings of `IndexConfig.jsonFields`.
   */
 final case class InDoc(key: String, text: String, lang: String, ts: java.sql.Timestamp,
-    longs: Map[String, Long])
+    longs: Map[String, Long], jsons: Map[String, String])
 
 object IndexBuilder {
 
@@ -83,12 +92,18 @@ object IndexBuilder {
       else map_filter(
         map(cfg.longFields.flatMap(f => Seq(lit(f), col(f).cast("long"))): _*),
         (_, v) => v.isNotNull)
+    val jsonsCol =
+      if (cfg.jsonFields.isEmpty) typedlit(Map.empty[String, String])
+      else map_filter(
+        map(cfg.jsonFields.flatMap(f => Seq(lit(f), col(f).cast("string"))): _*),
+        (_, v) => v.isNotNull)
     val in: Dataset[InDoc] = source.select(
         col(cfg.keyField).cast("string").as("key"),
         col(cfg.textField).cast("string").as("text"),
         col(cfg.langField).cast("string").as("lang"),
         col(cfg.tsField).cast("timestamp").as("ts"),
-        longsCol.as("longs"))
+        longsCol.as("longs"),
+        jsonsCol.as("jsons"))
       .as[InDoc]
 
     val parted = in
@@ -191,6 +206,18 @@ object IndexBuilder {
     final case class Acc(docsV: IntVec, tfsV: IntVec, posV: IntVec) { var lastDoc: Int = -1 }
     val text = new java.util.HashMap[String, Acc]()
     val raw = new java.util.HashMap[(String, String), IntVec]()
+    val json = new java.util.HashMap[(String, String), Acc]()
+    @inline def accAdd(m: java.util.HashMap[(String, String), Acc], key: (String, String),
+        docId: Int, position: Int, storePositions: Boolean): Unit = {
+      var acc = m.get(key)
+      if (acc == null) { acc = Acc(new IntVec(), new IntVec(), new IntVec()); m.put(key, acc) }
+      if (acc.lastDoc != docId) {
+        acc.docsV += docId
+        acc.tfsV += 1
+        acc.lastDoc = docId
+      } else acc.tfsV.incrLast()
+      if (storePositions) acc.posV += position
+    }
 
     var docId = 0
     docs.foreach { d =>
@@ -225,6 +252,18 @@ object IndexBuilder {
         if (vec == null) { vec = new IntVec(); raw.put(key, vec) }
         vec += docId
       }
+      // json fields: one analyzed+typed term per leaf token, positions
+      // running across the whole document's traversal order
+      d.jsons.foreach { case (f, js) =>
+        val terms =
+          try JsonTerms.leafTerms(org.json4s.jackson.JsonMethods.parse(js), Analyzer.terms)
+          catch { case _: Exception => Seq.empty[String] }
+        var p = 0
+        terms.foreach { t =>
+          accAdd(json, (f, t), docId, p, cfg.storePositions)
+          p += 1
+        }
+      }
       docId += 1
     }
 
@@ -252,13 +291,26 @@ object IndexBuilder {
         PostingRow(segId, f, v, enc.docFreq, enc.totalTf, enc.postings, enc.skip, enc.positions)
       }
     }
+    val jsonRows = {
+      import scala.jdk.CollectionConverters._
+      json.entrySet().asScala.toArray.sortBy(e => (e.getKey._1, e.getKey._2)).iterator.map { e =>
+        val (f, t) = e.getKey
+        val acc = e.getValue
+        val enc = PostingsCodec.encode(
+          acc.docsV.toArray, acc.tfsV.toArray,
+          if (cfg.storePositions) acc.posV.toArray else null,
+          dd => norms(dd), withFreqs = true)
+        postingsBytes += enc.postings.length + enc.skip.length + enc.positions.length
+        PostingRow(segId, f, t, enc.docFreq, enc.totalTf, enc.postings, enc.skip, enc.positions)
+      }
+    }
 
     // doc-map rows (row store + fast fields) ride in the same table
     val docRows = docs.iterator.zipWithIndex.map { case (d, i) =>
       PostingRow.docRow(segId, i, d.key, d.ts, d.lang)
     }
     // buffer rows (they must be fully computed before t1 anyway for metrics)
-    val body = (docRows ++ textRows ++ rawRows).toArray
+    val body = (docRows ++ textRows ++ rawRows ++ jsonRows).toArray
     val t1 = System.currentTimeMillis()
     val normsRow = PostingRow(segId, PostingRow.NormsField, cfg.textField,
       numDocs, totalTokens, norms, Array.emptyByteArray, Array.emptyByteArray)

@@ -96,7 +96,7 @@ final case class IndexManifest(
 
 object IndexManifest {
   /** On-disk format version (bumped when the segment schema changes). */
-  val FormatVersion = 4
+  val FormatVersion = 5
 
   import org.json4s._
   import org.json4s.jackson.Serialization

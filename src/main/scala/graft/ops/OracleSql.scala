@@ -52,6 +52,14 @@ object OracleSql {
     s"WITH $T SELECT doc_id FROM t WHERE len(list_filter(toks, x -> x IN ('spark','vector','window'))) > 0"
   val searchRange: String =
     s"WITH $T SELECT doc_id FROM t WHERE len(list_filter(toks, x -> x >= 'table' AND x < 'tables')) > 0"
+  /** JSON path terms: the attrs column mirrors (source, n_chars). */
+  val searchJson: String =
+    s"WITH $T SELECT t.doc_id FROM t JOIN documents d ON t.doc_id = d.doc_id " +
+      "WHERE list_contains(t.toks, 'table') AND d.source = 'src3'"
+  val searchJsonRange: String =
+    s"WITH $T SELECT t.doc_id FROM t JOIN documents d ON t.doc_id = d.doc_id " +
+      "WHERE list_contains(t.toks, 'table') AND d.n_chars >= 800 AND d.n_chars < 2000"
+
   /** DisjunctionMax doc set == the disjuncts' union (scores differ, docs don't). */
   val searchDisjMax: String =
     s"WITH $T SELECT doc_id FROM t WHERE list_contains(toks, 'spark') OR list_contains(toks, 'table')"

@@ -25,7 +25,24 @@ import graft.analysis.Analyzer
 final class QueryParser(
     defaultField: String,
     rawFields: Set[String] = Set("url", "lang"),
-    conjunctionByDefault: Boolean = false) {
+    conjunctionByDefault: Boolean = false,
+    /** JSON dynamic fields: `jsonfield.path.to.leaf:value` addresses a
+      * path-prefixed term (query_parser.rs `split_full_path` resolution);
+      * numeric literals match both their string-token and typed-number
+      * representations, and `[a TO b]` ranges on numeric paths use the
+      * order-preserving typed encoding.
+      */
+    jsonFields: Set[String] = Set.empty) {
+
+  import graft.index.JsonTerms
+
+  /** Right((jsonField, path)) when the dotted field head is a json field. */
+  private def resolveJson(field: String): Option[(String, String)] = {
+    val dot = field.indexOf('.')
+    if (dot > 0 && jsonFields.contains(field.substring(0, dot)))
+      Some((field.substring(0, dot), field.substring(dot + 1)))
+    else None
+  }
 
   def parse(input: String): Query = {
     val p = new Parser(input)
@@ -39,14 +56,27 @@ final class QueryParser(
     }
   }
 
-  private def analyzed(field: String, text: String): Query = {
-    if (rawFields.contains(field)) Query.Term(field, text)
-    else {
+  private def analyzed(field: String, text: String): Query = resolveJson(field) match {
+    case Some((jf, path)) =>
       val terms = Analyzer.terms(text)
       if (terms.isEmpty) Query.Nothing
-      else if (terms.length == 1) Query.Term(field, terms(0))
-      else Query.Phrase(field, terms.toSeq)
-    }
+      else if (terms.length == 1) {
+        val strQ = Query.Term(jf, JsonTerms.str(path, terms(0)))
+        // a numeric literal matches its typed term too (the reference's
+        // query parser tries every type interpretation of a json literal)
+        text.toLongOption match {
+          case Some(v) => Query.should(strQ, Query.Term(jf, JsonTerms.long(path, v)))
+          case None => strQ
+        }
+      } else Query.Phrase(jf, terms.toSeq.map(JsonTerms.str(path, _)))
+    case None =>
+      if (rawFields.contains(field)) Query.Term(field, text)
+      else {
+        val terms = Analyzer.terms(text)
+        if (terms.isEmpty) Query.Nothing
+        else if (terms.length == 1) Query.Term(field, terms(0))
+        else Query.Phrase(field, terms.toSeq)
+      }
   }
 
   private final class Parser(s: String) {
@@ -147,7 +177,7 @@ final class QueryParser(
     def tryField(): Option[String] = {
       val save = pos
       val start = pos
-      while (!eof && (peek.isLetterOrDigit || peek == '_')) pos += 1
+      while (!eof && (peek.isLetterOrDigit || peek == '_' || peek == '.')) pos += 1
       if (!eof && pos > start && peek == ':') {
         val f = s.substring(start, pos)
         pos += 1
@@ -169,11 +199,20 @@ final class QueryParser(
         while (!eof && peek.isDigit) pos += 1
         slop = s.substring(d0, pos).toInt
       }
-      val terms = if (rawFields.contains(field)) Seq(text) else Analyzer.terms(text).toSeq
-      terms match {
-        case Seq() => Query.Nothing
-        case Seq(t) => Query.Term(field, t)
-        case ts => Query.Phrase(field, ts, slop)
+      resolveJson(field) match {
+        case Some((jf, path)) =>
+          Analyzer.terms(text).toSeq match {
+            case Seq() => Query.Nothing
+            case Seq(t) => Query.Term(jf, JsonTerms.str(path, t))
+            case ts => Query.Phrase(jf, ts.map(JsonTerms.str(path, _)), slop)
+          }
+        case None =>
+          val terms = if (rawFields.contains(field)) Seq(text) else Analyzer.terms(text).toSeq
+          terms match {
+            case Seq() => Query.Nothing
+            case Seq(t) => Query.Term(field, t)
+            case ts => Query.Phrase(field, ts, slop)
+          }
       }
     }
 
@@ -189,9 +228,32 @@ final class QueryParser(
       require(!eof && (peek == ']' || peek == '}'), "unterminated range")
       val hiInc = peek == ']'
       pos += 1
-      Query.TermRange(field,
-        lo.filter(_ != "*").map(norm(field, _)),
-        hi.filter(_ != "*").map(norm(field, _)), loInc, hiInc)
+      val loV = lo.filter(_ != "*")
+      val hiV = hi.filter(_ != "*")
+      resolveJson(field) match {
+        case Some((jf, path)) =>
+          val numeric = (loV ++ hiV).forall(_.toLongOption.isDefined)
+          if (numeric) {
+            // typed range clamped to this path's `l` term space: open ends
+            // become the tag prefix itself / prefix+U+FFFF so the scan never
+            // leaks into neighboring paths
+            val tagPrefix = path + JsonTerms.Sep + "l"
+            Query.TypedRange(jf,
+              Some(loV.map(v => graft.index.JsonTerms.long(path, v.toLong)).getOrElse(tagPrefix)),
+              Some(hiV.map(v => graft.index.JsonTerms.long(path, v.toLong)).getOrElse(tagPrefix + "\uffff")),
+              loV.isEmpty || loInc, hiV.isEmpty || hiInc)
+          } else {
+            val tagPrefix = path + JsonTerms.Sep + "s"
+            Query.TypedRange(jf,
+              Some(loV.map(v => JsonTerms.str(path, norm(field, v))).getOrElse(tagPrefix)),
+              Some(hiV.map(v => JsonTerms.str(path, norm(field, v))).getOrElse(tagPrefix + "\uffff")),
+              loV.isEmpty || loInc, hiV.isEmpty || hiInc)
+          }
+        case None =>
+          Query.TermRange(field,
+            loV.map(norm(field, _)),
+            hiV.map(norm(field, _)), loInc, hiInc)
+      }
     }
 
     private def norm(field: String, v: String): String =
