@@ -50,11 +50,13 @@ object SparkEntry {
           // columns so DuckDB oracles stay expressible)
           .withColumn("attrs", concat(lit("{\"meta\": {\"src\": \""), col("source"),
             lit("\", \"n\": "), col("n_chars"), lit("}}")))
+          .withColumn("facet", concat(lit("/"), col("source"), lit("/"), col("lang")))
         IndexBuilder.build(spark, in, dir, IndexConfig(
           numPartitions = 4, keyField = "doc_id", textField = "text",
           langField = "lang", tsField = "warc_ts",
           longFields = Seq("n_chars", "ts_micros"),
-          jsonFields = Seq("attrs")))
+          jsonFields = Seq("attrs"),
+          facetFields = Seq("facet")))
       }
       dir
     })
@@ -275,6 +277,12 @@ object SparkEntry {
       docs(s, d).withColumn("rn", row_number().over(w))
         .where(col("rn") <= 3).select("lang", "doc_id", "n_chars")
     }),
+    // hierarchical facet collector: direct children of /src3 over matches
+    "q_facet_hierarchy" -> ((s, d) => {
+      val sr = searcherFor(s, d)
+      sr.facetCounts(Query.Term("text", "table"), "facet", "/src3")
+        .select(col("facet"), col("count").as("cnt"))
+    }),
     "q_facet_source" -> ((s, d) => docs(s, d).groupBy("source").agg(count(lit(1)).as("cnt"))),
     "q_facet_lang" -> ((s, d) => docs(s, d).groupBy("lang").agg(count(lit(1)).as("cnt"))),
     "q_percentiles" -> ((s, d) => docs(s, d).agg(
@@ -354,6 +362,7 @@ object SparkEntry {
     "q_search_range" -> OracleSql.searchRange,
     "q_search_range_numeric" -> OracleSql.searchRangeNumeric,
     "q_search_range_date" -> OracleSql.searchRangeDate,
+    "q_facet_hierarchy" -> OracleSql.facetHierarchy,
     "q_search_json" -> OracleSql.searchJson,
     "q_search_json_range" -> OracleSql.searchJsonRange,
     "q_search_disjmax" -> OracleSql.searchDisjMax,

@@ -39,7 +39,13 @@ final case class IndexConfig(
       * (`src/postings/json_postings_writer.rs`). Unparseable JSON indexes
       * nothing for that doc (lenient, pipeline-friendly).
       */
-    jsonFields: Seq[String] = Nil) {
+    jsonFields: Seq[String] = Nil,
+    /** Hierarchical facet columns (`/a/b/c` paths, comma-separated for
+      * multi-valued): every ancestor prefix indexes as its own term
+      * (`src/schema/facet.rs` + the FacetTokenizer), so counting a subtree
+      * is one term's doc frequency and child counting is a prefix scan.
+      */
+    facetFields: Seq[String] = Nil) {
   /** chunk ordinal cap per partition — segment id = pid * ChunksPerPartition + chunk */
   def rawFields: Seq[String] = Seq(keyField, langField)
 }
@@ -50,7 +56,7 @@ final case class IndexConfig(
   * absent); `jsons` the raw JSON strings of `IndexConfig.jsonFields`.
   */
 final case class InDoc(key: String, text: String, lang: String, ts: java.sql.Timestamp,
-    longs: Map[String, Long], jsons: Map[String, String])
+    longs: Map[String, Long], jsons: Map[String, String], facets: Map[String, String])
 
 object IndexBuilder {
 
@@ -97,13 +103,19 @@ object IndexBuilder {
       else map_filter(
         map(cfg.jsonFields.flatMap(f => Seq(lit(f), col(f).cast("string"))): _*),
         (_, v) => v.isNotNull)
+    val facetsCol =
+      if (cfg.facetFields.isEmpty) typedlit(Map.empty[String, String])
+      else map_filter(
+        map(cfg.facetFields.flatMap(f => Seq(lit(f), col(f).cast("string"))): _*),
+        (_, v) => v.isNotNull)
     val in: Dataset[InDoc] = source.select(
         col(cfg.keyField).cast("string").as("key"),
         col(cfg.textField).cast("string").as("text"),
         col(cfg.langField).cast("string").as("lang"),
         col(cfg.tsField).cast("timestamp").as("ts"),
         longsCol.as("longs"),
-        jsonsCol.as("jsons"))
+        jsonsCol.as("jsons"),
+        facetsCol.as("facets"))
       .as[InDoc]
 
     val parted = in
@@ -251,6 +263,20 @@ object IndexBuilder {
         var vec = raw.get(key)
         if (vec == null) { vec = new IntVec(); raw.put(key, vec) }
         vec += docId
+      }
+      // facet fields: each path emits itself + every ancestor, deduped per
+      // doc (multi-valued paths share ancestors)
+      d.facets.foreach { case (f, pathsStr) =>
+        val seen = new java.util.HashSet[String]()
+        pathsStr.split(',').iterator.map(_.trim).filter(_.nonEmpty).foreach { p =>
+          Analyzer.facetTokens(p).foreach { t =>
+            if (seen.add(t.text)) {
+              var vec = raw.get((f, t.text))
+              if (vec == null) { vec = new IntVec(); raw.put((f, t.text), vec) }
+              vec += docId
+            }
+          }
+        }
       }
       // json fields: one analyzed+typed term per leaf token, positions
       // running across the whole document's traversal order

@@ -96,7 +96,7 @@ final case class IndexManifest(
 
 object IndexManifest {
   /** On-disk format version (bumped when the segment schema changes). */
-  val FormatVersion = 5
+  val FormatVersion = 6
 
   import org.json4s._
   import org.json4s.jackson.Serialization

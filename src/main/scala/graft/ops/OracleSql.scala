@@ -52,6 +52,12 @@ object OracleSql {
     s"WITH $T SELECT doc_id FROM t WHERE len(list_filter(toks, x -> x IN ('spark','vector','window'))) > 0"
   val searchRange: String =
     s"WITH $T SELECT doc_id FROM t WHERE len(list_filter(toks, x -> x >= 'table' AND x < 'tables')) > 0"
+  /** Facet children of /src3 (facet column = /source/lang) over 'table' docs. */
+  val facetHierarchy: String =
+    s"WITH $T SELECT '/src3/' || d.lang AS facet, count(*)::BIGINT AS cnt " +
+      "FROM t JOIN documents d ON t.doc_id = d.doc_id " +
+      "WHERE list_contains(t.toks, 'table') AND d.source = 'src3' GROUP BY d.lang"
+
   /** JSON path terms: the attrs column mirrors (source, n_chars). */
   val searchJson: String =
     s"WITH $T SELECT t.doc_id FROM t JOIN documents d ON t.doc_id = d.doc_id " +

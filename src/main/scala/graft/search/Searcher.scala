@@ -458,6 +458,52 @@ final class Searcher(spark: SparkSession, indexDir: String) extends Serializable
     docmapDF.where(col("url") === url).select("segment", "docId").collect()
       .headOption.flatMap(r => explain(q0, r.getInt(0), r.getInt(1)))
 
+  /** Hierarchical facet collector (`src/collector/facet_collector.rs:47-183`):
+    * counts of `root`'s DIRECT children over the docs matching `q`. A doc
+    * with facet `/a/b/c` counts toward child `/a/b` of root `/a` because the
+    * builder indexes every ancestor prefix as its own term — so each child's
+    * count is |postings(child) ∩ matches|, computed per segment inside the
+    * kernel task (the facet rows ride the same pruned scan as the query
+    * terms) and summed across segments by one tiny groupBy.
+    */
+  def facetCounts(q0: Query, field: String, root: String): DataFrame = {
+    val cq = plan(q0)
+    if (cq == CQuery.CEmpty) return Seq.empty[(String, Long)].toDF("facet", "count")
+    val prefix = (if (root.endsWith("/")) root.dropRight(1) else root) + "/"
+    val bcq = spark.sparkContext.broadcast(cq)
+    val bNumDocs = spark.sparkContext.broadcast(numDocsBySeg)
+    val bDel = bDeletes
+    val fld = field
+    val pfx = prefix
+    val facetCond = col("field") === field && col("term").startsWith(prefix)
+    val termCond = termsCond(CQuery.termsOf(cq) ++ allDeleteTerms)
+    val normsCond = col("field") === PostingRow.NormsField && col("term") === manifest.textField
+    val base = termCond || normsCond || facetCond
+    val cond = rangesCond(Seq(cq)).map(base || _).getOrElse(base)
+    postingsDF.where(cond).as[PostingRow]
+      .groupByKey(_.segment)
+      .flatMapGroups { (seg, it) =>
+        val rows = it.toArray
+        val ctx = Searcher.makeContext(rows.iterator, bNumDocs.value, seg, bDel.value)
+        val matched = new java.util.BitSet(ctx.numDocs)
+        QueryKernel.allMatches(bcq.value, ctx, scored = false)
+          .foreach { case (d, _) => matched.set(d) }
+        rows.iterator
+          .filter(r => r.field == fld && r.term.startsWith(pfx) &&
+            r.term.indexOf('/', pfx.length) < 0)
+          .map { r =>
+            val (docs, _, _) = graft.codec.PostingsCodec
+              .decodeAll(r.docFreq, r.postings, r.skip, readFreqs = true)
+            var c = 0L
+            docs.foreach(d => if (matched.get(d)) c += 1)
+            (r.term, c)
+          }
+          .filter(_._2 > 0)
+      }
+      .toDF("facet", "cnt")
+      .groupBy("facet").agg(sum("cnt").as("count"))
+  }
+
   /** Matching-doc count; single-term queries take the doc_freq fast path
     * (`src/query/weight.rs:78-85`) — a pruned metadata aggregate, no kernel.
     */
