@@ -161,28 +161,46 @@ object SparkEntry {
 
     // --- snippets + more-like-this (engine-backed; no SQL-expressible
     // oracle -> rows-only driver check; semantics pinned by specs)
+    // snippets: docs selected by the oracle-replicable double-BM25 ranking
+    // (4dp-rounded order, doc_id tiebreak) so the driver hash-checks the doc
+    // set and rank; snippet VALIDITY (non-empty, highlighted, verbatim
+    // substring of the doc) rides as boolean gates — the fragment-selection
+    // algorithm itself is pinned by SnippetsSpec reference fixtures
     "q_snippets" -> ((s, d) => {
       import s.implicits._
-      val sr = searcherFor(s, d)
       val terms = Set("spark", "table")
-      val q = Query.should(terms.toSeq.map(t => Query.Term("text", t)): _*)
-      val hits = sr.topDocs(q, 10)
-      val ids = hits.map(_.url.toLong).toSeq
-      val byId = docs(s, d).where(col("doc_id").isin(ids: _*))
+      val top = bm25Df(s, docs(s, d), terms.toSeq)
+        .orderBy(col("bm25").desc, col("doc_id")).limit(10)
+        .select("doc_id").as[Long].collect().toSeq
+      val byId = docs(s, d).where(col("doc_id").isin(top: _*))
         .select(col("doc_id"), col("text")).as[(Long, String)].collect().toMap
-      hits.toSeq.map(h => (h.rank, h.url.toLong,
-        graft.search.Snippets.snippet(byId(h.url.toLong), terms)))
-        .toDF("rank", "doc_id", "snippet")
+      top.zipWithIndex.map { case (id, i) =>
+        val text = byId(id)
+        val sn = graft.search.Snippets.snippet(text, terms)
+        val plain = sn.replace("<b>", "").replace("</b>", "")
+        (i + 1L, id, sn.nonEmpty && text.contains(plain),
+          sn.contains("<b>") == terms.exists(t => text.toLowerCase.contains(t)))
+      }.toDF("rank", "doc_id", "verbatim", "highlighted")
     }),
+    // MLT top-10 gate: exactly 10 hits, every hit shares a token with the
+    // seed doc and scores > 0 (the doc ranking itself is engine f32 BM25 —
+    // pinned by MoreLikeThisSpec; the oracle checks the invariants)
     "q_mlt" -> ((s, d) => {
       import s.implicits._
       val sr = searcherFor(s, d)
       val seed = docs(s, d).where(col("doc_id") === 0L).select("text").head.getString(0)
+      val seedToks = graft.analysis.Analyzer.terms(seed).toSet
       val q = graft.search.MoreLikeThis.query(sr, "text", seed,
         graft.search.MoreLikeThis.Config(minTermFreq = 1, minDocFreq = 2))
-      sr.topDocs(q, 10).toSeq
-        .map(h => (h.rank, h.url.toLong, math.round(h.score * 10000.0) / 10000.0))
-        .toDF("rank", "doc_id", "score")
+      val hits = sr.topDocs(q, 10)
+      val ids = hits.map(_.url.toLong).toSeq
+      val toksById = docs(s, d).where(col("doc_id").isin(ids: _*))
+        .select(col("doc_id"), expr(graft.ops.PipelineOps.TokensExprSpark).as("toks"))
+        .as[(Long, Seq[String])].collect().toMap
+      hits.toSeq.map { h =>
+        val shares = toksById(h.url.toLong).exists(seedToks.contains)
+        (h.rank.toLong, shares && h.score > 0.0f)
+      }.toDF("rank", "shares_seed")
     }),
 
     // --- BM25 at the DataFrame level, double precision (SQL-parity scoring)
@@ -289,11 +307,19 @@ object SparkEntry {
       round(expr("percentile(n_chars, 0.5)"), 4).as("p50"),
       round(expr("percentile(n_chars, 0.9)"), 4).as("p90"),
       round(expr("percentile(n_chars, 0.99)"), 4).as("p99"))),
-    // DDSketch family (reference percentiles.rs sketch); approximate ->
-    // rows-only driver check, accuracy pinned by DDSketchSpec
+    // DDSketch family (reference percentiles.rs sketch): the sketch value
+    // must sit within 3*alpha of the exact percentile (alpha=0.01 relative
+    // accuracy + rank-vs-interpolation slack) — the driver hash-checks the
+    // boolean gates; the strict alpha bound is pinned by DDSketchSpec
     "q_percentiles_sketch" -> ((s, d) => docs(s, d).agg(
-      graft.agg.DDSketch.percentilesAgg(col("n_chars"), Seq(50.0, 90.0, 99.0)).as("pcts"))
-      .select(col("pcts")(0).as("p50"), col("pcts")(1).as("p90"), col("pcts")(2).as("p99"))),
+      graft.agg.DDSketch.percentilesAgg(col("n_chars"), Seq(50.0, 90.0, 99.0)).as("pcts"),
+      expr("percentile(n_chars, 0.5)").as("e50"),
+      expr("percentile(n_chars, 0.9)").as("e90"),
+      expr("percentile(n_chars, 0.99)").as("e99"))
+      .select(
+        (abs(col("pcts")(0) - col("e50")) <= col("e50") * 0.03).as("p50_ok"),
+        (abs(col("pcts")(1) - col("e90")) <= col("e90") * 0.03).as("p90_ok"),
+        (abs(col("pcts")(2) - col("e99")) <= col("e99") * 0.03).as("p99_ok"))),
     "q_range_fastfield" -> ((s, d) => docs(s, d)
       .where(col("n_chars") >= 200 && col("n_chars") < 400).select("doc_id")),
 
@@ -384,7 +410,11 @@ object SparkEntry {
     "q_simhash" -> OracleSql.simhash,
     "q_cosine_topk" -> OracleSql.cosineTopK(0L, 10),
     "q_embed_neardup" -> OracleSql.embeddingNearDup(0.35),
-    // q_ann_lsh: approximate (random hyperplanes) -> rows-only check
+    // q_ann_lsh: approximate (random hyperplanes) -> rows-only check;
+    // recall@10 >= 0.8 vs exact top-k is gated by SimilaritySpec
+    "q_snippets" -> OracleSql.snippetsOracle,
+    "q_mlt" -> OracleSql.mltOracle,
+    "q_percentiles_sketch" -> OracleSql.sketchOracle,
     "q_terms_agg" -> OracleSql.termsAgg,
     "q_histogram" -> OracleSql.histogram,
     "q_stats" -> OracleSql.statsAgg,

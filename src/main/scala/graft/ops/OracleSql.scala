@@ -125,6 +125,19 @@ scored AS (
 SELECT doc_id, round(sum(s), 4) AS bm25 FROM scored GROUP BY doc_id"""
   }
 
+  /** Snippet query: doc set + rank from the same rounded-double BM25 as
+    * `bm25Scores`; the snippet validity booleans must all be true.
+    */
+  val snippetsOracle: String =
+    s"""SELECT row_number() OVER (ORDER BY bm25 DESC, doc_id)::BIGINT AS rank, doc_id,
+true AS verbatim, true AS highlighted
+FROM (${bm25Scores(Seq("spark", "table"))})
+ORDER BY bm25 DESC, doc_id LIMIT 10"""
+  val mltOracle: String =
+    "SELECT (i + 1)::BIGINT AS rank, true AS shares_seed FROM range(10) t(i)"
+  val sketchOracle: String =
+    "SELECT true AS p50_ok, true AS p90_ok, true AS p99_ok"
+
   val tokenCount: String =
     s"WITH $T SELECT doc_id, len(toks)::BIGINT AS n_tokens, len(list_distinct(toks))::BIGINT AS n_distinct FROM t"
 
