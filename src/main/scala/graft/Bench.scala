@@ -125,12 +125,14 @@ object Bench {
     val scaling: Option[String] = if (skipScaling) None else {
       val coresN = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "1").toInt
       val cores4N = coresN * 4
-      // the host is multi-tenant with 2-4x capacity swings; alternate legs
-      // and take best-of per level. Reps are ADAPTIVE: stop as soon as the
-      // best pairs evidence the >=0.8 target on both axes (every recorded
-      // observation is a genuinely measured leg), else keep rolling up to
-      // the cap (BENCH.md methodology).
-      val maxReps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "5").toInt
+      // the host is multi-tenant with 2-4x capacity swings; alternate N/4N
+      // legs and take best-of (min) per level — a noise-floor estimator that
+      // is NOT conditioned on the resulting ratio. The rep count is FIXED:
+      // adaptive stopping on a favorable ratio would bias the recorded
+      // efficiency upward (noise inflating the ratio would end sampling,
+      // noise deflating it would get more chances to be overwritten). The
+      // stopping rule ships in the JSON alongside the numbers.
+      val maxReps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "3").toInt
       val base = s"/dev/shm/graft-bench-idx-${System.nanoTime()}"
       val corpusPath = stageCorpus(scaleDocs)
       var bN = Double.MaxValue
@@ -139,8 +141,7 @@ object Bench {
       var qs4 = Double.MaxValue
       var nq = 0
       var reps = 0
-      var done = false
-      while (reps < maxReps && !done) {
+      while (reps < maxReps) {
         val (bn, qn, _) = scalingLeg(coresN, corpusPath, s"$base/idxN$reps", withQueries = true)
         val (b4r, q4r, nq4) = scalingLeg(cores4N, corpusPath, s"$base/idx4N$reps", withQueries = true)
         bN = math.min(bN, bn)
@@ -149,7 +150,6 @@ object Bench {
         qs4 = math.min(qs4, q4r)
         nq = nq4
         reps += 1
-        done = (bN / (4.0 * b4)) >= 0.8 && (qsN / (4.0 * qs4)) >= 0.8
       }
       val dpsN = scaleDocs / bN
       val dps4 = scaleDocs / b4
@@ -163,7 +163,7 @@ object Bench {
         Seq("rm", "-rf", base).!
       } catch { case _: Throwable => () }
       Some(
-        f"""{"docs":$scaleDocs,"coresN":$coresN,"reps":$reps,""" +
+        f"""{"docs":$scaleDocs,"coresN":$coresN,"reps":$reps,"rule":"fixed-reps, alternating N/4N legs, best-of per level",""" +
           f""""N":{"buildSec":$bN%.2f,"docsPerSec":$dpsN%.0f,"querySec":$qsN%.2f,"qps":$qpsN%.2f},""" +
           f""""4N":{"buildSec":$b4%.2f,"docsPerSec":$dps4%.0f,"querySec":$qs4%.2f,"qps":$qps4%.2f},""" +
           f""""buildScalingEff":$buildEff%.3f,"queryScalingEff":$queryEff%.3f}""")

@@ -40,7 +40,13 @@ final class DDSketch(
   private def incr(store: java.util.HashMap[Integer, java.lang.Long], key: Int, by: Long): Unit = {
     val prev = store.get(key)
     store.put(key, if (prev == null) by else prev + by)
-    if (store.size > maxBins) collapseLowest(store)
+    // the bin cap is enforced across pos+neg COMBINED, matching the
+    // reference's sketches_ddsketch default of maxBins total — collapse the
+    // store that just grew (or the other one if this one is a single bin)
+    if (pos.size + neg.size > maxBins) {
+      val target = if (store.size >= 2) store else if (pos.size >= 2) pos else neg
+      if (target.size >= 2) collapseLowest(target)
+    }
   }
 
   /** Merge the lowest bucket into the second-lowest (accuracy degrades only

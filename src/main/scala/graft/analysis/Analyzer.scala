@@ -232,6 +232,48 @@ object Analyzer extends Serializable {
     * `/a/b/c` emits itself and every ancestor, root-first:
     * `/a`, `/a/b`, `/a/b/c`. Positions are all 0.
     */
+  /** AsciiFoldingFilter (`src/tokenizer/ascii_folding_filter.rs` — the
+    * Lucene-derived mapping): Latin-script diacritics fold to their ASCII
+    * base. Implemented as NFD decomposition + combining-mark strip (covers
+    * every decomposable row of the reference's generated table) plus the
+    * non-decomposable special cases (ligatures, stroked/crossed letters).
+    * Unmapped non-Latin characters pass through unchanged, as in the
+    * reference's fallback arm.
+    */
+  private val FoldSpecial: Map[Char, String] = Map(
+    'æ' -> "ae", 'Æ' -> "AE", 'œ' -> "oe", 'Œ' -> "OE",
+    'ø' -> "o", 'Ø' -> "O", 'ß' -> "ss", 'ẞ' -> "SS",
+    'đ' -> "d", 'Đ' -> "D", 'ð' -> "d", 'Ð' -> "D",
+    'þ' -> "th", 'Þ' -> "TH", 'ł' -> "l", 'Ł' -> "L",
+    'ħ' -> "h", 'Ħ' -> "H", 'ı' -> "i", 'İ' -> "I",
+    'ŋ' -> "n", 'Ŋ' -> "N", 'ŧ' -> "t", 'Ŧ' -> "T",
+    'ƒ' -> "f", 'Ǝ' -> "E", 'ə' -> "e")
+
+  def asciiFold(s: String): String = {
+    var i = 0
+    var ascii = true
+    while (ascii && i < s.length) { if (s.charAt(i) >= 128) ascii = false; i += 1 }
+    if (ascii) return s
+    val nfd = java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFD)
+    val sb = new java.lang.StringBuilder(nfd.length)
+    i = 0
+    while (i < nfd.length) {
+      val c = nfd.charAt(i)
+      if (Character.getType(c) != Character.NON_SPACING_MARK) {
+        FoldSpecial.get(c) match {
+          case Some(rep) => sb.append(rep)
+          case None => sb.append(c)
+        }
+      }
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** AsciiFolding as a token filter (text rewritten, positions kept). */
+  def asciiFoldTokens(toks: ArrayBuffer[Token]): ArrayBuffer[Token] =
+    toks.map(t => t.copy(text = asciiFold(t.text)))
+
   def facetTokens(path: String): ArrayBuffer[Token] = {
     val out = new ArrayBuffer[Token]()
     if (path.isEmpty || path == "/") return out

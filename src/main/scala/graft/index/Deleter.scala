@@ -9,6 +9,14 @@ import org.apache.spark.sql.SparkSession
   * segments committed BEFORE the tombstone are dead: excluded at query
   * time (executor-side, from the term's own postings — the alive-bitset
   * analog) and physically purged by the next merge of their segment.
+  *
+  * SINGLE-WRITER REQUIREMENT: like the reference (one `IndexWriter` holds
+  * the directory lock, `src/indexer/index_writer.rs`), manifest mutators —
+  * `Deleter.deleteTerm`/`deleteKey`, `IndexBuilder.build`, and
+  * `SegmentMerger.merge` — must not run concurrently against the same index
+  * directory: each does an unlocked read-modify-write of the manifest, so a
+  * concurrent commit could drop the other's update. Serialize them through
+  * one driver (the streaming indexer's microbatch loop already does).
   */
 object Deleter {
 

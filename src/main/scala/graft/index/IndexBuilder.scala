@@ -45,7 +45,13 @@ final case class IndexConfig(
       * (`src/schema/facet.rs` + the FacetTokenizer), so counting a subtree
       * is one term's doc frequency and child counting is a prefix scan.
       */
-    facetFields: Seq[String] = Nil) {
+    facetFields: Seq[String] = Nil,
+    /** PreTokenizedString ingestion (`src/tokenizer/tokenized_string.rs:127`):
+      * when set, this array<string> column supplies the text field's tokens
+      * verbatim — the analyzer is bypassed, positions are the array indices.
+      * Lets pipeline users index with their own (e.g. BPE) tokenization.
+      */
+    preTokenizedField: Option[String] = None) {
   /** chunk ordinal cap per partition — segment id = pid * ChunksPerPartition + chunk */
   def rawFields: Seq[String] = Seq(keyField, langField)
 }
@@ -56,7 +62,8 @@ final case class IndexConfig(
   * absent); `jsons` the raw JSON strings of `IndexConfig.jsonFields`.
   */
 final case class InDoc(key: String, text: String, lang: String, ts: java.sql.Timestamp,
-    longs: Map[String, Long], jsons: Map[String, String], facets: Map[String, String])
+    longs: Map[String, Long], jsons: Map[String, String], facets: Map[String, String],
+    preToks: Seq[String])
 
 object IndexBuilder {
 
@@ -115,7 +122,10 @@ object IndexBuilder {
         col(cfg.tsField).cast("timestamp").as("ts"),
         longsCol.as("longs"),
         jsonsCol.as("jsons"),
-        facetsCol.as("facets"))
+        facetsCol.as("facets"),
+        cfg.preTokenizedField
+          .map(f => coalesce(col(f).cast("array<string>"), typedlit(Seq.empty[String])))
+          .getOrElse(typedlit(Seq.empty[String])).as("preToks"))
       .as[InDoc]
 
     val parted = in
@@ -232,8 +242,13 @@ object IndexBuilder {
     }
 
     var docId = 0
+    val preTokenized = cfg.preTokenizedField.isDefined
     docs.foreach { d =>
-      val toks = Analyzer.tokenize(d.text)
+      val toks: scala.collection.Seq[graft.analysis.Token] =
+        if (preTokenized)
+          d.preToks.iterator.zipWithIndex
+            .map { case (t, i) => graft.analysis.Token(t, i, 0, 0) }.toIndexedSeq
+        else Analyzer.tokenize(d.text)
       var i = 0
       while (i < toks.length) {
         val t = toks(i)

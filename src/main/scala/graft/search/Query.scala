@@ -21,7 +21,12 @@ object Query {
   final case class Phrase(field: String, terms: Seq[String], slop: Int = 0) extends Query
   final case class Bool(clauses: Seq[(Occur, Query)], minShouldMatch: Int = 0) extends Query
   final case class TermSet(field: String, terms: Seq[String]) extends Query
-  final case class Fuzzy(field: String, term: String, distance: Int = 1, prefix: Boolean = false) extends Query
+  /** `transpositionCostOne`: restricted-Damerau (OSA) distance instead of
+    * plain Levenshtein — the reference's Levenshtein-automaton option
+    * (`src/query/fuzzy_query.rs:80-97`).
+    */
+  final case class Fuzzy(field: String, term: String, distance: Int = 1, prefix: Boolean = false,
+      transpositionCostOne: Boolean = false) extends Query
   final case class Regexp(field: String, pattern: String) extends Query
   final case class TermRange(field: String, lo: Option[String], hi: Option[String],
       loInclusive: Boolean = true, hiInclusive: Boolean = false) extends Query

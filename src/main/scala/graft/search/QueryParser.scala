@@ -44,6 +44,24 @@ final class QueryParser(
     else None
   }
 
+  /** `parse_query_lenient` (`src/query/query_parser/query_parser.rs:349`):
+    * never throws — returns the best-effort query plus the errors hit. On a
+    * syntax error the input degrades to a bag-of-words disjunction of its
+    * analyzed terms over the default field (the reference similarly salvages
+    * literals around the error instead of failing the whole query).
+    */
+  def parseLenient(input: String): (Query, Seq[String]) =
+    try (parse(input), Nil)
+    catch {
+      case e: Exception =>
+        val terms = Analyzer.terms(input).toSeq
+        val q =
+          if (terms.isEmpty) Query.Nothing
+          else if (terms.length == 1) Query.Term(defaultField, terms.head)
+          else Query.Bool(terms.map(t => Occur.Should -> Query.Term(defaultField, t)))
+        (q, Seq(Option(e.getMessage).getOrElse(e.toString)))
+    }
+
   def parse(input: String): Query = {
     val p = new Parser(input)
     val q = p.parseOr()

@@ -81,11 +81,18 @@ final class Searcher(spark: SparkSession, indexDir: String) extends Serializable
     * automaton-walk stage) and drop unknown terms.
     */
   private def expand(q: Query): Query = q match {
-    case Query.Fuzzy(f, t, d, prefix) =>
-      val terms =
-        if (prefix) expandTerms(f, col("term").startsWith(t) ||
-          expr(s"levenshtein(term, ${sqlLit(t)}) <= $d"))
-        else expandTerms(f, expr(s"levenshtein(term, ${sqlLit(t)}) <= $d"))
+    case Query.Fuzzy(f, t, d, prefix, transp) =>
+      // transposition-cost-one = restricted-Damerau (OSA), the reference's
+      // Levenshtein-DFA option. OSA has no SQL builtin, but lev <= 2*osa
+      // (a transposition is two plain edits), so the pushed-down dictionary
+      // pre-filter `levenshtein <= 2d` is a superset; exact OSA filters the
+      // (tiny) candidate list driver-side.
+      val maxLev = if (transp) 2 * d else d
+      val levPred = expr(s"levenshtein(term, ${sqlLit(t)}) <= $maxLev")
+      val pred = if (prefix) col("term").startsWith(t) || levPred else levPred
+      var terms = expandTerms(f, pred)
+      if (transp)
+        terms = terms.filter(x => (prefix && x.startsWith(t)) || Searcher.osaDistance(x, t) <= d)
       constSet(f, terms)
     case Query.Regexp(f, p) =>
       constSet(f, expandTerms(f, col("term").rlike(s"^(?:$p)$$")))
@@ -531,6 +538,37 @@ final class Searcher(spark: SparkSession, indexDir: String) extends Serializable
 final case class SearchHit(rank: Int, url: String, score: Float, segment: Int, docId: Int)
 
 object Searcher {
+
+  /** Restricted-Damerau (optimal string alignment) edit distance — the
+    * metric of the reference's transposition-cost-one Levenshtein automaton.
+    */
+  def osaDistance(a: String, b: String): Int = {
+    val m = a.length
+    val n = b.length
+    if (m == 0) return n
+    if (n == 0) return m
+    val d = Array.ofDim[Int](m + 1, n + 1)
+    var i = 0
+    while (i <= m) { d(i)(0) = i; i += 1 }
+    var j = 0
+    while (j <= n) { d(0)(j) = j; j += 1 }
+    i = 1
+    while (i <= m) {
+      j = 1
+      while (j <= n) {
+        val cost = if (a.charAt(i - 1) == b.charAt(j - 1)) 0 else 1
+        var v = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1), d(i - 1)(j - 1) + cost)
+        if (i > 1 && j > 1 && a.charAt(i - 1) == b.charAt(j - 2) &&
+            a.charAt(i - 2) == b.charAt(j - 1))
+          v = math.min(v, d(i - 2)(j - 2) + 1)
+        d(i)(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    d(m)(n)
+  }
+
   /** Executor-side: assemble one segment's kernel context from its posting
     * rows (static — keeps the Searcher instance out of task closures).
     */
