@@ -229,9 +229,11 @@ object QueryKernel {
     case CEmpty => new EmptyScorer
     case CDisjMax(ds, tie) =>
       val legs = ds.map(toScorer(_, ctx, scored)).filter(!_.isInstanceOf[EmptyScorer])
+      val comb = if (scored) Combiner.DisjMax(tie) else Combiner.DoNothing
       if (legs.isEmpty) new EmptyScorer
       else if (legs.size == 1) legs.head
-      else new Union(legs.toArray, if (scored) Combiner.DisjMax(tie) else Combiner.DoNothing)
+      else if (legs.size >= WideUnionThreshold) new BufferedUnion(legs.toArray, comb)
+      else new Union(legs.toArray, comb)
     case CBool(mustQ, shouldQ, mustNotQ, msm0) =>
       val mustS = mustQ.map(toScorer(_, ctx, scored))
       if (mustS.exists(_.isInstanceOf[EmptyScorer])) return new EmptyScorer
@@ -269,9 +271,21 @@ object QueryKernel {
   private def intersect(legs: Seq[Scorer]): Scorer =
     if (legs.size == 1) legs.head else new Intersection(legs.toArray)
 
-  private def union(legs: Seq[Scorer], msm: Int, scored: Boolean): Scorer =
+  /** Wide disjunctions switch to the horizon-window union (buffered_union.rs
+    * picks the buffered scorer whenever there are >1 legs; we keep the
+    * zero-setup linear scan for narrow unions where the window refill
+    * overhead dominates).
+    */
+  private val WideUnionThreshold =
+    sys.env.get("GRAFT_WIDE_UNION").map(_.toInt).getOrElse(4)
+
+  private def union(legs: Seq[Scorer], msm: Int, scored: Boolean): Scorer = {
+    val comb = if (scored) Combiner.Sum else Combiner.DoNothing
     if (legs.size == 1 && msm <= 1) legs.head
-    else new Union(legs.toArray, if (scored) Combiner.Sum else Combiner.DoNothing, math.max(msm, 1))
+    else if (legs.size >= WideUnionThreshold)
+      new BufferedUnion(legs.toArray, comb, math.max(msm, 1))
+    else new Union(legs.toArray, comb, math.max(msm, 1))
+  }
 
   /** Top-k on one segment: Block-WAND when the query shape allows
     * (single-term fast path x3, block_wand.rs:222; multi-term, :148),

@@ -207,6 +207,126 @@ final class Union(legs: Array[Scorer], combiner: Combiner, minShouldMatch: Int =
   def cost: Long = legs.map(_.cost).sum
 }
 
+/** Wide-disjunction union with horizon windows — the reference's
+  * `BufferedUnionScorer` (`src/query/union/buffered_union.rs:9-57`): each
+  * leg drains its postings into a 2048-doc bitset window ONCE, with per-doc
+  * score/count accumulators, so emitting a doc costs amortized O(total
+  * postings / window) instead of the linear k-way scan's O(k) per doc.
+  * Legs drain in array order and scores accumulate per doc in that same
+  * order, so f32 sums are bit-identical to `Union`'s per-doc leg scan.
+  */
+final class BufferedUnion(legs: Array[Scorer], combiner: Combiner,
+    minShouldMatch: Int = 1) extends Scorer {
+  private val Horizon = 2048
+  private val words = new Array[Long](Horizon / 64)
+  private val scores: Array[Float] =
+    if (combiner == Combiner.DoNothing) null else new Array[Float](Horizon)
+  private val maxes: Array[Float] = combiner match {
+    case Combiner.DisjMax(_) => new Array[Float](Horizon)
+    case _ => null
+  }
+  private val counts: Array[Int] = if (minShouldMatch > 1) new Array[Int](Horizon) else null
+  private var windowStart = 0
+  private var cursor = -1 // offset of current doc within the window
+  private var curDoc = -1
+  private var curScore = 0.0f
+  advanceToValid(0)
+
+  /** Drain every leg's postings < windowStart+Horizon into the window. */
+  private def refill(): Boolean = {
+    var minD = Scorer.Terminated
+    var i = 0
+    while (i < legs.length) {
+      val d = legs(i).doc
+      if (d < minD) minD = d
+      i += 1
+    }
+    if (minD == Scorer.Terminated) return false
+    windowStart = minD
+    val end =
+      if (windowStart >= Scorer.Terminated - Horizon) Scorer.Terminated
+      else windowStart + Horizon
+    java.util.Arrays.fill(words, 0L)
+    if (scores != null) java.util.Arrays.fill(scores, 0.0f)
+    if (maxes != null) java.util.Arrays.fill(maxes, Float.NegativeInfinity)
+    if (counts != null) java.util.Arrays.fill(counts, 0)
+    i = 0
+    while (i < legs.length) {
+      val leg = legs(i)
+      var d = leg.doc
+      while (d < end) {
+        val off = d - windowStart
+        words(off >>> 6) |= 1L << (off & 63)
+        if (scores != null) {
+          val s = leg.score
+          scores(off) += s
+          if (maxes != null && s > maxes(off)) maxes(off) = s
+        }
+        if (counts != null) counts(off) += 1
+        d = leg.advance()
+      }
+      i += 1
+    }
+    cursor = -1
+    true
+  }
+
+  /** Next valid doc at offset > cursor within the window; false = exhausted. */
+  private def nextInWindow(fromOff: Int): Boolean = {
+    var off = fromOff
+    while (off < Horizon) {
+      val w = words(off >>> 6) >>> (off & 63)
+      if (w != 0) {
+        off += java.lang.Long.numberOfTrailingZeros(w)
+        if (counts == null || counts(off) >= minShouldMatch) {
+          cursor = off
+          curDoc = windowStart + off
+          curScore = combiner match {
+            case Combiner.Sum => scores(off)
+            case Combiner.DisjMax(tie) => maxes(off) + (scores(off) - maxes(off)) * tie
+            case Combiner.DoNothing => 0.0f
+          }
+          return true
+        }
+        off += 1
+      } else off = ((off >>> 6) + 1) << 6
+    }
+    false
+  }
+
+  private def advanceToValid(fromOff: Int): Unit = {
+    var from = fromOff
+    while (true) {
+      if (cursor >= -1 && nextInWindow(from)) return
+      if (!refill()) { curDoc = Scorer.Terminated; curScore = 0.0f; return }
+      from = 0
+    }
+  }
+
+  def doc: Int = curDoc
+  def advance(): Int = {
+    if (curDoc != Scorer.Terminated) advanceToValid(cursor + 1)
+    curDoc
+  }
+  override def seek(target: Int): Int = {
+    if (curDoc >= target || curDoc == Scorer.Terminated) return curDoc
+    if (target < windowStart + Horizon) advanceToValid(math.max(cursor + 1, target - windowStart))
+    else {
+      // beyond the window: position remaining legs, then rebuild
+      var i = 0
+      while (i < legs.length) {
+        if (legs(i).doc < target) legs(i).seek(target)
+        i += 1
+      }
+      if (refill()) advanceToValid(0)
+      else { curDoc = Scorer.Terminated; curScore = 0.0f }
+    }
+    curDoc
+  }
+  def score: Float = curScore
+  def cost: Long = legs.map(_.cost).sum
+}
+
 /** Include minus exclude (`src/query/exclude.rs:13`). */
 final class Exclude(include: Scorer, exclude: Scorer) extends Scorer {
   skipExcluded()

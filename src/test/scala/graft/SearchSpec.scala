@@ -51,6 +51,41 @@ class KernelAlgebraSpec extends AnyFunSuite {
     }
   }
 
+  test("BufferedUnion == Union: docs, bit-exact scores, msm, seeks") {
+    val rnd = new scala.util.Random(11)
+    for (trial <- 0 until 30) {
+      val k = 2 + rnd.nextInt(7)
+      val n = 5000 // spans multiple 2048-doc windows
+      val sets = Seq.fill(k)((0 until n).filter(_ => rnd.nextDouble() < 0.05))
+      def legsOf(): Array[Scorer] = sets.map { s =>
+        new ArrayScorer(s.toArray, s.map(d => (d % 13 + 1) * 0.37f).toArray): Scorer
+      }.toArray
+      for (msm <- Seq(1, 2)) {
+        val lin = new Union(legsOf(), Combiner.Sum, msm)
+        val buf = new BufferedUnion(legsOf(), Combiner.Sum, msm)
+        var d1 = lin.doc
+        var d2 = buf.doc
+        while (d1 != Scorer.Terminated || d2 != Scorer.Terminated) {
+          assert(d1 == d2, s"trial=$trial msm=$msm")
+          assert(lin.score == buf.score, s"doc=$d1") // bit-exact f32
+          d1 = lin.advance()
+          d2 = buf.advance()
+        }
+      }
+      // interleaved seeks (incl. cross-window jumps) agree
+      val lin = new Union(legsOf(), Combiner.Sum)
+      val buf = new BufferedUnion(legsOf(), Combiner.Sum)
+      var t = 0
+      while (t < n) {
+        t += 1 + rnd.nextInt(700)
+        val a = lin.seek(t)
+        val b = buf.seek(t)
+        assert(a == b, s"seek($t)")
+        if (a != Scorer.Terminated) assert(lin.score == buf.score)
+      }
+    }
+  }
+
   test("exclude == set difference") {
     val rnd = new scala.util.Random(9)
     for (_ <- 0 until 50) {
