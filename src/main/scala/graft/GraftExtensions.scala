@@ -27,6 +27,9 @@ object GraftFunctions {
     (FunctionIdentifier("porter_stem"),
       info(classOf[functions.PorterStem], "porter_stem"),
       (es: Seq[Expression]) => functions.PorterStem(es.head)),
+    (FunctionIdentifier("en_stem"),
+      info(classOf[functions.EnStem], "en_stem"),
+      (es: Seq[Expression]) => functions.EnStem(es.head)),
     (FunctionIdentifier("ddsketch_percentiles"),
       info(classOf[agg.DDSketchPercentiles], "ddsketch_percentiles"),
       (es: Seq[Expression]) => {

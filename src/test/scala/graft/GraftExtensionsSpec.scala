@@ -22,6 +22,14 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(out == Seq("the", "relat", "engin", "hop"))
   }
 
+  test("en_stem (Porter2/Snowball english) from SQL") {
+    import spark.implicits._
+    val out = spark.sql(
+      "SELECT transform(tantivy_tokenize('National conditional studies, hopping!'), t -> en_stem(t)) AS ts")
+      .as[Seq[String]].head()
+    assert(out == Seq("nation", "condit", "studi", "hop"))
+  }
+
   test("ddsketch_percentiles from SQL with literal percents and defaults") {
     import spark.implicits._
     (1 to 1000).map(_.toDouble).toDF("v").createOrReplaceTempView("vals")
