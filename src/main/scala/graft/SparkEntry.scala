@@ -440,26 +440,45 @@ object SparkEntry {
     * term-for-term: quantized fieldnorms via join against the 256-entry
     * table, df/N from aggregates, identical formula text.
     */
+  private[graft] def bm25DfPublic(spark: SparkSession, documents: DataFrame, terms: Seq[String]): DataFrame =
+    bm25Df(spark, documents, terms)
+
+  // memoized per (table-path-set, terms): the narrow (doc_id, dl, tf*) frame
+  // is one tokenize pass; stats/dfs/scoring all read the cached frame
+  private val bm25Cache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  /** SQL-parity double BM25 of `terms`, one pass over the corpus: per-doc
+    * term frequencies as array ops (no explode, no shuffle), quantized doc
+    * length via the codegen'd `FieldNormQuantize` static call (value-equal
+    * to the oracle's max-table-entry-<=dl subquery), global stats and doc
+    * freqs collected once (bounded: one row) and inlined as literals — the
+    * scored projection is a single codegen'd map over the cached frame.
+    */
   private def bm25Df(spark: SparkSession, documents: DataFrame, terms: Seq[String]): DataFrame = {
-    import spark.implicits._
-    val t = PipelineOps.withTokens(documents).select(col("doc_id"), col("toks"))
-    val stats = t.agg(count(lit(1)).cast("long").as("n"),
-      sum(size(col("toks"))).cast("long").as("tot"))
-    // quantized doc length = max table value <= dl, as a per-row fold over
-    // the 256-entry literal table (no join, stays in codegen)
-    val tableLit = typedlit(FieldNorms.Table.toSeq)
-    val dlq = t.select(col("doc_id"), size(col("toks")).as("dl"))
-      .select(col("doc_id"),
-        aggregate(tableLit, lit(0L),
-          (acc, x) => when(x <= col("dl"), greatest(acc, x)).otherwise(acc)).as("dlq"))
-    val tf = t.select(col("doc_id"), explode(col("toks")).as("tok"))
-      .where(col("tok").isin(terms: _*))
-      .groupBy("doc_id", "tok").agg(count(lit(1)).cast("long").as("tf"))
-    val df = tf.groupBy("tok").agg(count(lit(1)).cast("long").as("df"))
-    tf.join(broadcast(df), "tok").join(dlq, "doc_id").crossJoin(broadcast(stats))
-      .withColumn("s", expr(
-        "ln(1.0 + (n - df + 0.5) / (df + 0.5)) * (1.0 + 1.2)" +
-          " * tf / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dlq / (tot * 1.0 / n)))"))
-      .groupBy("doc_id").agg(round(sum("s"), 4).as("bm25"))
+    val key = documents.queryExecution.logical.toString + terms.mkString(",")
+    bm25Cache.getOrElseUpdate(key, {
+      val tfCols = terms.zipWithIndex.map { case (tm, i) =>
+        size(expr(s"filter(toks, x -> x = '$tm')")).cast("long").as(s"tf$i")
+      }
+      val perDoc = PipelineOps.withTokens(documents)
+        .select(col("doc_id") +: size(col("toks")).cast("long").as("dl") +: tfCols: _*)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val dfCols = terms.indices.map(i =>
+        sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i"))
+      val aggCols = count(lit(1)).cast("long").as("n") +: sum("dl").as("tot") +: dfCols
+      val st = perDoc.agg(aggCols.head, aggCols.tail: _*).head()
+      val n = st.getLong(0)
+      val tot = st.getLong(1)
+      val dlqCol = graft.functions.FieldNormQuantize.fieldnorm_quantize(col("dl"))
+      val sCols = terms.indices.map { i =>
+        val dfv = st.getLong(2 + i)
+        expr(s"ln(1.0 + ($n - ${dfv}L + 0.5) / (${dfv}L + 0.5)) * (1.0 + 1.2)" +
+          s" * tf$i / (tf$i + 1.2 * (1.0 - 0.75 + 0.75 * __dlq / ($tot * 1.0 / $n)))")
+      }
+      perDoc
+        .where(terms.indices.map(i => col(s"tf$i") > 0).reduce(_ || _))
+        .withColumn("__dlq", dlqCol)
+        .select(col("doc_id"), round(sCols.reduce(_ + _), 4).as("bm25"))
+    })
   }
 }
