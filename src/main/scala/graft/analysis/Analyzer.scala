@@ -274,6 +274,45 @@ object Analyzer extends Serializable {
   def asciiFoldTokens(toks: ArrayBuffer[Token]): ArrayBuffer[Token] =
     toks.map(t => t.copy(text = asciiFold(t.text)))
 
+  /** SplitCompoundWords (`src/tokenizer/split_compound_words.rs`): a token
+    * that can be FULLY decomposed into consecutive dictionary words splits
+    * into those parts (greedy leftmost-longest — the reference's
+    * aho-corasick LeftmostLongest match kind walked left to right); parts
+    * inherit the original token's position and offsets, exactly as the
+    * reference's `Token { text: tail, ..*token }`. Any token that does not
+    * tile completely passes through unchanged.
+    */
+  def splitCompoundWords(toks: ArrayBuffer[Token], dict: Set[String]): ArrayBuffer[Token] = {
+    if (dict.isEmpty) return toks
+    val maxLen = dict.iterator.map(_.length).max
+    val out = new ArrayBuffer[Token](toks.length)
+    toks.foreach { t =>
+      val text = t.text
+      val cuts = new ArrayBuffer[Int]()
+      var pos = 0
+      var ok = text.nonEmpty
+      while (ok && pos < text.length) {
+        var found = -1
+        var l = math.min(maxLen, text.length - pos)
+        while (found < 0 && l >= 1) {
+          if (dict.contains(text.substring(pos, pos + l))) found = l
+          l -= 1
+        }
+        if (found < 0) ok = false
+        else { cuts += pos; pos += found }
+      }
+      if (ok && cuts.length > 0) {
+        var i = 0
+        while (i < cuts.length) {
+          val end = if (i + 1 < cuts.length) cuts(i + 1) else text.length
+          out += t.copy(text = text.substring(cuts(i), end))
+          i += 1
+        }
+      } else out += t
+    }
+    out
+  }
+
   def facetTokens(path: String): ArrayBuffer[Token] = {
     val out = new ArrayBuffer[Token]()
     if (path.isEmpty || path == "/") return out

@@ -100,18 +100,21 @@ object IndexBuilder {
     cleanUnfinished(spark, indexDir, done, segmentBase,
       segmentBase + cfg.numPartitions * ChunksPerPartition)
 
+    // unused feature columns ship as NULL, not empty collections — the
+    // deserializer then skips per-row Map/Seq materialization entirely
+    // (three maps + a seq per doc measurably drag the hot build path)
     val longsCol =
-      if (cfg.longFields.isEmpty) typedlit(Map.empty[String, Long])
+      if (cfg.longFields.isEmpty) lit(null).cast("map<string,bigint>")
       else map_filter(
         map(cfg.longFields.flatMap(f => Seq(lit(f), col(f).cast("long"))): _*),
         (_, v) => v.isNotNull)
     val jsonsCol =
-      if (cfg.jsonFields.isEmpty) typedlit(Map.empty[String, String])
+      if (cfg.jsonFields.isEmpty) lit(null).cast("map<string,string>")
       else map_filter(
         map(cfg.jsonFields.flatMap(f => Seq(lit(f), col(f).cast("string"))): _*),
         (_, v) => v.isNotNull)
     val facetsCol =
-      if (cfg.facetFields.isEmpty) typedlit(Map.empty[String, String])
+      if (cfg.facetFields.isEmpty) lit(null).cast("map<string,string>")
       else map_filter(
         map(cfg.facetFields.flatMap(f => Seq(lit(f), col(f).cast("string"))): _*),
         (_, v) => v.isNotNull)
@@ -125,7 +128,7 @@ object IndexBuilder {
         facetsCol.as("facets"),
         cfg.preTokenizedField
           .map(f => coalesce(col(f).cast("array<string>"), typedlit(Seq.empty[String])))
-          .getOrElse(typedlit(Seq.empty[String])).as("preToks"))
+          .getOrElse(lit(null).cast("array<string>")).as("preToks"))
       .as[InDoc]
 
     val parted = in
@@ -273,7 +276,7 @@ object IndexBuilder {
           vec += docId
         }
       }
-      d.longs.foreach { case (f, v) =>
+      if (d.longs != null) d.longs.foreach { case (f, v) =>
         val key = (f, TypedTerms.encodeLong(v))
         var vec = raw.get(key)
         if (vec == null) { vec = new IntVec(); raw.put(key, vec) }
@@ -281,7 +284,7 @@ object IndexBuilder {
       }
       // facet fields: each path emits itself + every ancestor, deduped per
       // doc (multi-valued paths share ancestors)
-      d.facets.foreach { case (f, pathsStr) =>
+      if (d.facets != null) d.facets.foreach { case (f, pathsStr) =>
         val seen = new java.util.HashSet[String]()
         pathsStr.split(',').iterator.map(_.trim).filter(_.nonEmpty).foreach { p =>
           Analyzer.facetTokens(p).foreach { t =>
@@ -295,7 +298,7 @@ object IndexBuilder {
       }
       // json fields: one analyzed+typed term per leaf token, positions
       // running across the whole document's traversal order
-      d.jsons.foreach { case (f, js) =>
+      if (d.jsons != null) d.jsons.foreach { case (f, js) =>
         val terms =
           try JsonTerms.leafTerms(org.json4s.jackson.JsonMethods.parse(js), Analyzer.terms)
           catch { case _: Exception => Seq.empty[String] }

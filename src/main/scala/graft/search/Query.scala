@@ -79,6 +79,16 @@ object Query {
       loInclusive: Boolean = true, hiInclusive: Boolean = true): TypedRange =
     TypedRange(field, lo.map(TypedTerms.encodeTimestamp), hi.map(TypedTerms.encodeTimestamp),
       loInclusive, hiInclusive)
+
+  /** ExistsQuery on a JSON subpath (`src/query/exists_query.rs` with json
+    * paths): matches docs carrying ANY value at `path` — a term-range scan
+    * over the path's whole tag+value space, clamped so neighboring paths
+    * never leak in.
+    */
+  def jsonExists(field: String, path: String): TypedRange = {
+    val p = path + graft.index.JsonTerms.Sep
+    TypedRange(field, Some(p), Some(p + "\uffff"), loInclusive = true, hiInclusive = true)
+  }
 }
 
 /** Stats-bound, segment-independent compiled query — what ships to the

@@ -36,6 +36,27 @@ class FoldPreTokSpec extends AnyFunSuite {
     assert(toks.map(_.position).toSeq == Seq(0, 1))
   }
 
+  test("split compound words: reference doc example semantics") {
+    import scala.collection.mutable.ArrayBuffer
+    val dict = Set("dampf", "schiff", "fahrt", "brot", "backen", "automat")
+    def split(text: String): Seq[String] =
+      Analyzer.splitCompoundWords(Analyzer.tokenize(text), dict).map(_.text).toSeq
+    // fully decomposable -> parts (the reference's doctest)
+    assert(split("dampfschifffahrt") == Seq("dampf", "schiff", "fahrt"))
+    // not fully decomposable ("back" missing) -> unchanged
+    assert(split("brotbackautomat") == Seq("brotbackautomat"))
+    // untouched words pass through; parts keep the original position
+    val toks = Analyzer.splitCompoundWords(Analyzer.tokenize("die dampfschifffahrt heute"), dict)
+    assert(toks.map(_.text).toSeq == Seq("die", "dampf", "schiff", "fahrt", "heute"))
+    assert(toks.filter(t => Set("dampf", "schiff", "fahrt")(t.text)).map(_.position).distinct.size == 1)
+    // greedy leftmost-longest: prefers the longest dictionary word at each cut
+    val d2 = Set("foo", "foobar", "bar", "baz")
+    assert(Analyzer.splitCompoundWords(ArrayBuffer(graft.analysis.Token("foobarbaz", 0, 0, 9)), d2)
+      .map(_.text).toSeq == Seq("foobar", "baz"))
+    assert(Analyzer.splitCompoundWords(ArrayBuffer(graft.analysis.Token("foobarqux", 0, 0, 9)), d2)
+      .map(_.text).toSeq == Seq("foobarqux"))
+  }
+
   test("pre-tokenized ingestion: user tokens verbatim, positions = indices") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-pretok").toString

@@ -76,6 +76,16 @@ class JsonFieldSpec extends AnyFunSuite {
     assert(got == corpus.collect { case (u, (_, l)) if l == len => u }.toSet)
   }
 
+  test("jsonExists on a path matches every doc carrying it, none leak") {
+    // every doc has meta.n and tags; a fabricated path matches nothing
+    assert(engineUrls(Query.jsonExists("attrs", "meta.n")) == corpus.keySet)
+    assert(engineUrls(Query.jsonExists("attrs", "tags")) ==
+      corpus.collect { case (u, (ts, _)) if ts.nonEmpty => u }.toSet)
+    assert(engineUrls(Query.jsonExists("attrs", "meta.nope")).isEmpty)
+    // prefix of a real path is NOT the path ("meta" has no direct value)
+    assert(engineUrls(Query.jsonExists("attrs", "meta.m")).isEmpty)
+  }
+
   test("numeric path ranges, incl. open ends, never leak into sibling paths") {
     val lens = corpus.values.map(_._2)
     val (lo, hi) = (lens.min + (lens.max - lens.min) / 3, lens.min + 2 * (lens.max - lens.min) / 3)
