@@ -30,6 +30,14 @@ object GraftFunctions {
     (FunctionIdentifier("en_stem"),
       info(classOf[functions.EnStem], "en_stem"),
       (es: Seq[Expression]) => functions.EnStem(es.head)),
+    (FunctionIdentifier("snowball_stem"),
+      info(classOf[functions.SnowballStem], "snowball_stem"),
+      (es: Seq[Expression]) => {
+        require(es.length == 2 && es(1).foldable,
+          "snowball_stem: usage snowball_stem(token, 'language') with a literal language")
+        val lang = es(1).eval(null).toString
+        functions.SnowballStem(es.head, lang)
+      }),
     (FunctionIdentifier("ddsketch_percentiles"),
       info(classOf[agg.DDSketchPercentiles], "ddsketch_percentiles"),
       (es: Seq[Expression]) => {

@@ -346,6 +346,14 @@ object Analyzer extends Serializable {
   def removeStopWords(toks: ArrayBuffer[Token], stopWords: Set[String]): ArrayBuffer[Token] =
     toks.filterNot(t => stopWords.contains(t.text))
 
+  /** Stemmer token filter (`src/tokenizer/stemmer.rs`): rewrite each token to
+    * its Snowball stem for the given language; positions/offsets kept.
+    */
+  def stemTokens(toks: ArrayBuffer[Token], language: String): ArrayBuffer[Token] = {
+    val stem = snowball.SnowballStemmer(language)
+    toks.map(t => t.copy(text = stem(t.text)))
+  }
+
   /** The classic Lucene/tantivy English stop list (35 terms). */
   val EnglishStopWords: Set[String] = Set(
     "a", "an", "and", "are", "as", "at", "be", "but", "by", "for", "if",

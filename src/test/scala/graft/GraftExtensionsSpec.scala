@@ -30,6 +30,18 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(out == Seq("nation", "condit", "studi", "hop"))
   }
 
+  test("snowball_stem from SQL with a literal language") {
+    import spark.implicits._
+    val out = spark.sql(
+      "SELECT transform(tantivy_tokenize('Häuser laufen schneller!'), t -> snowball_stem(t, 'german')) AS ts")
+      .as[Seq[String]].head()
+    assert(out == Seq("haus", "lauf", "schnell"))
+    // english routes to the Porter2 implementation
+    val en = spark.sql("SELECT snowball_stem('conditional', 'english') AS s").as[String].head()
+    assert(en == "condit")
+    intercept[Exception](spark.sql("SELECT snowball_stem('x', 'klingon')").collect())
+  }
+
   test("ddsketch_percentiles from SQL with literal percents and defaults") {
     import spark.implicits._
     (1 to 1000).map(_.toDouble).toDF("v").createOrReplaceTempView("vals")
