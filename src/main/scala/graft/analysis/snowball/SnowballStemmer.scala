@@ -16,7 +16,11 @@ object SnowballStemmer {
     "norwegian" -> NorwegianStemmer.stem _,
     "swedish" -> SwedishStemmer.stem _,
     "german" -> GermanStemmer.stem _,
-    "dutch" -> DutchStemmer.stem _
+    "dutch" -> DutchStemmer.stem _,
+    "spanish" -> SpanishStemmer.stem _,
+    "portuguese" -> PortugueseStemmer.stem _,
+    "italian" -> ItalianStemmer.stem _,
+    "french" -> FrenchStemmer.stem _
   )
 
   def supported: Set[String] = stemmers.keySet
