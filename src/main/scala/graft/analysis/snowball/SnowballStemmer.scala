@@ -20,7 +20,8 @@ object SnowballStemmer {
     "spanish" -> SpanishStemmer.stem _,
     "portuguese" -> PortugueseStemmer.stem _,
     "italian" -> ItalianStemmer.stem _,
-    "french" -> FrenchStemmer.stem _
+    "french" -> FrenchStemmer.stem _,
+    "russian" -> RussianStemmer.stem _
   )
 
   def supported: Set[String] = stemmers.keySet
