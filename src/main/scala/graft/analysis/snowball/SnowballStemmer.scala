@@ -21,7 +21,8 @@ object SnowballStemmer {
     "portuguese" -> PortugueseStemmer.stem _,
     "italian" -> ItalianStemmer.stem _,
     "french" -> FrenchStemmer.stem _,
-    "russian" -> RussianStemmer.stem _
+    "russian" -> RussianStemmer.stem _,
+    "romanian" -> RomanianStemmer.stem _
   )
 
   def supported: Set[String] = stemmers.keySet
