@@ -22,7 +22,8 @@ object SnowballStemmer {
     "italian" -> ItalianStemmer.stem _,
     "french" -> FrenchStemmer.stem _,
     "russian" -> RussianStemmer.stem _,
-    "romanian" -> RomanianStemmer.stem _
+    "romanian" -> RomanianStemmer.stem _,
+    "hungarian" -> HungarianStemmer.stem _
   )
 
   def supported: Set[String] = stemmers.keySet
