@@ -23,7 +23,8 @@ object SnowballStemmer {
     "french" -> FrenchStemmer.stem _,
     "russian" -> RussianStemmer.stem _,
     "romanian" -> RomanianStemmer.stem _,
-    "hungarian" -> HungarianStemmer.stem _
+    "hungarian" -> HungarianStemmer.stem _,
+    "finnish" -> FinnishStemmer.stem _
   )
 
   def supported: Set[String] = stemmers.keySet
