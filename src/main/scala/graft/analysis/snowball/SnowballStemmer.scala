@@ -24,7 +24,8 @@ object SnowballStemmer {
     "russian" -> RussianStemmer.stem _,
     "romanian" -> RomanianStemmer.stem _,
     "hungarian" -> HungarianStemmer.stem _,
-    "finnish" -> FinnishStemmer.stem _
+    "finnish" -> FinnishStemmer.stem _,
+    "greek" -> GreekStemmer.stem _
   )
 
   def supported: Set[String] = stemmers.keySet
