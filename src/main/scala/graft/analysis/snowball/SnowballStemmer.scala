@@ -25,7 +25,8 @@ object SnowballStemmer {
     "romanian" -> RomanianStemmer.stem _,
     "hungarian" -> HungarianStemmer.stem _,
     "finnish" -> FinnishStemmer.stem _,
-    "greek" -> GreekStemmer.stem _
+    "greek" -> GreekStemmer.stem _,
+    "arabic" -> ArabicStemmer.stem _
   )
 
   def supported: Set[String] = stemmers.keySet
