@@ -26,7 +26,8 @@ object SnowballStemmer {
     "hungarian" -> HungarianStemmer.stem _,
     "finnish" -> FinnishStemmer.stem _,
     "greek" -> GreekStemmer.stem _,
-    "arabic" -> ArabicStemmer.stem _
+    "arabic" -> ArabicStemmer.stem _,
+    "tamil" -> TamilStemmer.stem _
   )
 
   def supported: Set[String] = stemmers.keySet
