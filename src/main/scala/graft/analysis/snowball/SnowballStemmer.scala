@@ -27,7 +27,8 @@ object SnowballStemmer {
     "finnish" -> FinnishStemmer.stem _,
     "greek" -> GreekStemmer.stem _,
     "arabic" -> ArabicStemmer.stem _,
-    "tamil" -> TamilStemmer.stem _
+    "tamil" -> TamilStemmer.stem _,
+    "turkish" -> TurkishStemmer.stem _
   )
 
   def supported: Set[String] = stemmers.keySet
