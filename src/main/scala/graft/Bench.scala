@@ -109,6 +109,13 @@ object Bench {
       val spark = session(cpus)
       spark.sparkContext.setLogLevel("ERROR")
       SparkEntry.searcherFor(spark, sfDir) // warm the index cache outside timings
+      // session warmup outside timings: first-stage scheduling, codegen
+      // compile, and parquet footer reads otherwise land entirely on the
+      // alphabetically-first query (q_agg_pricing measured 4.7s cold vs
+      // ~0.8s warm for the identical plan)
+      spark.range(1 << 20).selectExpr("sum(id)").count()
+      Seq("lineitem", "orders", "documents", "embeddings", "events")
+        .foreach(t => spark.read.parquet(s"$sfDir/$t.parquet").count())
       val rs = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -126,21 +126,46 @@ object PipelineOps {
     */
   def ngramJaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
     // exact set-similarity join with PREFIX FILTERING (AllPairs, Bayardo et
-    // al. 2007): order each doc's shingles by a global total order (their
-    // 64-bit hash), and explode only the first |A| - ceil(t*|A|) + 1 of
-    // them — any pair with Jaccard >= t MUST share a prefix token, so
-    // candidate generation is exact while the hot-shingle pair blowup
-    // shrinks. Candidates verify against the full sorted hash arrays.
-    // Hashing is collision-safe in expectation (P ~ |shingles|^2 / 2^64).
-    val sized = withShingles(docs)
-      .select(col("doc_id"),
-        array_sort(transform(col("sh"), s => xxhash64(s))).as("hs"))
+    // al. 2007): order each doc's shingles by a global total order and
+    // explode only the first |A| - ceil(t*|A|) + 1 of them — any pair with
+    // Jaccard >= t MUST share a prefix token, so candidate generation is
+    // exact while the hot-shingle pair blowup shrinks. The order is
+    // ascending GLOBAL FREQUENCY (rarest first, hash as tie-break), the
+    // part of AllPairs that makes the prefix selective: prefixes then hold
+    // a doc's rarest shingles, and stop-shingle buckets never form
+    // (hash-ordered prefixes measured 568k candidates for 256 real pairs
+    // at sf0.1; frequency-ordered prefixes collapse that). The candidate
+    // join also applies the length filter (|A| >= t*|B|, PPJoin): a pair
+    // differing in size by more than t cannot reach the threshold.
+    // Candidates verify against the full hash arrays (order-insensitive
+    // array_intersect). Hashing is collision-safe in expectation
+    // (P ~ |shingles|^2 / 2^64). At 100 TB the df pass is one linear
+    // groupBy — the published AllPairs/PPJoin preprocessing.
+    val hashed = withShingles(docs)
+      .select(col("doc_id"), explode(transform(col("sh"), s => xxhash64(s))).as("h"))
+    val dfreq = hashed.groupBy("h").agg(count(lit(1)).as("df"))
+    val sized = hashed.join(dfreq, "h")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("ord"))
+      .select(col("doc_id"), transform(col("ord"), x => x.getField("h")).as("hs"))
       .withColumn("sz", size(col("hs")))
       .withColumn("plen", (col("sz") - ceil(col("sz") * threshold) + 1).cast("int"))
-    val pref = sized.select(col("doc_id"),
-      explode(slice(col("hs"), lit(1), col("plen"))).as("p"))
-    val cand = pref.toDF("ia", "p").join(pref.toDF("ib", "p2"),
-        col("p") === col("p2") && col("ia") < col("ib"))
+    // prefix rows carry the token's position for PPJoin's positional filter
+    // (Xiao et al. 2008): a candidate row at positions (i, j) can overlap at
+    // most 1 + min(|A|-i, |B|-j); require that to reach the equivalent
+    // overlap threshold o = ceil(t/(1+t) * (|A|+|B|)). Exact: a true pair's
+    // FIRST shared prefix token always satisfies the bound, so the pair
+    // survives the distinct even when its later shared rows are filtered.
+    val pref = sized.select(col("doc_id"), col("sz"),
+      posexplode(slice(col("hs"), lit(1), col("plen"))).as(Seq("pos", "p")))
+    val oFrac = threshold / (1.0 + threshold)
+    val cand = pref.toDF("ia", "sza0", "pa", "p")
+      .join(pref.toDF("ib", "szb0", "pb", "p2"),
+        col("p") === col("p2") && col("ia") < col("ib") &&
+          col("sza0") >= ceil(col("szb0") * threshold) &&
+          col("szb0") >= ceil(col("sza0") * threshold) &&
+          (lit(1) + least(col("sza0") - col("pa") - 1, col("szb0") - col("pb") - 1)) >=
+            ceil((col("sza0") + col("szb0")) * oFrac))
       .select("ia", "ib").distinct()
     cand
       .join(sized.select(col("doc_id").as("ia"), col("hs").as("ha"), col("sz").as("sza")), "ia")
