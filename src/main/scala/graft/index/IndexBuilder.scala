@@ -140,46 +140,55 @@ object IndexBuilder {
     val bcBase = spark.sparkContext.broadcast(segmentBase)
 
     // ONE job, one pass: postings + doc-map + norms + stats rows, one sorted
-    // Parquet per segment
+    // Parquet per segment. The per-segment stats ride out of the same job on
+    // an accumulator (updates reach the driver only from SUCCESSFUL tasks, so
+    // entries correspond 1:1 with committed task output; speculative twins
+    // dedupe by segment id) — no second job re-listing and re-scanning the
+    // index just to read back the manifest rows it just wrote.
+    val statsAcc = spark.sparkContext
+      .collectionAccumulator[(Int, Int, Long, String)]("graft.segmentStats")
     val postings = parted.mapPartitions { it =>
       val cfg = bcCfg.value
       val pid = TaskContext.getPartitionId()
       chunked(it, cfg.maxDocsPerSegment).zipWithIndex.flatMap { case (chunk, ci) =>
         val segId = bcBase.value + pid * ChunksPerPartition + ci
         if (bcDone.value.contains(segId)) Iterator.empty
-        else buildSegment(segId, chunk, cfg)
+        else buildSegment(segId, chunk, cfg).map { row =>
+          if (row.field == PostingRow.StatsField)
+            statsAcc.add((row.segment, row.docFreq, row.totalTf,
+              new String(row.postings, java.nio.charset.StandardCharsets.UTF_8)))
+          row
+        }
       }
     }
     postings.toDF()
       .write.mode("append").partitionBy("segment")
       .parquet(s"$indexDir/postings")
 
-    // assemble manifest from the __stats__ rows now on disk (old + new)
-    val statRows = spark.read.parquet(s"$indexDir/postings")
-      .where(col("field") === PostingRow.StatsField)
-      .select("segment", "docFreq", "totalTf", "postings")
-      .collect()
+    // assemble manifest: this commit's segments from the accumulator, prior
+    // commits' from the prior manifest (never resurrect uncommitted orphans)
     val newCommitSeq = prior.map(_.commitSeq + 1).getOrElse(1L)
-    val priorMeta: Map[Int, SegmentMeta] =
-      prior.map(_.segments.map(m => m.segment -> m).toMap).getOrElse(Map.empty)
-    val metas = statRows.map { r =>
-      val segment = r.getInt(0)
-      val extra = new String(r.getAs[Array[Byte]](3), java.nio.charset.StandardCharsets.UTF_8)
-        .split(',').map(_.split(':')).map(a => a(0) -> a(1).toLong).toMap
-      SegmentMeta(
-        segment = segment,
-        numDocs = r.getInt(1),
-        totalTokens = r.getLong(2),
-        postingsBytes = extra.getOrElse("postingsBytes", 0L),
-        buildMillis = extra.getOrElse("buildMillis", 0L),
-        docsPerSec = if (extra.getOrElse("buildMillis", 0L) > 0)
-          r.getInt(1).toDouble * 1000.0 / extra("buildMillis") else 0.0,
-        mergeFanIn = extra.getOrElse("mergeFanIn", 1L).toInt,
-        // opstamp: pre-existing segments keep their creation seq; segments
-        // published by THIS commit are stamped with it (deletes recorded
-        // earlier do not apply to them)
-        createdSeq = priorMeta.get(segment).map(_.createdSeq).getOrElse(newCommitSeq))
-    }.sortBy(_.segment).toSeq
+    val priorSegs: Seq[SegmentMeta] = prior.map(_.segments).getOrElse(Nil)
+    import scala.jdk.CollectionConverters._
+    val fresh = statsAcc.value.asScala.toSeq
+      .sortBy { case (seg, _, _, extra) => (seg, extra) }
+      .distinctBy(_._1)
+      .map { case (segment, numDocs, totalTokens, extraStr) =>
+        val extra = extraStr.split(',').map(_.split(':')).map(a => a(0) -> a(1).toLong).toMap
+        SegmentMeta(
+          segment = segment,
+          numDocs = numDocs,
+          totalTokens = totalTokens,
+          postingsBytes = extra.getOrElse("postingsBytes", 0L),
+          buildMillis = extra.getOrElse("buildMillis", 0L),
+          docsPerSec = if (extra.getOrElse("buildMillis", 0L) > 0)
+            numDocs.toDouble * 1000.0 / extra("buildMillis") else 0.0,
+          mergeFanIn = extra.getOrElse("mergeFanIn", 1L).toInt,
+          // opstamp: segments published by THIS commit are stamped with it
+          // (deletes recorded earlier do not apply to them)
+          createdSeq = newCommitSeq)
+      }
+    val metas = (priorSegs ++ fresh).sortBy(_.segment)
 
     val manifest = IndexManifest(
       version = IndexManifest.FormatVersion,

@@ -51,4 +51,38 @@ object TypedTerms {
   def timestampMicros(ts: java.sql.Timestamp): Long =
     math.floorDiv(ts.getTime, 1000L) * 1000000L + (ts.getNanos / 1000).toLong
   def encodeTimestamp(ts: java.sql.Timestamp): String = encodeLong(timestampMicros(ts))
+
+  /** Booleans index as u64 0/1 (`src/schema/field_type.rs:63`). */
+  def encodeBool(v: Boolean): String = encodeLong(if (v) 1L else 0L)
+
+  /** IP addresses index as the IPv6 16-byte big-endian integer — IPv4 maps
+    * into ::ffff:a.b.c.d first — so byte order equals address order
+    * (`src/schema/ip_options.rs:1-159`, `common::u128_to_monotonic`). Printed
+    * as 32 fixed hex digits: the same well-ordered string-corner trick as the
+    * u64 types, so IP range queries are dictionary range scans too.
+    */
+  def encodeIp(addr: String): String = {
+    val ia = java.net.InetAddress.getByName(addr)
+    val v6 = ia.getAddress match {
+      case b4 if b4.length == 4 =>
+        Array[Byte](0, 0, 0, 0, 0, 0, 0, 0, 0, 0, -1, -1, b4(0), b4(1), b4(2), b4(3))
+      case b16 => b16
+    }
+    val sb = new java.lang.StringBuilder(32)
+    var i = 0
+    while (i < 16) {
+      val x = v6(i) & 0xff
+      sb.append(Character.forDigit(x >> 4, 16)).append(Character.forDigit(x & 0xf, 16))
+      i += 1
+    }
+    sb.toString
+  }
+  def decodeIp(t: String): String = {
+    val b = new Array[Byte](16)
+    var i = 0
+    while (i < 16) { b(i) = Integer.parseInt(t.substring(2 * i, 2 * i + 2), 16).toByte; i += 1 }
+    val isV4 = (0 until 10).forall(b(_) == 0) && b(10) == -1 && b(11) == -1
+    if (isV4) s"${b(12) & 0xff}.${b(13) & 0xff}.${b(14) & 0xff}.${b(15) & 0xff}"
+    else java.net.InetAddress.getByAddress(b).getHostAddress
+  }
 }

@@ -32,6 +32,25 @@ class TypedRangeSpec extends AnyFunSuite {
 
     val ts = java.sql.Timestamp.valueOf("2025-03-04 05:06:07.123456789")
     assert(TypedTerms.timestampMicros(ts) % 1000000L == 123456L)
+
+    assert(TypedTerms.encodeBool(false) < TypedTerms.encodeBool(true))
+
+    // IPs: v4 maps into ::ffff:a.b.c.d, v4/v6 interleave in address order
+    val ips = Seq("0.0.0.0", "9.255.255.255", "10.0.0.1", "172.16.254.3",
+      "192.168.0.1", "255.255.255.255")
+    val ie = ips.map(TypedTerms.encodeIp)
+    assert(ie == ie.sorted)
+    assert(ie.forall(_.length == 32))
+    ips.foreach(ip => assert(TypedTerms.decodeIp(TypedTerms.encodeIp(ip)) == ip))
+    val v6 = Seq("::1", "2001:db8::8a2e:370:7334", "fe80::1",
+      "ffff:ffff:ffff:ffff:ffff:ffff:ffff:ffff")
+    val v6e = v6.map(TypedTerms.encodeIp)
+    assert(v6e == v6e.sorted)
+    v6.foreach(ip => assert(TypedTerms.decodeIp(TypedTerms.encodeIp(ip)) ==
+      java.net.InetAddress.getByName(ip).getHostAddress))
+    // v4 space sits inside v6 order between ::1 and fe80::
+    assert(TypedTerms.encodeIp("::1") < TypedTerms.encodeIp("0.0.0.0"))
+    assert(TypedTerms.encodeIp("255.255.255.255") < TypedTerms.encodeIp("fe80::1"))
   }
 
   test("typed range inside boolean engine query == brute-force oracle; survives merge") {
