@@ -38,6 +38,15 @@ object GraftFunctions {
         val lang = es(1).eval(null).toString
         functions.SnowballStem(es.head, lang)
       }),
+    (FunctionIdentifier("distinct_shingles"),
+      info(classOf[functions.DistinctShingles], "distinct_shingles"),
+      (es: Seq[Expression]) => functions.DistinctShingles(es.head)),
+    (FunctionIdentifier("minhash_sigs"),
+      info(classOf[functions.MinHashSigs], "minhash_sigs"),
+      (es: Seq[Expression]) => functions.MinHashSigs(es.head)),
+    (FunctionIdentifier("shingle_xxhashes"),
+      info(classOf[functions.ShingleXxHashes], "shingle_xxhashes"),
+      (es: Seq[Expression]) => functions.ShingleXxHashes(es.head)),
     (FunctionIdentifier("ddsketch_percentiles"),
       info(classOf[agg.DDSketchPercentiles], "ddsketch_percentiles"),
       (es: Seq[Expression]) => {

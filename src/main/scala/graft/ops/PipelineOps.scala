@@ -115,7 +115,10 @@ object PipelineOps {
         (col("doc_id") =!= col("canonical_id")).as("is_dup"))
   }
 
-  private def withShingles(docs: DataFrame): DataFrame =
+  /** HOF-composition form of the shingle set — kept as the SQL-parity
+    * reference the native kernel is verified against (ShingleOpsSpec).
+    */
+  def withShingles(docs: DataFrame): DataFrame =
     withTokens(docs).withColumn("sh", array_distinct(expr(ShinglesExprSpark)))
 
   /** Exact n-gram Jaccard near-dup pairs via explode + equi-join on the
@@ -141,8 +144,11 @@ object PipelineOps {
     // array_intersect). Hashing is collision-safe in expectation
     // (P ~ |shingles|^2 / 2^64). At 100 TB the df pass is one linear
     // groupBy — the published AllPairs/PPJoin preprocessing.
-    val hashed = withShingles(docs)
-      .select(col("doc_id"), explode(transform(col("sh"), s => xxhash64(s))).as("h"))
+    // Per-row tokenize→shingle→hash runs in the native kernel (identical
+    // values to transform(sh, xxhash64) — ShingleOpsSpec).
+    val hashed = docs
+      .select(col("doc_id"),
+        explode(graft.functions.ShingleOps.shingle_xxhashes(col("text"))).as("h"))
     val dfreq = hashed.groupBy("h").agg(count(lit(1)).as("df"))
     val sized = hashed.join(dfreq, "h")
       .groupBy("doc_id")
@@ -183,20 +189,16 @@ object PipelineOps {
     * only).
     */
   def dedupMinHash(docs: DataFrame, threshold: Double): DataFrame = {
-    val sh = withShingles(docs).select(col("doc_id"), col("sh"))
-    // signatures as per-row array ops — no explode, no shuffle: each doc's
-    // min over its hashed shingles per permutation computes inside
-    // whole-stage codegen (identical values to the exploded groupBy form)
-    val hashed = sh.withColumn("hh",
-      expr("transform(sh, tok -> " + TokHashSpark + ")"))
-    val minhashCols = MinHashA.indices.map { i =>
-      expr(s"array_min(transform(hh, h -> (h * ${MinHashA(i)}L + ${MinHashB(i)}L) % ${MinHashP}L))")
-        .as(s"mh$i")
-    }
-    val sigs = hashed.select(col("doc_id") +: col("sh") +: minhashCols: _*)
-      .drop("sh")
+    // the per-row tokenize→shingle→md5→k-minima pass runs in the native
+    // kernel expression — one primitive loop inside whole-stage codegen,
+    // no shuffle, values identical to the exploded groupBy / HOF forms
+    // (ShingleOpsSpec pins both) and to the DuckDB oracle's md5 arithmetic
+    val sh = docs.select(col("doc_id"),
+      graft.functions.ShingleOps.distinct_shingles(col("text")).as("sh"))
+    val sigs = docs.select(col("doc_id"),
+      graft.functions.ShingleOps.minhash_sigs(col("text")).as("mhs"))
     val bandCols = (0 until Bands).map { b =>
-      val parts = (0 until RowsPerBand).map(r => col(s"mh${b * RowsPerBand + r}"))
+      val parts = (0 until RowsPerBand).map(r => col("mhs").getItem(b * RowsPerBand + r))
       struct(lit(b).as("band"), concat_ws("_", parts: _*).as("sig"))
     }
     val banded = sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))

@@ -258,12 +258,16 @@ object QueryKernel {
       }
       val positive: Scorer =
         if (musts.nonEmpty && shoulds.nonEmpty) {
+          // the intersection seeks the union from its cheapest other leg, so
+          // the union's window machinery only pays off when that driver
+          // visits a dense fraction of the union's docs
+          val driverCost = musts.map(_.cost).min
           if (msm >= 1) {
             // n-of-should is required alongside the musts
-            intersect(musts :+ union(shoulds, msm, scored))
+            intersect(musts :+ union(shoulds, msm, scored, drivenBy = driverCost))
           } else {
             val req = intersect(musts)
-            val opt = union(shoulds, msm, scored)
+            val opt = union(shoulds, msm, scored, drivenBy = req.cost)
             if (scored) new RequiredOptional(req, opt) else req
           }
         } else if (musts.nonEmpty) intersect(musts)
@@ -274,7 +278,7 @@ object QueryKernel {
       else {
         val notS = mustNotQ.map(toScorer(_, ctx, scored = false)).filter(!_.isInstanceOf[EmptyScorer])
         if (notS.isEmpty) positive
-        else new Exclude(positive, union(notS, 1, scored = false))
+        else new Exclude(positive, union(notS, 1, scored = false, drivenBy = positive.cost))
       }
   }
 
@@ -289,10 +293,26 @@ object QueryKernel {
   private val WideUnionThreshold =
     sys.env.get("GRAFT_WIDE_UNION").map(_.toInt).getOrElse(4)
 
-  private def union(legs: Seq[Scorer], msm: Int, scored: Boolean): Scorer = {
+  /** Seek-density gate: a union nested under an intersection (or feeding an
+    * Exclude) is advanced by an outer driver; each far seek costs the
+    * buffered union a full window refill (arrays memset + draining every
+    * leg's postings inside the window, scores computed eagerly), so when the
+    * driver visits only a sparse fraction of the union's docs the linear
+    * k-way scan — which just skip-seeks each leg to the target — wins. Use
+    * windows only when the driver covers >= 1/ratio of the union's summed
+    * cost (self-driven unions pass drivenBy = Long.MaxValue and always
+    * qualify). The reference always buffers (buffered_union.rs picks it for
+    * >1 legs); this gate is measured, not inherited (tools/UnionProbe).
+    */
+  private val UnionDriveRatio =
+    sys.env.get("GRAFT_UNION_DRIVE_RATIO").map(_.toLong).getOrElse(4L)
+
+  private def union(legs: Seq[Scorer], msm: Int, scored: Boolean,
+      drivenBy: Long = Long.MaxValue): Scorer = {
     val comb = if (scored) Combiner.Sum else Combiner.DoNothing
     if (legs.size == 1 && msm <= 1) legs.head
-    else if (legs.size >= WideUnionThreshold)
+    else if (legs.size >= WideUnionThreshold &&
+        drivenBy >= legs.map(_.cost).sum / UnionDriveRatio)
       new BufferedUnion(legs.toArray, comb, math.max(msm, 1))
     else new Union(legs.toArray, comb, math.max(msm, 1))
   }
