@@ -307,7 +307,7 @@ object QueryKernel {
   private val UnionDriveRatio =
     sys.env.get("GRAFT_UNION_DRIVE_RATIO").map(_.toLong).getOrElse(4L)
 
-  private def union(legs: Seq[Scorer], msm: Int, scored: Boolean,
+  private[search] def union(legs: Seq[Scorer], msm: Int, scored: Boolean,
       drivenBy: Long = Long.MaxValue): Scorer = {
     val comb = if (scored) Combiner.Sum else Combiner.DoNothing
     if (legs.size == 1 && msm <= 1) legs.head
