@@ -268,6 +268,20 @@ object SparkEntry {
         |   "_source": ["doc_id", "n_chars"]}}}}}""".stripMargin)("by_lang")
       .select(col("by_lang_key").as("lang"), col("hits_rank").cast("long").as("rank"),
         col("doc_id"), col("n_chars"), col("doc_count").as("cnt"))),
+    // terms order: sub-aggregation target (term_agg.rs CustomOrder) — the
+    // LIMIT survives or dies by the order, so the oracle checks semantics
+    "q_terms_order" -> ((s, d) => graft.agg.AggRequest.run(docs(s, d),
+      """{"by_src": {"terms": {"field": "source", "size": 5, "order": {"ac": "desc"}},
+        | "aggs": {"ac": {"avg": {"field": "n_chars"}}}}}""".stripMargin)("by_src")
+      .select(col("by_src_key").as("source"), col("doc_count").as("cnt"),
+        round(col("ac_avg"), 4).as("avg_c"))),
+    // per-parent ordering: top-2 sources by sum(n_chars) inside each lang
+    "q_terms_order_nested" -> ((s, d) => graft.agg.AggRequest.run(docs(s, d),
+      """{"by_lang": {"terms": {"field": "lang", "size": 10, "order": {"_key": "asc"}},
+        | "aggs": {"by_src": {"terms": {"field": "source", "size": 2, "order": {"sc": "desc"}},
+        |                     "aggs": {"sc": {"sum": {"field": "n_chars"}}}}}}}""".stripMargin)("by_lang")
+      .select(col("by_lang_key").as("lang"), col("by_src_key").as("source"),
+        col("doc_count").as("cnt"), col("sc_sum").cast("long").as("sum_c"))),
     "q_range_agg" -> ((s, d) => graft.agg.AggRequest.run(docs(s, d),
       """{"r": {"range": {"field": "n_chars",
         | "ranges": [{"to": 1000}, {"from": 1000, "to": 3000}, {"from": 3000}]},
@@ -398,6 +412,8 @@ object SparkEntry {
     "q_agg_top_hits" -> OracleSql.aggTopHits,
     "q_range_agg" -> OracleSql.rangeAgg,
     "q_filter_agg" -> OracleSql.filterAgg,
+    "q_terms_order" -> OracleSql.termsOrder,
+    "q_terms_order_nested" -> OracleSql.termsOrderNested,
     "q_count_matrix" -> OracleSql.countMatrix,
     "q_bm25_scores" -> OracleSql.bm25Scores(Seq("spark", "vector")),
     "q_token_count" -> OracleSql.tokenCount,

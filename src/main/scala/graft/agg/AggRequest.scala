@@ -30,8 +30,14 @@ object AggRequest {
     */
   final case class TopHits(size: Int, sort: Seq[(String, Boolean)],
       source: Seq[String]) extends Node
+  /** `order`: the reference's CustomOrder (`bucket/term_agg.rs:235-330`) —
+    * target is "_count", "_key", or a sub-aggregation name (optionally
+    * `name.metric` for multi-value metrics), paired with ascending?.
+    * None = the ES default (_count desc, key asc tiebreak).
+    */
   final case class Terms(field: String, size: Int, minDocCount: Long,
-      subs: Map[String, Node], missing: Option[String] = None) extends Node
+      subs: Map[String, Node], missing: Option[String] = None,
+      order: Option[(String, Boolean)] = None) extends Node
   final case class Histogram(field: String, interval: Double, offset: Double,
       subs: Map[String, Node],
       extendedBounds: Option[(Double, Double)] = None) extends Node
@@ -100,9 +106,13 @@ object AggRequest {
     }.getOrElse {
       if ((spec \ "terms") != JNothing) {
         val b = spec \ "terms"
+        val order = (b \ "order") match {
+          case JObject((target, JString(dir)) :: Nil) => Some((target, dir == "asc"))
+          case _ => None
+        }
         Terms(str(b, "field").get, num(b, "size").map(_.toInt).getOrElse(10),
           num(b, "min_doc_count").map(_.toLong).getOrElse(1L), subs,
-          missing = str(b, "missing"))
+          missing = str(b, "missing"), order = order)
       } else if ((spec \ "histogram") != JNothing) {
         val b = spec \ "histogram"
         val eb = (b \ "extended_bounds") match {
@@ -173,32 +183,36 @@ object AggRequest {
       expandSketch(
         aggregateAt(df, groupCols, metricColumns(name, m), sortKeys = groupCols.map(_._1)),
         Seq(name -> m))
-    case Terms(field, size, minDocCount, subs, missing) =>
+    case Terms(field, size, minDocCount, subs, missing, order) =>
       // ES `missing`: null keys fall into the given bucket value
       val keyCol = missing.map(mv => coalesce(col(field), lit(mv))).getOrElse(col(field))
       val keyName = s"${name}_key"
       val keyed = (keyName, keyCol)
       val path = groupCols :+ keyed
       val inner = withSubs(df, path, subs)
+      val orderCols = termsOrder(order, keyName, subs)
       val hasDeeper = subs.values.exists(n => !n.isInstanceOf[Metric] && !n.isInstanceOf[TopHits]) ||
         subs.values.exists(_.isInstanceOf[TopHits])
       if (!hasDeeper && groupCols.isEmpty) {
-        // flat terms: doc_count in `inner` is this level's count
+        // flat terms: doc_count in `inner` is this level's count, and the
+        // metric leaves are present, so a sub-agg order target sorts directly
         inner.where(col("doc_count") >= minDocCount)
-          .orderBy(col("doc_count").desc, col(keyName)).limit(size)
+          .orderBy(orderCols: _*).limit(size)
       } else {
         // `size` applies PER PARENT BUCKET and min_doc_count to THIS level's
         // counts (term_agg.rs:202-240): rank this level's buckets inside
-        // each parent (count desc, key asc — the ES ordering) and keep the
-        // leaf rows of surviving buckets via a semi join on the path keys
-        val levelCounts = aggregateAt(df, path, Nil, Nil)
+        // each parent by the requested order (default count desc, key asc)
+        // and keep the leaf rows of surviving buckets via a semi join on the
+        // path keys. A sub-agg order target needs that metric computed at
+        // THIS level, so it rides along in the ranking frame.
+        val levelCounts = aggregateAt(df, path, orderMetricCols(order, subs), Nil)
           .where(col("doc_count") >= minDocCount)
         val limited =
-          if (groupCols.isEmpty) levelCounts.orderBy(col("doc_count").desc, col(keyName)).limit(size)
+          if (groupCols.isEmpty) levelCounts.orderBy(orderCols: _*).limit(size)
           else {
             import org.apache.spark.sql.expressions.Window
             val w = Window.partitionBy(groupCols.map(g => col(g._1)): _*)
-              .orderBy(col("doc_count").desc, col(keyName))
+              .orderBy(orderCols: _*)
             levelCounts.withColumn("__rn", row_number().over(w))
               .where(col("__rn") <= size).drop("__rn")
           }
@@ -240,6 +254,57 @@ object AggRequest {
       }.reduce(_ || _)), groupCols :+ ((s"${name}_key", key)), subs)
     case FilterAgg(pred, subs) =>
       withSubs(df.where(expr(pred)), groupCols, subs)
+  }
+
+  /** Terms order → sort columns over a bucket frame that has `doc_count`,
+    * the key column, and (for sub-agg targets) the resolved metric column.
+    * Non-key orders tiebreak by key ascending, as ES does.
+    */
+  private def termsOrder(order: Option[(String, Boolean)], keyName: String,
+      subs: Map[String, Node]): Seq[Column] = order match {
+    case None | Some(("_count", false)) => Seq(col("doc_count").desc, col(keyName))
+    case Some(("_count", true)) => Seq(col("doc_count").asc, col(keyName))
+    case Some(("_key", asc)) => Seq(if (asc) col(keyName).asc else col(keyName).desc)
+    case Some((target, asc)) =>
+      val c = col(metricColName(target, subs))
+      Seq(if (asc) c.asc else c.desc, col(keyName))
+  }
+
+  /** Resolve `name` / `name.leaf` (e.g. `st.avg`, `pct.50`) to the flattened
+    * output column of the metric sub-aggregation.
+    */
+  private def metricColName(target: String, subs: Map[String, Node]): String = {
+    val (base, leafOpt) = target.split("\\.", 2) match {
+      case Array(b, l) => (b, Some(l))
+      case Array(b) => (b, None)
+    }
+    subs.get(base) match {
+      case Some(Metric(kind, _, _, sketch)) =>
+        require(!(kind == "percentiles" && sketch),
+          s"order target '$target': ordering by sketch percentiles is unsupported")
+        val leaf = leafOpt
+          .map(l => if (l.nonEmpty && l.forall(_.isDigit)) s"p$l" else l)
+          .getOrElse(kind match {
+            case "value_count" => "count"
+            case k @ ("avg" | "min" | "max" | "sum" | "cardinality") => k
+            case other => throw new IllegalArgumentException(
+              s"order target '$target' must name the metric leaf (e.g. $base.avg) for $other")
+          })
+        s"${base}_$leaf"
+      case _ => throw new IllegalArgumentException(
+        s"order target '$target': no such metric sub-aggregation")
+    }
+  }
+
+  /** The metric columns a sub-agg order target needs in the ranking frame. */
+  private def orderMetricCols(order: Option[(String, Boolean)],
+      subs: Map[String, Node]): Seq[Column] = order match {
+    case Some((t, _)) if t != "_count" && t != "_key" =>
+      subs.get(t.split("\\.", 2)(0)) match {
+        case Some(m: Metric) => metricColumns(t.split("\\.", 2)(0), m)
+        case _ => Nil
+      }
+    case _ => Nil
   }
 
   /** Group by the accumulated bucket keys, computing doc_count plus all

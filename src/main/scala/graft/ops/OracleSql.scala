@@ -257,6 +257,16 @@ SELECT ia, ib, round(c, 4) AS cos FROM p WHERE c >= $threshold"""
     "SELECT count(*)::BIGINT AS cnt, round(avg(n_chars), 4) AS avg_c " +
       "FROM documents WHERE n_chars >= 1000"
 
+  val termsOrder: String =
+    "SELECT source, count(*)::BIGINT AS cnt, round(avg(n_chars), 4) AS avg_c " +
+      "FROM documents GROUP BY source ORDER BY avg(n_chars) DESC, source LIMIT 5"
+
+  val termsOrderNested: String =
+    """SELECT lang, source, cnt, sum_c FROM (
+  SELECT lang, source, count(*)::BIGINT AS cnt, sum(n_chars)::BIGINT AS sum_c,
+    row_number() OVER (PARTITION BY lang ORDER BY sum(n_chars) DESC, source) AS rn
+  FROM documents GROUP BY lang, source) WHERE rn <= 2"""
+
   val termsAgg: String =
     s"""WITH $T SELECT tok AS term, count(*)::BIGINT AS df
 FROM (SELECT doc_id, unnest(list_distinct(toks)) AS tok FROM t)

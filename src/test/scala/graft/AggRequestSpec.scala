@@ -20,6 +20,43 @@ class AggRequestSpec extends AnyFunSuite {
     assert(out.forall(r => r.getAs[Double]("len_avg") > 0))
   }
 
+  test("terms custom order: _key, _count asc, sub-metric target") {
+    import org.apache.spark.sql.functions._
+    val byKeyDesc = AggRequest.run(docs,
+      """{"t": {"terms": {"field": "lang", "size": 100, "order": {"_key": "desc"}}}}""")("t")
+      .collect().map(_.getAs[String]("t_key")).toSeq
+    assert(byKeyDesc == byKeyDesc.sorted.reverse && byKeyDesc.nonEmpty)
+
+    val byCountAsc = AggRequest.run(docs,
+      """{"t": {"terms": {"field": "lang", "size": 2, "order": {"_count": "asc"}}}}""")("t")
+      .collect().map(_.getAs[Long]("doc_count")).toSeq
+    val allCounts = docs.groupBy("lang").count().collect().map(_.getLong(1)).sorted.toSeq
+    assert(byCountAsc == allCounts.take(2))
+
+    // order by avg(n_chars) desc — the survivors of size=2 prove the target
+    val bySub = AggRequest.run(docs,
+      """{"t": {"terms": {"field": "source", "size": 2, "order": {"m": "desc"}},
+        | "aggs": {"m": {"avg": {"field": "n_chars"}}}}}""".stripMargin)("t")
+      .collect().map(r => (r.getAs[String]("t_key"), r.getAs[Double]("m_avg")))
+    val expected = docs.groupBy("source").agg(avg("n_chars").as("a"))
+      .orderBy(col("a").desc, col("source")).limit(2)
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    assert(bySub.toSeq == expected.toSeq)
+
+    // per-parent: top-1 source by sum inside each lang == window oracle
+    val nested = AggRequest.run(docs,
+      """{"l": {"terms": {"field": "lang", "size": 100},
+        | "aggs": {"s": {"terms": {"field": "source", "size": 1, "order": {"m": "desc"}},
+        |                "aggs": {"m": {"sum": {"field": "n_chars"}}}}}}}""".stripMargin)("l")
+      .collect().map(r => (r.getAs[String]("l_key"), r.getAs[String]("s_key"))).toMap
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("lang").orderBy(col("m").desc, col("source"))
+    val oracle = docs.groupBy("lang", "source").agg(sum("n_chars").as("m"))
+      .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(nested == oracle)
+  }
+
   test("histogram agg") {
     val req = """{"aggs": {"h": {"histogram": {"field": "n_chars", "interval": 100}}}}"""
     val out = AggRequest.run(docs, req)("h").collect()
