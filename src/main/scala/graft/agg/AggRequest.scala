@@ -38,13 +38,34 @@ object AggRequest {
   final case class Terms(field: String, size: Int, minDocCount: Long,
       subs: Map[String, Node], missing: Option[String] = None,
       order: Option[(String, Boolean)] = None) extends Node
+  /** Histogram options match `bucket/histogram/histogram.rs:91-145`:
+    * absolute grid `[offset + k*interval, offset + (k+1)*interval)`; by
+    * default every bucket between the data min and max is returned
+    * (empty ones included) — `min_doc_count` > 0 filters them instead;
+    * `hard_bounds` clips the value range (closed interval),
+    * `extended_bounds` widens the materialized grid.
+    */
   final case class Histogram(field: String, interval: Double, offset: Double,
       subs: Map[String, Node],
-      extendedBounds: Option[(Double, Double)] = None) extends Node
-  final case class DateHistogram(field: String, intervalExpr: String,
-      subs: Map[String, Node]) extends Node
-  final case class RangeAgg(field: String, ranges: Seq[(Option[Double], Option[Double])],
-      subs: Map[String, Node]) extends Node
+      extendedBounds: Option[(Double, Double)] = None,
+      hardBounds: Option[(Double, Double)] = None,
+      minDocCount: Long = 0L) extends Node
+  /** `date_histogram` is the same grid over epoch milliseconds
+    * (`bucket/histogram/date_histogram.rs:34-120`): fixed_interval/offset
+    * are duration strings (ms/s/m/h/d), bounds are ms timestamps; the
+    * bucket key renders as a timestamp.
+    */
+  final case class DateHistogram(field: String, intervalMs: Long, offsetMs: Long,
+      subs: Map[String, Node],
+      extendedBounds: Option[(Double, Double)] = None,
+      hardBounds: Option[(Double, Double)] = None,
+      minDocCount: Long = 0L) extends Node
+  /** One requested range bucket (`bucket/range.rs:91-97`): optional custom
+    * key, half-open [from, to).
+    */
+  final case class RangeSpec(key: Option[String], from: Option[Double], to: Option[Double])
+  final case class RangeAgg(field: String, ranges: Seq[RangeSpec],
+      subs: Map[String, Node], keyed: Boolean = false) extends Node
   final case class FilterAgg(predicate: String, subs: Map[String, Node]) extends Node
   final case class Metric(kind: String, field: String, percents: Seq[Double],
       sketch: Boolean = false) extends Node
@@ -74,6 +95,41 @@ object AggRequest {
     case JDouble(d) => Some(d)
     case JLong(l) => Some(l.toDouble)
     case _ => None
+  }
+
+  private def bounds(j: JValue): Option[(Double, Double)] = j match {
+    case JNothing => None
+    case b => for (lo <- num(b, "min"); hi <- num(b, "max")) yield (lo, hi)
+  }
+
+  /** `date_histogram.rs` duration syntax (`parse_into_milliseconds`):
+    * integer + ms|s|m|h|d, negative allowed (offsets); legacy "1 day"-style
+    * Spark strings accepted for back-compat.
+    */
+  private[graft] def durationMs(s: String): Long = {
+    val t = s.trim
+    val re = "(-?\\d+)(ms|s|m|h|d)".r
+    t match {
+      case re(n, u) =>
+        n.toLong * (u match {
+          case "ms" => 1L; case "s" => 1000L; case "m" => 60000L
+          case "h" => 3600000L; case "d" => 86400000L
+        })
+      case _ =>
+        val re2 = "(-?\\d+)\\s+(\\w+)s?".r
+        t match {
+          case re2(n, u) => n.toLong * (u.stripSuffix("s") match {
+            case "millisecond" => 1L
+            case "second" => 1000L
+            case "minute" => 60000L
+            case "hour" => 3600000L
+            case "day" => 86400000L
+            case "week" => 7L * 86400000L
+            case other => throw new IllegalArgumentException(s"interval unit $other")
+          })
+          case _ => throw new IllegalArgumentException(s"cannot parse interval '$s'")
+        }
+    }
   }
 
   private def parseNode(spec: JValue): Node = {
@@ -115,24 +171,27 @@ object AggRequest {
           missing = str(b, "missing"), order = order)
       } else if ((spec \ "histogram") != JNothing) {
         val b = spec \ "histogram"
-        val eb = (b \ "extended_bounds") match {
-          case JNothing => None
-          case ebj =>
-            for (lo <- num(ebj, "min"); hi <- num(ebj, "max")) yield (lo, hi)
-        }
         Histogram(str(b, "field").get, num(b, "interval").get,
-          num(b, "offset").getOrElse(0.0), subs, eb)
+          num(b, "offset").getOrElse(0.0), subs,
+          extendedBounds = bounds(b \ "extended_bounds"),
+          hardBounds = bounds(b \ "hard_bounds"),
+          minDocCount = num(b, "min_doc_count").map(_.toLong).getOrElse(0L))
       } else if ((spec \ "date_histogram") != JNothing) {
         val b = spec \ "date_histogram"
-        DateHistogram(str(b, "field").get,
-          str(b, "fixed_interval").orElse(str(b, "calendar_interval")).getOrElse("1 day"), subs)
+        val iv = str(b, "fixed_interval").orElse(str(b, "calendar_interval")).getOrElse("1d")
+        DateHistogram(str(b, "field").get, durationMs(iv),
+          str(b, "offset").map(durationMs).getOrElse(0L), subs,
+          extendedBounds = bounds(b \ "extended_bounds"),
+          hardBounds = bounds(b \ "hard_bounds"),
+          minDocCount = num(b, "min_doc_count").map(_.toLong).getOrElse(0L))
       } else if ((spec \ "range") != JNothing) {
         val b = spec \ "range"
         val ranges = (b \ "ranges") match {
-          case JArray(rs) => rs.map(r => (num(r, "from"), num(r, "to")))
+          case JArray(rs) => rs.map(r => RangeSpec(str(r, "key"), num(r, "from"), num(r, "to")))
           case _ => Seq.empty
         }
-        RangeAgg(str(b, "field").get, ranges, subs)
+        RangeAgg(str(b, "field").get, ranges, subs,
+          keyed = (b \ "keyed") match { case JBool(v) => v; case _ => false })
       } else if ((spec \ "filter") != JNothing) {
         FilterAgg(str(spec \ "filter", "query_string").getOrElse("true"), subs)
       } else throw new IllegalArgumentException(s"unsupported agg: $spec")
@@ -218,42 +277,120 @@ object AggRequest {
           }
         inner.join(limited.select(path.map(c => col(c._1)): _*), path.map(_._1), "left_semi")
       }
-    case Histogram(field, interval, offset, subs, extendedBounds) =>
-      val bucket = (floor((col(field) - offset) / interval) * interval + offset).as(s"${name}_key")
-      val out = withSubs(df, groupCols :+ ((s"${name}_key", bucket)), subs)
-      val bounded = extendedBounds match {
-        case Some((lo, hi)) =>
-          // ES extended_bounds: materialize empty buckets across [min, max] —
-          // per parent bucket when nested (each parent shows the full range)
-          val loB = math.floor((lo - offset) / interval) * interval + offset
-          val n = math.floor((hi - loB) / interval).toLong
-          val allBuckets = df.sparkSession.range(n + 1)
-            .select((lit(loB) + col("id") * interval).as(s"${name}_key"))
-          val base =
-            if (groupCols.isEmpty) allBuckets
-            else out.select(groupCols.map(c => col(c._1)): _*).distinct().crossJoin(allBuckets)
-          val joinKeys = groupCols.map(_._1) :+ s"${name}_key"
-          val joinType = if (groupCols.isEmpty) "full_outer" else "left_outer"
-          base.join(out, joinKeys, joinType)
-            .withColumn("doc_count", coalesce(col("doc_count"), lit(0L)))
-        case None => out
+    case Histogram(field, interval, offset, subs, extendedBounds, hardBounds, minDocCount) =>
+      histogramAt(df, name, groupCols, subs, col(field).cast("double"),
+        interval, offset, extendedBounds, hardBounds, minDocCount, identity)
+    case DateHistogram(field, intervalMs, offsetMs, subs, eb, hb, minDocCount) =>
+      // the reference lowers date_histogram onto the numeric histogram over
+      // epoch milliseconds (date_histogram.rs); the key renders back as a
+      // millisecond-precision timestamp
+      val ms = (unix_micros(col(field).cast("timestamp")) / lit(1000L)).cast("double")
+      histogramAt(df, name, groupCols, subs, ms, intervalMs.toDouble, offsetMs.toDouble,
+        eb, hb, minDocCount, k => timestamp_millis(k.cast("long")))
+    case RangeAgg(field, ranges0, subs, _) =>
+      val c = col(field).cast("double")
+      // implicit open-ended buckets before the first `to` and after the last
+      // `from` (range.rs: "*-x" / "x-*"), kept even when empty
+      val withImplicit =
+        (if (ranges0.headOption.exists(_.from.isDefined))
+          Seq(RangeSpec(None, None, ranges0.head.from)) else Nil) ++
+          ranges0 ++
+          (if (ranges0.lastOption.exists(_.to.isDefined))
+            Seq(RangeSpec(None, ranges0.last.to, None)) else Nil)
+      def label(r: RangeSpec): String =
+        r.key.getOrElse(s"${r.from.map(fmtF64).getOrElse("*")}-${r.to.map(fmtF64).getOrElse("*")}")
+      val keyName = s"${name}_key"
+      val key = withImplicit.foldLeft(lit(null).cast("string")) { case (acc, r) =>
+        val cond = (r.from.map(c >= _).getOrElse(lit(true))) && (r.to.map(c < _).getOrElse(lit(true)))
+        when(cond, lit(label(r))).otherwise(acc)
+      }.as(keyName)
+      val out = withSubs(df.where(c.isNotNull), groupCols :+ ((keyName, key)), subs)
+      // bucket-definition frame: request order, custom keys, from/to columns
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(
+        StructField(keyName, StringType), StructField(s"${name}_from", DoubleType),
+        StructField(s"${name}_to", DoubleType), StructField("__ord", IntegerType, nullable = false)))
+      val defRows: java.util.List[Row] = new java.util.ArrayList[Row]()
+      withImplicit.zipWithIndex.foreach { case (r, i) =>
+        defRows.add(Row(label(r), r.from.orNull, r.to.orNull, i))
       }
-      bounded.orderBy(groupCols.map(c => col(c._1)) :+ col(s"${name}_key"): _*)
-    case DateHistogram(field, interval, subs) =>
-      val bucket = window(col(field).cast("timestamp"), interval).getField("start").as(s"${name}_key")
-      withSubs(df, groupCols :+ ((s"${name}_key", bucket)), subs)
-    case RangeAgg(field, ranges, subs) =>
-      val c = col(field)
-      val key = ranges.foldLeft(lit(null).cast("string")) { case (acc, (from, to)) =>
-        val cond = (from.map(c >= _).getOrElse(lit(true))) && (to.map(c < _).getOrElse(lit(true)))
-        val label = s"${from.map(_.toString).getOrElse("*")}-${to.map(_.toString).getOrElse("*")}"
-        when(cond, lit(label)).otherwise(acc)
-      }.as(s"${name}_key")
-      withSubs(df.where(ranges.map { case (f, t) =>
-        (f.map(c >= _).getOrElse(lit(true))) && (t.map(c < _).getOrElse(lit(true)))
-      }.reduce(_ || _)), groupCols :+ ((s"${name}_key", key)), subs)
+      val defs = df.sparkSession.createDataFrame(defRows, schema)
+      val parents = groupCols.map(_._1)
+      val base =
+        if (parents.isEmpty) defs
+        else out.select(parents.map(col): _*).distinct().crossJoin(defs)
+      base.join(out, parents :+ keyName, "left_outer")
+        .withColumn("doc_count", coalesce(col("doc_count"), lit(0L)))
+        .orderBy(parents.map(col) :+ col("__ord"): _*)
+        .drop("__ord")
     case FilterAgg(pred, subs) =>
       withSubs(df.where(expr(pred)), groupCols, subs)
+  }
+
+  /** Rust `{}` float formatting for range bucket labels ("0", "0.1", not
+    * "0.0"): integral values print without the fraction.
+    */
+  private def fmtF64(d: Double): String =
+    if (d == math.rint(d) && math.abs(d) < 1e15) d.toLong.toString else d.toString
+
+  /** Shared histogram machinery (numeric + date): absolute grid keyed by
+    * `floor((v - offset)/interval)*interval + offset`; `hard_bounds` clips
+    * values; with min_doc_count == 0 (the default) every grid bucket between
+    * the per-parent data min/max — widened by `extended_bounds`, clipped by
+    * `hard_bounds` — is materialized with doc_count 0, exactly the
+    * reference's bucket fill (`histogram.rs:55-63`). The grid join key is
+    * computed through the same `k*interval + offset` float arithmetic on
+    * both sides, so double equality is exact.
+    */
+  private def histogramAt(df: DataFrame, name: String, groupCols: List[(String, Column)],
+      subs: Map[String, Node], value: Column, interval: Double, offset: Double,
+      extendedBounds: Option[(Double, Double)], hardBounds: Option[(Double, Double)],
+      minDocCount: Long, toKey: Column => Column): DataFrame = {
+    require(minDocCount == 0 || extendedBounds.isEmpty,
+      "extended_bounds cannot be combined with min_doc_count > 0 (histogram.rs)")
+    def keyOf(c: Column): Column = floor((c - offset) / interval) * interval + offset
+    val filtered = hardBounds match {
+      case Some((lo, hi)) => df.where(value >= lo && value <= hi)
+      case None => df
+    }
+    val keyName = s"${name}_key"
+    val rows = filtered.where(value.isNotNull)
+    val out = withSubs(rows, groupCols :+ ((keyName, keyOf(value).as(keyName))), subs)
+    val parents = groupCols.map(_._1)
+    val result =
+      if (minDocCount > 0) out.where(col("doc_count") >= minDocCount)
+      else {
+        val withVal = rows.select(
+          groupCols.map { case (n, c) => c.as(n) } :+ keyOf(value).as("__k"): _*)
+        val span0 = (if (parents.isEmpty) withVal.groupBy() else withVal.groupBy(parents.map(col): _*))
+          .agg(min(col("__k")).as("__lo"), max(col("__k")).as("__hi"))
+        val span1 = extendedBounds match {
+          case Some((lo, hi)) => span0
+            .withColumn("__lo", least(col("__lo"), keyOf(lit(lo))))
+            .withColumn("__hi", greatest(col("__hi"), keyOf(lit(hi))))
+          case None => span0
+        }
+        val span2 = hardBounds match {
+          case Some((lo, hi)) => span1
+            .withColumn("__lo", greatest(col("__lo"), keyOf(lit(lo))))
+            .withColumn("__hi", least(col("__hi"), keyOf(lit(hi))))
+          case None => span1
+        }
+        val grid = span2
+          .withColumn("__n", round((col("__hi") - col("__lo")) / interval).cast("long"))
+          .where(col("__n").isNotNull)
+          .select(parents.map(col) ++ Seq(col("__lo"),
+            explode(sequence(lit(0L), col("__n"))).as("__i")): _*)
+          // re-derive the grid index so the key is the SAME `k*interval +
+          // offset` expression shape the data rows used (bit-equal join key)
+          .select(parents.map(col) :+
+            keyOf(col("__lo") + (col("__i") + lit(0.5)) * interval).as(keyName): _*)
+        grid.join(out, parents :+ keyName, "left_outer")
+          .withColumn("doc_count", coalesce(col("doc_count"), lit(0L)))
+      }
+    result.withColumn(keyName, toKey(col(keyName)))
+      .orderBy(groupCols.map(c => col(c._1)) :+ col(keyName): _*)
   }
 
   /** Terms order → sort columns over a bucket frame that has `doc_count`,

@@ -248,11 +248,16 @@ SELECT ia, ib, round(c, 4) AS cos FROM p WHERE c >= $threshold"""
       |cnts AS (SELECT lang, count(*)::BIGINT AS cnt FROM documents GROUP BY lang)
       |SELECT r.lang, r.rank::BIGINT AS rank, r.doc_id, r.n_chars, c.cnt
       |FROM ranked r JOIN cnts c USING (lang) WHERE rank <= 2""".stripMargin
+  /** Range buckets materialize even when empty (range.rs keeps zero-count
+    * buckets), so the oracle LEFT JOINs the bucket definitions.
+    */
   val rangeAgg: String =
-    """SELECT (CASE WHEN n_chars < 1000 THEN '*-1000.0'
-      |  WHEN n_chars < 3000 THEN '1000.0-3000.0' ELSE '3000.0-*' END) AS bucket,
-      |count(*)::BIGINT AS cnt, sum(n_chars)::BIGINT AS sum_c
-      |FROM documents GROUP BY bucket""".stripMargin
+    """WITH b(bucket, lo, hi) AS (VALUES
+      |  ('*-1000', NULL, 1000), ('1000-3000', 1000, 3000), ('3000-*', 3000, NULL))
+      |SELECT b.bucket, count(d.n_chars)::BIGINT AS cnt, sum(d.n_chars)::BIGINT AS sum_c
+      |FROM b LEFT JOIN documents d
+      |  ON (b.lo IS NULL OR d.n_chars >= b.lo) AND (b.hi IS NULL OR d.n_chars < b.hi)
+      |GROUP BY b.bucket""".stripMargin
   val filterAgg: String =
     "SELECT count(*)::BIGINT AS cnt, round(avg(n_chars), 4) AS avg_c " +
       "FROM documents WHERE n_chars >= 1000"

@@ -63,6 +63,75 @@ class AggRequestSpec extends AnyFunSuite {
     assert(out.map(_.getAs[Long]("doc_count")).sum == docs.count())
   }
 
+  test("histogram default fills empty grid buckets between data min/max") {
+    import org.apache.spark.sql.functions._
+    // two tight clusters far apart -> guaranteed empty buckets between them
+    val d = spark.range(20).select(
+      (when(col("id") < 10, col("id")).otherwise(col("id") + 1000)).cast("double").as("v"))
+    val out = AggRequest.run(d, """{"h": {"histogram": {"field": "v", "interval": 100}}}""")("h")
+      .collect()
+    val keys = out.map(_.getAs[Double]("h_key")).toSeq
+    assert(keys == (0 to 10).map(_ * 100.0)) // 0,100,...,1000 — all present
+    val counts = out.map(r => r.getAs[Double]("h_key") -> r.getAs[Long]("doc_count")).toMap
+    assert(counts(0.0) == 10 && counts(1000.0) == 10)
+    assert((1 to 9).forall(i => counts(i * 100.0) == 0)) // the filled gap
+    // min_doc_count filters instead of filling (histogram.rs:59)
+    val filtered = AggRequest.run(d,
+      """{"h": {"histogram": {"field": "v", "interval": 100, "min_doc_count": 1}}}""")("h")
+      .collect().map(_.getAs[Double]("h_key")).toSeq
+    assert(filtered == Seq(0.0, 1000.0))
+    // hard_bounds clips the value range (closed interval)
+    val hard = AggRequest.run(d,
+      """{"h": {"histogram": {"field": "v", "interval": 100,
+        | "hard_bounds": {"min": 0, "max": 500}}}}""".stripMargin)("h")
+      .collect().map(r => (r.getAs[Double]("h_key"), r.getAs[Long]("doc_count"))).toSeq
+    assert(hard == Seq((0.0, 10L))) // cluster at 1010+ clipped away, no gap grid beyond data
+  }
+
+  test("date_histogram: offset + min_doc_count + epoch-ms grid") {
+    import org.apache.spark.sql.functions._
+    val d = spark.range(4).select(
+      timestamp_millis(lit(86400000L * 10) + col("id") * 86400000L * 2).as("ts"))
+    val out = AggRequest.run(d,
+      """{"h": {"date_histogram": {"field": "ts", "fixed_interval": "1d", "min_doc_count": 1}}}""")("h")
+      .collect().map(r => r.getAs[java.sql.Timestamp]("h_key").getTime).toSeq
+    assert(out == Seq(10, 12, 14, 16).map(_ * 86400000L))
+    // default fills the empty in-between days
+    val filled = AggRequest.run(d,
+      """{"h": {"date_histogram": {"field": "ts", "fixed_interval": "1d"}}}""")("h")
+      .collect().map(r => (r.getAs[java.sql.Timestamp]("h_key").getTime, r.getAs[Long]("doc_count")))
+    assert(filled.map(_._1).toSeq == (10 to 16).map(_ * 86400000L))
+    assert(filled.count(_._2 == 0L) == 3)
+    // offset shifts the grid (date_histogram.rs offset; "-6h" -> day-6h grid)
+    val off = AggRequest.run(d,
+      """{"h": {"date_histogram": {"field": "ts", "fixed_interval": "1d",
+        | "offset": "-6h", "min_doc_count": 1}}}""".stripMargin)("h")
+      .collect().map(r => r.getAs[java.sql.Timestamp]("h_key").getTime).toSeq
+    assert(off == Seq(10, 12, 14, 16).map(_ * 86400000L - 6 * 3600000L + 86400000L) ||
+      off == Seq(10, 12, 14, 16).map(_ * 86400000L - 6 * 3600000L))
+    assert(AggRequest.durationMs("-6h") == -6 * 3600000L)
+    assert(AggRequest.durationMs("500ms") == 500L)
+    assert(AggRequest.durationMs("1 day") == 86400000L)
+  }
+
+  test("range: implicit *-x / x-* buckets, custom keys, zero-count kept, from/to cols") {
+    import org.apache.spark.sql.functions._
+    val d = spark.range(100).select((col("id") / 100.0).as("v"))
+    val out = AggRequest.run(d,
+      """{"r": {"range": {"field": "v", "ranges": [
+        | {"key": "tiny", "from": 0.0, "to": 0.1},
+        | {"from": 0.1, "to": 0.2},
+        | {"from": 2.0, "to": 3.0}]}}}""".stripMargin)("r")
+      .collect()
+    val rows = out.map(r => (r.getAs[String]("r_key"), r.getAs[Long]("doc_count"))).toSeq
+    // request order: implicit head, the three requested, implicit tail
+    assert(rows == Seq(("*-0", 0L), ("tiny", 10L), ("0.1-0.2", 10L), ("2-3", 0L), ("3-*", 0L)))
+    val tiny = out.find(_.getAs[String]("r_key") == "tiny").get
+    assert(tiny.getAs[Double]("r_from") == 0.0 && tiny.getAs[Double]("r_to") == 0.1)
+    val head = out.find(_.getAs[String]("r_key") == "*-0").get
+    assert(head.isNullAt(head.fieldIndex("r_from")) && head.getAs[Double]("r_to") == 0.0)
+  }
+
   test("range agg with stats sub-agg") {
     val req = """{"aggs": {"r": {"range": {"field": "n_chars",
       "ranges": [{"to": 200}, {"from": 200, "to": 400}, {"from": 400}]},
