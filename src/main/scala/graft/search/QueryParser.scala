@@ -8,12 +8,15 @@ import graft.analysis.Analyzer
   *
   *   - `term`, `+term`, `-term`, `a AND b`, `a OR b`, parens
   *   - `field:term`
-  *   - `"a phrase"`, `"a phrase"~slop`
+  *   - `"a phrase"` / `'a phrase'` (escaped quotes ok), `"a phrase"~slop`,
+  *     `"a phrase pre"*` (phrase prefix)
   *   - `term*` (prefix), `term~d` (fuzzy, d in 1..2)
-  *   - `field:[a TO b]` / `{a TO b}` (inclusive/exclusive term ranges)
+  *   - `field:[a TO b]` / `{a TO b}` (inclusive/exclusive term ranges);
+  *     RFC3339 bounds/literals on configured date fields -> typed ranges
   *   - `field:IN [a b c]` (term set)
   *   - `/regex/`
-  *   - `^boost`
+  *   - `^boost`, per-field boosts (`fieldBoosts`), per-field fuzzy
+  *     (`fuzzyFields`)
   *   - `*` (AllQuery)
   *
   * Literals on analyzed fields run through the default analyzer chain;
@@ -32,9 +35,33 @@ final class QueryParser(
       * representations, and `[a TO b]` ranges on numeric paths use the
       * order-preserving typed encoding.
       */
-    jsonFields: Set[String] = Set.empty) {
+    jsonFields: Set[String] = Set.empty,
+    /** `set_field_boost` (query_parser.rs:272-280): queries addressing the
+      * field are wrapped in a Boost.
+      */
+    fieldBoosts: Map[String, Float] = Map.empty,
+    /** `set_field_fuzzy` (query_parser.rs:282-304): plain literals on these
+      * fields compile to fuzzy term queries.
+      */
+    fuzzyFields: Map[String, QueryParser.FuzzyConfig] = Map.empty,
+    /** Typed date fields (indexed through `IndexConfig.longFields` as
+      * microsecond terms): RFC3339 literals and range bounds compile to
+      * typed ranges (query_parser.rs "date values").
+      */
+    dateFields: Set[String] = Set.empty) {
 
   import graft.index.JsonTerms
+
+  private def utcMicros(iso: String): Long = {
+    val i = java.time.Instant.parse(iso)
+    i.getEpochSecond * 1000000L + i.getNano / 1000L
+  }
+
+  private def withFieldBoost(field: String, q: Query): Query =
+    fieldBoosts.get(field) match {
+      case Some(b) if q != Query.Nothing => Query.Boost(q, b)
+      case _ => q
+    }
 
   /** Right((jsonField, path)) when the dotted field head is a json field. */
   private def resolveJson(field: String): Option[(String, String)] = {
@@ -180,13 +207,13 @@ final class QueryParser(
       skipNone()
       if (eof) { pos = save; require(false, "dangling field"); }
       peek match {
-        case '"' => parseQuoted(field)
-        case '[' | '{' => parseRange(field)
-        case '/' => parseRegex(field)
+        case '"' | '\'' => withFieldBoost(field, parseQuoted(field))
+        case '[' | '{' => withFieldBoost(field, parseRange(field))
+        case '/' => withFieldBoost(field, parseRegex(field))
         case '*' => pos += 1; Query.All
         case _ =>
-          if (wordAhead("IN") && fieldOpt.isDefined) parseSet(field)
-          else parseWord(field)
+          if (wordAhead("IN") && fieldOpt.isDefined) withFieldBoost(field, parseSet(field))
+          else withFieldBoost(field, parseWord(field))
       }
     }
 
@@ -204,11 +231,19 @@ final class QueryParser(
     }
 
     def parseQuoted(field: String): Query = {
+      // single or double quotes; `\"` / `\'` escape the delimiter
+      // (query_parser.rs "phrase terms")
+      val quote = peek
       pos += 1
-      val start = pos
-      while (!eof && peek != '"') pos += 1
+      val sb = new StringBuilder
+      while (!eof && peek != quote) {
+        if (peek == '\\' && pos + 1 < s.length &&
+            (s.charAt(pos + 1) == quote || s.charAt(pos + 1) == '\\')) pos += 1
+        sb.append(peek)
+        pos += 1
+      }
       require(!eof, "unterminated quote")
-      val text = s.substring(start, pos)
+      val text = sb.toString
       pos += 1
       var slop = 0
       if (!eof && peek == '~') {
@@ -216,6 +251,14 @@ final class QueryParser(
         val d0 = pos
         while (!eof && peek.isDigit) pos += 1
         slop = s.substring(d0, pos).toInt
+      } else if (!eof && peek == '*') {
+        // `"big bad wo"*` — phrase-prefix (query_parser.rs "prefix operator")
+        pos += 1
+        val terms =
+          if (rawFields.contains(field)) Seq(text) else Analyzer.terms(text).toSeq
+        require(terms.length >= 2,
+          "phrase-prefix requires at least two terms (PhrasePrefixRequiresAtLeastTwoTerms)")
+        return Query.PhrasePrefix(field, terms)
       }
       resolveJson(field) match {
         case Some((jf, path)) =>
@@ -248,6 +291,9 @@ final class QueryParser(
       pos += 1
       val loV = lo.filter(_ != "*")
       val hiV = hi.filter(_ != "*")
+      if (dateFields.contains(field))
+        // RFC3339 bounds on a typed date field (query_parser.rs date ranges)
+        return Query.longRange(field, loV.map(utcMicros), hiV.map(utcMicros), loInc, hiInc)
       resolveJson(field) match {
         case Some((jf, path)) =>
           val numeric = (loV ++ hiV).forall(_.toLongOption.isDefined)
@@ -318,7 +364,11 @@ final class QueryParser(
       while (!eof && !peek.isWhitespace && !"()^\"".contains(peek)) pos += 1
       var w = s.substring(start, pos)
       require(w.nonEmpty, s"empty term at $pos")
-      if (w.endsWith("*") && w.length > 1)
+      if (dateFields.contains(field)) {
+        // RFC3339 literal on a typed date field -> exact typed match
+        val v = utcMicros(w)
+        Query.longRange(field, Some(v), Some(v), loInclusive = true, hiInclusive = true)
+      } else if (w.endsWith("*") && w.length > 1)
         Query.Prefix(field, norm(field, w.dropRight(1)))
       else {
         // fuzzy suffix ~d
@@ -327,7 +377,11 @@ final class QueryParser(
           case Some(mm) =>
             val d = mm.group(1).toInt
             Query.Fuzzy(field, norm(field, w.substring(0, mm.start)), d)
-          case None => analyzed(field, w)
+          case None => fuzzyFields.get(field) match {
+            case Some(fc) =>
+              Query.Fuzzy(field, norm(field, w), fc.distance, fc.prefix, fc.transpositionCostOne)
+            case None => analyzed(field, w)
+          }
         }
       }
     }
@@ -345,4 +399,10 @@ final class QueryParser(
       pos += kw.length
     }
   }
+}
+
+object QueryParser {
+  /** `set_field_fuzzy` knobs (`src/query/query_parser/query_parser.rs:282-304`). */
+  final case class FuzzyConfig(distance: Int = 1, prefix: Boolean = false,
+      transpositionCostOne: Boolean = false)
 }

@@ -37,6 +37,33 @@ class QueryParserSpec extends AnyFunSuite {
     assert(p.parse("\"alpha beta\"~2") == Query.Phrase("text", Seq("alpha", "beta"), 2))
     assert(p.parse("\"alpha\"") == Query.Term("text", "alpha"))
   }
+  test("phrase prefix, single quotes, escaped quotes") {
+    assert(p.parse("\"alpha beta ga\"*") ==
+      Query.PhrasePrefix("text", Seq("alpha", "beta", "ga")))
+    intercept[IllegalArgumentException](p.parse("\"alpha\"*")) // needs >= 2 terms
+    assert(p.parse("'alpha beta'~1") == Query.Phrase("text", Seq("alpha", "beta"), 1))
+    assert(p.parse("\"say \\\"hi\\\" now\"") ==
+      Query.Phrase("text", Seq("say", "hi", "now")))
+  }
+
+  test("field boosts, fuzzy fields, date fields") {
+    val pb = new QueryParser("text",
+      fieldBoosts = Map("title" -> 2.0f),
+      fuzzyFields = Map("names" -> QueryParser.FuzzyConfig(2, prefix = true,
+        transpositionCostOne = true)),
+      dateFields = Set("warc_ts"))
+    assert(pb.parse("title:alpha") == Query.Boost(Query.Term("title", "alpha"), 2.0f))
+    assert(pb.parse("alpha") == Query.Term("text", "alpha")) // default field unboosted
+    assert(pb.parse("names:smith") ==
+      Query.Fuzzy("names", "smith", 2, prefix = true, transpositionCostOne = true))
+    val micros = java.time.Instant.parse("2002-10-02T15:00:00Z").getEpochSecond * 1000000L
+    assert(pb.parse("warc_ts:[2002-10-02T15:00:00Z TO *]") ==
+      Query.longRange("warc_ts", Some(micros), None, loInclusive = true, hiInclusive = true))
+    assert(pb.parse("warc_ts:2002-10-02T15:00:00Z") ==
+      Query.longRange("warc_ts", Some(micros), Some(micros),
+        loInclusive = true, hiInclusive = true))
+  }
+
   test("multi-token literal becomes phrase") {
     assert(p.parse("can't") == Query.Phrase("text", Seq("can", "t")))
   }
