@@ -51,7 +51,14 @@ final case class IndexConfig(
       * verbatim — the analyzer is bypassed, positions are the array indices.
       * Lets pipeline users index with their own (e.g. BPE) tokenization.
       */
-    preTokenizedField: Option[String] = None) {
+    preTokenizedField: Option[String] = None,
+    /** `IndexSettings.docstore_compression` analog
+      * (`src/index/index_meta.rs:248-261`: none|lz4|zstd): the Parquet codec
+      * for the index files. Parquet's block compression replaces the
+      * reference's doc-store block codec; `uncompressed`, `snappy`, `lz4`,
+      * `zstd`, `gzip` accepted.
+      */
+    compression: String = "snappy") {
   /** chunk ordinal cap per partition — segment id = pid * ChunksPerPartition + chunk */
   def rawFields: Seq[String] = Seq(keyField, langField)
 }
@@ -163,6 +170,7 @@ object IndexBuilder {
     }
     postings.toDF()
       .write.mode("append").partitionBy("segment")
+      .option("compression", cfg.compression)
       .parquet(s"$indexDir/postings")
 
     // assemble manifest: this commit's segments from the accumulator, prior

@@ -81,12 +81,13 @@ object SegmentMerger {
     * `SegmentUpdater` consolidation loop, sequential for determinism).
     */
   def mergeUntilStable(spark: SparkSession, indexDir: String,
-      policy: LogMergePolicy = LogMergePolicy()): IndexManifest = {
+      policy: LogMergePolicy = LogMergePolicy(),
+      compression: String = "snappy"): IndexManifest = {
     var m = IndexManifest.read(spark, indexDir)
       .getOrElse(throw new IllegalStateException(s"no manifest at $indexDir"))
     var groups = planLog(m, policy)
     while (groups.nonEmpty) {
-      m = merge(spark, indexDir, groups)
+      m = merge(spark, indexDir, groups, compression = compression)
       groups = planLog(m, policy)
     }
     m
@@ -98,7 +99,7 @@ object SegmentMerger {
     * `merger.rs:316-330`), and fully-applied tombstones leave the manifest.
     */
   def merge(spark: SparkSession, indexDir: String, groups: Seq[MergeGroup],
-      keepOld: Boolean = false): IndexManifest = {
+      keepOld: Boolean = false, compression: String = "snappy"): IndexManifest = {
     import spark.implicits._
     val manifest = IndexManifest.read(spark, indexDir)
       .getOrElse(throw new IllegalStateException(s"no manifest at $indexDir"))
@@ -251,7 +252,8 @@ object SegmentMerger {
           }
         }
       }
-    merged.toDF().write.mode("append").partitionBy("segment").parquet(s"$indexDir/postings")
+    merged.toDF().write.mode("append").partitionBy("segment")
+      .option("compression", compression).parquet(s"$indexDir/postings")
 
     // purged segments: exact alive token totals from the merged postings
     // (total tokens == sum of term tfs), one pruned aggregate
@@ -283,7 +285,8 @@ object SegmentMerger {
         json.getBytes(java.nio.charset.StandardCharsets.UTF_8),
         Array.emptyByteArray, Array.emptyByteArray)
     }
-    statsRows.toDS().toDF().write.mode("append").partitionBy("segment").parquet(s"$indexDir/postings")
+    statsRows.toDS().toDF().write.mode("append").partitionBy("segment")
+      .option("compression", compression).parquet(s"$indexDir/postings")
 
     val untouched = manifest.segments.filterNot(m => mapping.contains(m.segment))
     val outSegments = (untouched ++ newMetas).sortBy(_.segment)

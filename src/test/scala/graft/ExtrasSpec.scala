@@ -25,6 +25,32 @@ class TokenizeExprSpec extends AnyFunSuite {
   }
 }
 
+class CompressionSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("IndexConfig.compression selects the index parquet codec; results identical") {
+    import spark.implicits._
+    val docs = WebCorpus.generate(spark, 200L, 2)
+    val q = Query.Term("text", "alpha")
+    def build(codec: String): (String, Seq[(String, Float)]) = {
+      val dir = s"/tmp/graft-codec-$codec-${System.nanoTime()}"
+      IndexBuilder.build(spark, docs.toDF(), dir,
+        IndexConfig(numPartitions = 2, compression = codec))
+      val hits = new Searcher(spark, dir).topDocs(q, 10).map(h => (h.url, h.score)).toSeq
+      (dir, hits)
+    }
+    val (zDir, zHits) = build("zstd")
+    val (sDir, sHits) = build("snappy")
+    def codecs(dir: String): Set[String] =
+      new java.io.File(s"$dir/postings").listFiles().filter(_.isDirectory)
+        .flatMap(_.listFiles()).map(_.getName).filter(_.endsWith(".parquet"))
+        .map(n => n.split('.').takeRight(2).head).toSet
+    assert(codecs(zDir) == Set("zstd"))
+    assert(codecs(sDir) == Set("snappy"))
+    assert(zHits == sHits && zHits.nonEmpty) // codec never changes results
+  }
+}
+
 class MoreLikeThisSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
