@@ -206,6 +206,154 @@ object AggRequest {
 
   def run(df: DataFrame, json: String): Map[String, DataFrame] = compile(df, parse(json))
 
+  /** Collect each compiled root frame and rebuild the reference's nested
+    * JSON result tree (`src/aggregation/agg_result.rs`): bucket aggs emit
+    * `{"buckets": [...]}` with per-bucket `key`/`doc_count`/sub-aggs, metric
+    * leaves emit `{"value": ...}` (or the stats / percentiles object),
+    * top_hits emits `{"hits": [...]}`. Bucket order follows the agg's own
+    * ordering at every level. Driver-side by construction — the frames are
+    * already size-limited bucket sets, the same place the reference's
+    * final-result merge runs.
+    */
+  def runJson(df: DataFrame, json: String): String = {
+    val aggs = parse(json)
+    val frames = compile(df, aggs)
+    val out = JObject(aggs.toList.sortBy(_._1).map { case (name, node) =>
+      val rows: Seq[Map[String, Any]] = frames(name).collect().toSeq.map { r =>
+        r.schema.fieldNames.zipWithIndex.map { case (f, i) => f -> r.get(i) }.toMap
+      }
+      name -> renderNode(node, name, rows)
+    })
+    JsonMethods.compact(JsonMethods.render(out))
+  }
+
+  private def jval(a: Any): JValue = a match {
+    case null => JNull
+    case b: Boolean => JBool(b)
+    case i: Int => JInt(BigInt(i))
+    case l: Long => JInt(BigInt(l))
+    case f: Float => JDouble(f.toDouble)
+    case d: Double => JDouble(d)
+    case d: java.math.BigDecimal => JDecimal(BigDecimal(d))
+    case t: java.sql.Timestamp => JInt(BigInt(t.getTime)) // epoch ms, ES "key"
+    case s: String => JString(s)
+    case other => JString(other.toString)
+  }
+
+  private def numOf(a: Any): Double = a match {
+    case null => Double.NaN
+    case n: Number => n.doubleValue()
+    case t: java.sql.Timestamp => t.getTime.toDouble
+    case s: String => Double.NaN
+    case _ => Double.NaN
+  }
+
+  private def metricJson(name: String, m: Metric, row: Map[String, Any]): JValue = m.kind match {
+    case "avg" | "min" | "max" | "sum" =>
+      JObject(List("value" -> jval(row.getOrElse(s"${name}_${m.kind}", null))))
+    case "value_count" => JObject(List("value" -> jval(row.getOrElse(s"${name}_count", null))))
+    case "cardinality" => JObject(List("value" -> jval(row.getOrElse(s"${name}_cardinality", null))))
+    case "stats" | "extended_stats" =>
+      val base = List("count", "min", "max", "avg", "sum")
+      val ext = if (m.kind == "extended_stats")
+        List("sum_of_squares", "variance", "std_deviation") else Nil
+      JObject((base ++ ext).map(k => k -> jval(row.getOrElse(s"${name}_$k", null))))
+    case "percentiles" =>
+      JObject(List("values" -> JObject(
+        m.percents.toList.map(p =>
+          p.toString -> jval(row.getOrElse(s"${name}_p${p.toInt}", null))))))
+    case _ => JNull
+  }
+
+  /** Bucket comparison order for rendering (mirrors each agg's plan-side
+    * ordering).
+    */
+  private def bucketSort(node: Node, name: String,
+      buckets: Seq[(Any, Seq[Map[String, Any]])]): Seq[(Any, Seq[Map[String, Any]])] = {
+    def keyStr(a: Any): String = if (a == null) "" else a.toString
+    def docCount(rows: Seq[Map[String, Any]]): Long =
+      rows.headOption.flatMap(r =>
+        r.get(s"${name}_doc_count").orElse(r.get("doc_count"))).collect {
+        case l: Long => l; case i: Int => i.toLong
+      }.getOrElse(0L)
+    node match {
+      case t: Terms =>
+        val asc = t.order.exists(_._2)
+        t.order match {
+          case Some(("_key", _)) =>
+            val s = buckets.sortBy { case (k, _) => (numOf(k), keyStr(k)) }
+            if (asc) s else s.reverse
+          case Some((target, _)) if target != "_count" =>
+            val colName = metricColName(target, t.subs)
+            val s = buckets.sortBy { case (k, rs) =>
+              (numOf(rs.headOption.flatMap(_.get(colName)).orNull), keyStr(k))
+            }
+            if (asc) s else s.reverse
+          case _ => // _count (or default desc)
+            val s = buckets.sortBy { case (k, rs) => (docCount(rs), keyStr(k)) }
+            if (asc) s else buckets.sortBy { case (k, rs) => (-docCount(rs), keyStr(k)) }
+        }
+      case _: Histogram | _: DateHistogram =>
+        buckets.sortBy { case (k, _) => numOf(k) }
+      case _ => buckets // range: frame order is the request order already
+    }
+  }
+
+  private def renderNode(node: Node, name: String, rows: Seq[Map[String, Any]]): JValue =
+    node match {
+      case m: Metric =>
+        metricJson(name, m, rows.headOption.getOrElse(Map.empty))
+      case th: TopHits =>
+        JObject(List("hits" -> JArray(rows.toList.map(r =>
+          JObject((s"${name}_rank" :: th.source.toList).flatMap(f =>
+            r.get(f).map(v => f -> jval(v))))))))
+      case FilterAgg(_, subs) =>
+        val row = rows.headOption.getOrElse(Map.empty)
+        JObject(("doc_count" -> jval(row.getOrElse("doc_count", 0L))) ::
+          subNodesJson(subs, name, rows))
+      case bucketNode =>
+        val subs = bucketNode match {
+          case Terms(_, _, _, s, _, _) => s
+          case Histogram(_, _, _, s, _, _, _) => s
+          case DateHistogram(_, _, _, s, _, _, _) => s
+          case RangeAgg(_, _, s, _) => s
+          case _ => Map.empty[String, Node]
+        }
+        val keyName = s"${name}_key"
+        val hasDeeper = subs.values.exists(n => !n.isInstanceOf[Metric])
+        // group rows by this level's key, preserving frame encounter order
+        val order = scala.collection.mutable.LinkedHashMap.empty[Any, Vector[Map[String, Any]]]
+        rows.foreach { r =>
+          val k = r.getOrElse(keyName, null)
+          if (k != null || !hasDeeper)
+            order(k) = order.getOrElse(k, Vector.empty) :+ r
+        }
+        val buckets = bucketSort(bucketNode, name, order.toSeq)
+        JObject(List("buckets" -> JArray(buckets.toList.map { case (k, subRows) =>
+          val row = subRows.head
+          val docCount = row.get(s"${name}_doc_count").orElse(row.get("doc_count"))
+            .getOrElse(0L)
+          val keyFields: List[(String, JValue)] = k match {
+            case t: java.sql.Timestamp =>
+              List("key" -> JInt(BigInt(t.getTime)),
+                "key_as_string" -> JString(
+                  java.time.Instant.ofEpochMilli(t.getTime).toString))
+            case other => List("key" -> jval(other))
+          }
+          val fromTo = List(s"${name}_from" -> "from", s"${name}_to" -> "to").flatMap {
+            case (colN, out) => row.get(colN).filter(_ != null).map(v => out -> jval(v))
+          }
+          JObject(keyFields ++ fromTo ++ List("doc_count" -> jval(docCount)) ++
+            subNodesJson(subs, name, subRows))
+        })))
+    }
+
+  private def subNodesJson(subs: Map[String, Node], parentName: String,
+      subRows: Seq[Map[String, Any]]): List[(String, JValue)] =
+    subs.toList.sortBy(_._1).map { case (subName, subNode) =>
+      subName -> renderNode(subNode, subName, subRows)
+    }
+
   private def metricColumns(name: String, m: Metric): Seq[Column] = m.kind match {
     case "avg" => Seq(avg(m.field).as(s"${name}_avg"))
     case "min" => Seq(min(m.field).as(s"${name}_min"))
@@ -473,13 +621,12 @@ object AggRequest {
       case (None, None) => here
       case (Some((subName, subNode)), None) =>
         val deeper = compileOne(df, subName, subNode, groupCols)
-        if (metricSubs.isEmpty) deeper
-        else {
-          val levelName = groupCols.lastOption.map(_._1.stripSuffix("_key")).getOrElse("root")
-          val hereR = here.withColumnRenamed("doc_count", s"${levelName}_doc_count")
-          if (groupCols.isEmpty) deeper.crossJoin(broadcast(hereR))
-          else deeper.join(hereR, groupCols.map(_._1), "left")
-        }
+        // this level's doc_count (and metrics, if any) always join onto the
+        // leaf rows — renderJson rebuilds the bucket tree from them
+        val levelName = groupCols.lastOption.map(_._1.stripSuffix("_key")).getOrElse("root")
+        val hereR = here.withColumnRenamed("doc_count", s"${levelName}_doc_count")
+        if (groupCols.isEmpty) deeper.crossJoin(broadcast(hereR))
+        else deeper.join(hereR, groupCols.map(_._1), "left")
       case (None, Some((thName, th))) =>
         val hits = topHitsRows(df, groupCols, thName, th)
         // bucket doc_count (+ sibling metrics) ride along on every hit row

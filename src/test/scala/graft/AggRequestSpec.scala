@@ -63,6 +63,69 @@ class AggRequestSpec extends AnyFunSuite {
     assert(out.map(_.getAs[Long]("doc_count")).sum == docs.count())
   }
 
+  test("runJson renders the nested ES result tree (agg_result.rs shape)") {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val json = AggRequest.runJson(docs,
+      """{"by_lang": {"terms": {"field": "lang", "size": 2},
+        | "aggs": {"avgc": {"avg": {"field": "n_chars"}},
+        |          "by_src": {"terms": {"field": "source", "size": 2},
+        |                     "aggs": {"sumc": {"sum": {"field": "n_chars"}}}}}},
+        | "total_chars": {"sum": {"field": "n_chars"}}}""".stripMargin)
+    val tree = JsonMethods.parse(json)
+    // root metric
+    val total = (tree \ "total_chars" \ "value")
+    assert(total.isInstanceOf[JDouble] || total.isInstanceOf[JInt])
+    // outer terms: 2 buckets ordered by count desc, each with metric + inner buckets
+    val JArray(buckets) = (tree \ "by_lang" \ "buckets"): @unchecked
+    assert(buckets.length == 2)
+    val counts = buckets.map(b => (b \ "doc_count") match {
+      case JInt(v) => v.toLong
+      case other => fail(s"doc_count $other")
+    })
+    assert(counts == counts.sortBy(-_), "outer buckets count-desc")
+    val first = buckets.head
+    assert((first \ "avgc" \ "value").isInstanceOf[JDouble])
+    val JArray(inner) = (first \ "by_src" \ "buckets"): @unchecked
+    assert(inner.nonEmpty && inner.length <= 2)
+    assert((inner.head \ "sumc" \ "value") != JNothing)
+    // inner bucket counts sum to <= outer bucket count (size-limited)
+    val innerSum = inner.map(b => (b \ "doc_count").asInstanceOf[JInt].num.toLong).sum
+    assert(innerSum <= counts.head)
+    // oracle cross-check: outer bucket counts match a plain groupBy
+    val expect = docs.groupBy("lang").count()
+      .orderBy(org.apache.spark.sql.functions.col("count").desc,
+        org.apache.spark.sql.functions.col("lang"))
+      .limit(2).collect().map(_.getLong(1)).toList
+    assert(counts == expect)
+  }
+
+  test("runJson: range from/to fields, date_histogram key_as_string, top_hits hits") {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val r = JsonMethods.parse(AggRequest.runJson(docs,
+      """{"r": {"range": {"field": "n_chars",
+        | "ranges": [{"from": 100, "to": 400}]}}}""".stripMargin))
+    val JArray(rb) = (r \ "r" \ "buckets"): @unchecked
+    assert(rb.length == 3) // *-100, 100-400, 400-*
+    assert((rb(1) \ "from") == JDouble(100.0) && (rb(1) \ "to") == JDouble(400.0))
+    assert((rb(0) \ "key") == JString("*-100") && (rb(0) \ "from") == JNothing)
+
+    import org.apache.spark.sql.functions._
+    val ev = spark.range(3).select(
+      timestamp_millis(col("id") * 86400000L).as("ts"), col("id").as("v"))
+    val d = JsonMethods.parse(AggRequest.runJson(ev,
+      """{"days": {"date_histogram": {"field": "ts", "fixed_interval": "1d"},
+        | "aggs": {"top": {"top_hits": {"size": 1,
+        |   "sort": [{"v": {"order": "desc"}}], "_source": ["v"]}}}}}""".stripMargin))
+    val JArray(db) = (d \ "days" \ "buckets"): @unchecked
+    assert(db.length == 3)
+    assert((db.head \ "key") == JInt(0) &&
+      (db.head \ "key_as_string") == JString("1970-01-01T00:00:00Z"))
+    val JArray(hits) = (db.head \ "top" \ "hits"): @unchecked
+    assert(hits.length == 1 && (hits.head \ "v") == JInt(0))
+  }
+
   test("histogram default fills empty grid buckets between data min/max") {
     import org.apache.spark.sql.functions._
     // two tight clusters far apart -> guaranteed empty buckets between them
