@@ -139,7 +139,10 @@ object Bench {
       // efficiency upward (noise inflating the ratio would end sampling,
       // noise deflating it would get more chances to be overwritten). The
       // stopping rule ships in the JSON alongside the numbers.
-      val maxReps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "3").toInt
+      // 4 fixed pairs: the host's 2-4x tenancy swings mean each leg needs
+      // several chances to catch a clean window; the count stays FIXED (set
+      // up front, never conditioned on the running ratio)
+      val maxReps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "4").toInt
       val base = s"/dev/shm/graft-bench-idx-${System.nanoTime()}"
       val corpusPath = stageCorpus(scaleDocs)
       var bN = Double.MaxValue
