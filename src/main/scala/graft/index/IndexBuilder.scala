@@ -385,6 +385,12 @@ object IndexBuilder {
   private def cleanUnfinished(spark: SparkSession, indexDir: String, done: Set[Int],
       lo: Int, hi: Int): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
+    // an on-disk segment dir that is absent from the current manifest but
+    // referenced by a retained snapshot (the manifests/ log) is NOT partial
+    // output — it is live history kept by merge(keepOld=true). It must not
+    // be deleted here, and this build must not append into its id either
+    // (the new rows would alias the snapshot's files), so collide loudly.
+    lazy val retained = Snapshots.referencedSegments(spark, indexDir)
     for (sub <- Seq("postings")) {
       val dir = new org.apache.hadoop.fs.Path(s"$indexDir/$sub")
       val fs = dir.getFileSystem(conf)
@@ -393,7 +399,14 @@ object IndexBuilder {
           val name = st.getPath.getName
           if (name.startsWith("segment=")) {
             val id = name.stripPrefix("segment=").toInt
-            if (id >= lo && id < hi && !done.contains(id)) fs.delete(st.getPath, true)
+            if (id >= lo && id < hi && !done.contains(id)) {
+              require(!retained.contains(id),
+                s"segment id $id is retained by a snapshot (manifests/ log) but not in the " +
+                  "current manifest: building into its id range would corrupt the snapshot. " +
+                  "Use a segmentBase above retained ids (StreamingIndexer stride) or " +
+                  "Snapshots.expire first.")
+              fs.delete(st.getPath, true)
+            }
           } else if (!name.startsWith("_")) {
             // top-level stray files (e.g. _SUCCESS is fine; others cleaned)
           }

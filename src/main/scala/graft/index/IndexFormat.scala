@@ -107,14 +107,28 @@ object IndexManifest {
 
   /** Atomic publish: write tmp then rename — the `meta.json` swap. Works for
     * local and HDFS-style filesystems via Hadoop FS.
+    *
+    * Every publish ALSO writes an immutable per-commit copy under
+    * `manifests/manifest-<seq>.json` (Iceberg-style snapshot log): the
+    * current pointer stays `manifest.json`, while the history enables
+    * time-travel readers (`Searcher.atSnapshot`) and safe concurrent readers
+    * across merges when old segment files are retained
+    * (`SegmentMerger.merge(keepOld = true)` + `Snapshots.expire`).
     */
   def write(spark: org.apache.spark.sql.SparkSession, indexDir: String, m: IndexManifest): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
+    val bytes = toJson(m).getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val path = new org.apache.hadoop.fs.Path(indexDir, "manifest.json")
-    val tmp = new org.apache.hadoop.fs.Path(indexDir, s"manifest.json.tmp-${m.commitSeq}")
     val fs = path.getFileSystem(conf)
+    // snapshot-log copy first, so the current pointer never lacks its history
+    // entry (a resumed commit rewrites the same seq idempotently)
+    val hist = Snapshots.manifestPath(indexDir, m.commitSeq)
+    val hout = fs.create(hist, true)
+    hout.write(bytes)
+    hout.close()
+    val tmp = new org.apache.hadoop.fs.Path(indexDir, s"manifest.json.tmp-${m.commitSeq}")
     val out = fs.create(tmp, true)
-    out.write(toJson(m).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    out.write(bytes)
     out.close()
     fs.delete(path, false)
     if (!fs.rename(tmp, path)) throw new java.io.IOException(s"manifest rename failed: $tmp -> $path")

@@ -82,12 +82,13 @@ object SegmentMerger {
     */
   def mergeUntilStable(spark: SparkSession, indexDir: String,
       policy: LogMergePolicy = LogMergePolicy(),
-      compression: String = "snappy"): IndexManifest = {
+      compression: String = "snappy",
+      keepOld: Boolean = false): IndexManifest = {
     var m = IndexManifest.read(spark, indexDir)
       .getOrElse(throw new IllegalStateException(s"no manifest at $indexDir"))
     var groups = planLog(m, policy)
     while (groups.nonEmpty) {
-      m = merge(spark, indexDir, groups, compression = compression)
+      m = merge(spark, indexDir, groups, keepOld = keepOld, compression = compression)
       groups = planLog(m, policy)
     }
     m
@@ -97,6 +98,13 @@ object SegmentMerger {
     * Segments carrying applicable tombstones are PURGED: dead docs are
     * dropped, docIds compact (the reference merger's `doc_id_mapping`,
     * `merger.rs:316-330`), and fully-applied tombstones leave the manifest.
+    *
+    * `keepOld = true` is snapshot-retention mode: the merged-away segment
+    * files stay on disk, so searchers opened on earlier commits — and
+    * `Searcher.atSnapshot` time-travel readers over the `manifests/` log —
+    * keep answering identically while the merge publishes; reclaim space
+    * later with `Snapshots.expire`. The default (false) deletes the inputs
+    * eagerly, which is safe only when no reader spans the commit.
     */
   def merge(spark: SparkSession, indexDir: String, groups: Seq[MergeGroup],
       keepOld: Boolean = false, compression: String = "snappy"): IndexManifest = {

@@ -2,7 +2,7 @@ package graft.search
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.index.{IndexManifest, PostingRow}
+import graft.index.{IndexManifest, PostingRow, Snapshots}
 
 /** Point-in-time searcher over an index directory — the reference's
   * `Searcher` (`/root/reference/src/core/searcher.rs:69`): the manifest is
@@ -21,18 +21,28 @@ import graft.index.{IndexManifest, PostingRow}
   * one norms row per segment) are ever read — filter pushdown on the sorted
   * `term` column is the FST lookup analog.
   */
-final class Searcher(spark: SparkSession, indexDir: String) extends Serializable {
+final class Searcher(spark: SparkSession, indexDir: String, asOfSeq: Option[Long] = None)
+    extends Serializable {
 
-  val manifest: IndexManifest = IndexManifest.read(spark, indexDir)
-    .getOrElse(throw new IllegalStateException(s"no manifest at $indexDir"))
+  val manifest: IndexManifest = asOfSeq match {
+    case Some(seq) => Snapshots.readAt(spark, indexDir, seq)
+      .getOrElse(throw new IllegalStateException(s"no snapshot $seq at $indexDir (expired?)"))
+    case None => IndexManifest.read(spark, indexDir)
+      .getOrElse(throw new IllegalStateException(s"no manifest at $indexDir"))
+  }
 
   import spark.implicits._
 
   // lazy vals: the Parquet FileIndex (file listing + schema) is resolved once
   // per Searcher snapshot and reused by every query — re-listing per query
   // costs a driver job once the segment count crosses the parallel-discovery
-  // threshold
+  // threshold.
+  // The scan is pinned to THIS manifest's segment set (a partition filter on
+  // the `segment` directory column): with snapshot retention, the postings
+  // dir can hold segments from other snapshots (pre-merge inputs kept by
+  // `merge(keepOld = true)`, or newer commits) that must stay invisible here.
   private lazy val postingsDF: DataFrame = spark.read.parquet(s"$indexDir/postings")
+    .where(col("segment").isin(manifest.segmentIds: _*))
   /** Doc-map view over the same segment table (field == __doc__ rows). */
   lazy val docmapDF: DataFrame = postingsDF
     .where(col("field") === PostingRow.DocField)
@@ -538,6 +548,14 @@ final class Searcher(spark: SparkSession, indexDir: String) extends Serializable
 final case class SearchHit(rank: Int, url: String, score: Float, segment: Int, docId: Int)
 
 object Searcher {
+
+  /** Time-travel reader: the index exactly as of commit `seq` (Iceberg-style
+    * snapshot read over the `manifests/` log). Requires the snapshot to be
+    * retained — merges run with `keepOld = true` keep old segment files
+    * until `Snapshots.expire`.
+    */
+  def atSnapshot(spark: SparkSession, indexDir: String, seq: Long): Searcher =
+    new Searcher(spark, indexDir, Some(seq))
 
   /** Restricted-Damerau (optimal string alignment) edit distance — the
     * metric of the reference's transposition-cost-one Levenshtein automaton.
