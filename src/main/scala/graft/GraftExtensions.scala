@@ -38,6 +38,9 @@ object GraftFunctions {
         val lang = es(1).eval(null).toString
         functions.SnowballStem(es.head, lang)
       }),
+    (FunctionIdentifier("sql_tokens"),
+      info(classOf[functions.SqlTokens], "sql_tokens"),
+      (es: Seq[Expression]) => functions.SqlTokens(es.head)),
     (FunctionIdentifier("distinct_shingles"),
       info(classOf[functions.DistinctShingles], "distinct_shingles"),
       (es: Seq[Expression]) => functions.DistinctShingles(es.head)),
@@ -59,6 +62,18 @@ object GraftFunctions {
             cast.eval(null).asInstanceOf[ArrayData].toDoubleArray().toSeq
           }
         agg.DDSketchPercentiles(Cast(es.head, DoubleType), percents)
+      }),
+    (FunctionIdentifier("vec_cosine"),
+      info(classOf[functions.VecCosine], "vec_cosine"),
+      (es: Seq[Expression]) => functions.VecCosine(
+        Cast(es(0), ArrayType(DoubleType)), Cast(es(1), ArrayType(DoubleType)))),
+    (FunctionIdentifier("lsh_bucket"),
+      info(classOf[functions.LshBucket], "lsh_bucket"),
+      (es: Seq[Expression]) => {
+        require(es.length == 3 && es(1).foldable && es(2).foldable,
+          "lsh_bucket: usage lsh_bucket(vec, nBits, dim) with literal nBits/dim")
+        functions.LshBucket(Cast(es(0), ArrayType(DoubleType)),
+          es(1).eval(null).toString.toInt, es(2).eval(null).toString.toInt)
       }))
 
   /** Register on an already-running session's function registry. */

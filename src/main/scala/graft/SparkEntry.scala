@@ -473,8 +473,11 @@ object SparkEntry {
   private def bm25Df(spark: SparkSession, documents: DataFrame, terms: Seq[String]): DataFrame = {
     val key = documents.queryExecution.logical.toString + terms.mkString(",")
     bm25Cache.getOrElseUpdate(key, {
+      // tf = occurrences of tm: size(toks) - size(array_remove(toks, tm)) is
+      // value-equal to the oracle's filter-count but stays codegen-native
+      // (array_remove has doGenCode; a `filter` lambda evaluates interpreted)
       val tfCols = terms.zipWithIndex.map { case (tm, i) =>
-        size(expr(s"filter(toks, x -> x = '$tm')")).cast("long").as(s"tf$i")
+        (size(col("toks")) - size(array_remove(col("toks"), tm))).cast("long").as(s"tf$i")
       }
       val perDoc = PipelineOps.withTokens(documents)
         .select(col("doc_id") +: size(col("toks")).cast("long").as("dl") +: tfCols: _*)

@@ -87,6 +87,18 @@ object ShingleKernel {
     ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) | ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
   }
 
+  /** `TokensExprSpark` as ArrayData — the SQL-parity token array itself, for
+    * consumers that need the tokens column (tf counting, shingling in SQL,
+    * token counts) without the interpreted `filter` lambda.
+    */
+  def tokensData(s: UTF8String): ArrayData = {
+    val t = tokens(s)
+    val out = new Array[Any](t.length)
+    var i = 0
+    while (i < t.length) { out(i) = UTF8String.fromString(t(i)); i += 1 }
+    new GenericArrayData(out)
+  }
+
   def distinctShinglesData(s: UTF8String): ArrayData = {
     val sh = distinctShingles(tokens(s))
     val out = new Array[Any](sh.length)
@@ -146,6 +158,16 @@ abstract class ShingleExpr extends UnaryExpression {
     defineCodeGen(ctx, ev, c => s"graft.functions.ShingleKernel.$staticCall($c)")
 }
 
+case class SqlTokens(child: Expression) extends ShingleExpr {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    ShingleKernel.tokensData(input.asInstanceOf[UTF8String])
+  protected def staticCall: String = "tokensData"
+  override protected def withNewChildInternal(newChild: Expression): SqlTokens =
+    copy(child = newChild)
+  override def prettyName: String = "sql_tokens"
+}
+
 case class DistinctShingles(child: Expression) extends ShingleExpr {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override protected def nullSafeEval(input: Any): Any =
@@ -179,12 +201,14 @@ case class ShingleXxHashes(child: Expression) extends ShingleExpr {
 object ShingleOps {
   import org.apache.spark.sql.graftshim.ColumnShim
 
+  def sql_tokens(c: Column): Column = ColumnShim.column(SqlTokens(ColumnShim.expression(c)))
   def distinct_shingles(c: Column): Column = ColumnShim.column(DistinctShingles(ColumnShim.expression(c)))
   def minhash_sigs(c: Column): Column = ColumnShim.column(MinHashSigs(ColumnShim.expression(c)))
   def shingle_xxhashes(c: Column): Column = ColumnShim.column(ShingleXxHashes(ColumnShim.expression(c)))
 
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("sql_tokens", es => SqlTokens(es.head), "built-in")
     reg.createOrReplaceTempFunction("distinct_shingles", es => DistinctShingles(es.head), "built-in")
     reg.createOrReplaceTempFunction("minhash_sigs", es => MinHashSigs(es.head), "built-in")
     reg.createOrReplaceTempFunction("shingle_xxhashes", es => ShingleXxHashes(es.head), "built-in")

@@ -20,7 +20,13 @@ object PipelineOps {
   val TokensExprSpark = "filter(split(lower(text), '[^a-z0-9]+'), x -> x <> '' AND length(x) < 40)"
   val TokensExprDuck = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '' AND length(x) < 40)"
 
-  def withTokens(docs: DataFrame): DataFrame = docs.withColumn("toks", expr(TokensExprSpark))
+  /** Tokens column via the native [[graft.functions.ShingleKernel]] kernel —
+    * bit-identical to `expr(TokensExprSpark)` (ShingleOpsSpec) but one
+    * primitive pass inside whole-stage codegen instead of an interpreted
+    * `filter` lambda per row.
+    */
+  def withTokens(docs: DataFrame): DataFrame =
+    docs.withColumn("toks", graft.functions.ShingleOps.sql_tokens(col("text")))
 
   /** Portable 32-bit token hash: first 8 hex chars of md5, as a long.
     * Identical in Spark (conv) and DuckDB (0x-cast) — the one deterministic
@@ -246,7 +252,8 @@ object PipelineOps {
     embeddings.where(col("vec_id") =!= queryVecId)
       .crossJoin(broadcast(q))
       .select(col("vec_id"),
-        cosineExpr(col("embedding").cast("array<double>"), col("qv")).as("cos"))
+        graft.functions.VecOps.vec_cosine(
+          col("embedding").cast("array<double>"), col("qv")).as("cos"))
       .orderBy(col("cos").desc, col("vec_id"))
       .limit(k)
       .select(col("vec_id"), round(col("cos"), 4).as("cos"))
@@ -354,8 +361,20 @@ object PipelineOps {
   /** Random-hyperplane LSH buckets for ANN at scale: `nBits` sign bits from
     * fixed pseudo-random hyperplanes (deterministic, seed-derived). Bucket
     * join replaces the cross join; brute-force cosine runs within buckets.
+    * The sign bits come from the native [[graft.functions.VecKernel]] kernel
+    * (one primitive pass per row, whole-stage codegen); bit-parity with the
+    * declarative HOF form below is pinned by SimilaritySpec.
     */
-  def annBuckets(embeddings: DataFrame, nBits: Int): DataFrame = {
+  def annBuckets(embeddings: DataFrame, nBits: Int): DataFrame =
+    embeddings.select(col("vec_id"),
+      graft.functions.VecOps.lsh_bucket(
+        col("embedding").cast("array<double>"), nBits, 64).as("bucket"))
+
+  /** The declarative higher-order-function form of [[annBuckets]] — kept as
+    * the independent parity oracle for the native kernel (its lambdas
+    * evaluate interpreted, so it is the slow path).
+    */
+  private[graft] def annBucketsHof(embeddings: DataFrame, nBits: Int): DataFrame = {
     val dim = 64
     val rnd = new scala.util.Random(1234)
     val planes = Array.fill(nBits, dim)(rnd.nextGaussian())

@@ -521,6 +521,14 @@ final class Searcher(spark: SparkSession, indexDir: String, asOfSeq: Option[Long
       .groupBy("facet").agg(sum("cnt").as("count"))
   }
 
+  /** Space-usage report for this snapshot's segments — the reference's
+    * `Searcher::space_usage` (`src/space_usage/mod.rs`): per-segment,
+    * per-field byte accounting (termdict / postings+skip / positions /
+    * fieldnorms / store / deletes), one distributed aggregate.
+    */
+  def spaceUsage: graft.index.SpaceUsage.SearcherSpaceUsage =
+    graft.index.SpaceUsage.of(spark, indexDir, manifest)
+
   /** Matching-doc count; single-term queries take the doc_freq fast path
     * (`src/query/weight.rs:78-85`) — a pruned metadata aggregate, no kernel.
     */

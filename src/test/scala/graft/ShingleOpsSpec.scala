@@ -32,6 +32,21 @@ class ShingleOpsSpec extends AnyFunSuite {
     base.unionByName(edges)
   }
 
+  test("sql_tokens == filter/split/lower expr form, order included") {
+    val hof = docs.select(col("doc_id"), expr(PipelineOps.TokensExprSpark).as("t"))
+    val native = docs.select(col("doc_id"), ShingleOps.sql_tokens(col("text")).as("t"))
+    val h = hof.collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val n = native.collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(h.keySet == n.keySet)
+    for ((k, v) <- h) assert(n(k) == v, s"doc $k")
+    // tf via size - size(array_remove) == filter-count (the bm25Df form)
+    val tfPair = docs.select(
+      size(expr(s"filter(${PipelineOps.TokensExprSpark}, x -> x = 'the')")).as("a"),
+      (size(ShingleOps.sql_tokens(col("text"))) -
+        size(array_remove(ShingleOps.sql_tokens(col("text")), "the"))).as("b"))
+    assert(tfPair.where(col("a") =!= col("b")).count() == 0L)
+  }
+
   test("distinct_shingles == array_distinct(HOF shingle expr), order included") {
     val hof = PipelineOps.withShingles(docs).select(col("doc_id"), col("sh"))
     val native = docs.select(col("doc_id"), ShingleOps.distinct_shingles(col("text")).as("sh"))

@@ -69,6 +69,29 @@ class SimilaritySpec extends AnyFunSuite {
     assert(mean >= 0.8, s"mean recall@10 $mean below 0.8 gate")
   }
 
+  test("native vec_cosine / lsh_bucket kernels == HOF forms (bit-exact)") {
+    val e = genEmbeddings(500)
+    // cosine: native expression vs aggregate/zip_with fold, exact doubles
+    val a = e.select(col("vec_id").as("ia"), col("embedding").cast("array<double>").as("va"))
+    val b = e.limit(20)
+      .select(col("vec_id").as("ib"), col("embedding").cast("array<double>").as("vb"))
+    val pairs = a.crossJoin(b).where(col("ia") =!= col("ib"))
+    val diffs = pairs.select(
+      PipelineOps.cosineExpr(col("va"), col("vb")).as("hof"),
+      graft.functions.VecOps.vec_cosine(col("va"), col("vb")).as("nat"))
+      .where(col("hof") =!= col("nat")).count()
+    assert(diffs == 0L, "native cosine must be bit-identical to the HOF fold")
+
+    // lsh buckets: native expression vs per-bit HOF chain, exact longs
+    for (nBits <- Seq(4, 8)) {
+      val nat = PipelineOps.annBuckets(e, nBits)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val hof = PipelineOps.annBucketsHof(e, nBits)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(nat == hof, s"nBits=$nBits")
+    }
+  }
+
   test("single-bucket vs multi-probe: probing strictly widens candidates") {
     val e = genEmbeddings(1000)
     val single = PipelineOps.annTopK(e, 0L, 10, nBits = 8, maxHamming = 0).count()
