@@ -303,9 +303,7 @@ final class Searcher(spark: SparkSession, indexDir: String, asOfSeq: Option[Long
     val normsCond = col("field") === PostingRow.NormsField && col("term") === manifest.textField
     val baseCond = termCond || normsCond
     val countCond = rangesCond(live.map(_._1)).map(baseCond || _).getOrElse(baseCond)
-    val counts = postingsDF.where(countCond).as[PostingRow]
-      .groupByKey(_.segment)
-      .flatMapGroups { (seg, it) =>
+    val counts = perSegment(postingsDF.where(countCond).as[PostingRow]) { (seg, it) =>
         val ctx = Searcher.makeContext(it, bNumDocs.value, seg, bDel.value)
         bcq.value.iterator.map { case (cq, qi) => (qi, QueryKernel.count(cq, ctx)) }
       }
@@ -328,7 +326,7 @@ final class Searcher(spark: SparkSession, indexDir: String, asOfSeq: Option[Long
     val rowCond = rangesCond(live.map(_._1)).map(baseCond || _).getOrElse(baseCond)
     val rows = postingsDF.where(rowCond).as[PostingRow]
     val bDel = bDeletes
-    val local = rows.groupByKey(_.segment).flatMapGroups { (seg, it) =>
+    val local = perSegment(rows) { (seg, it) =>
       val ctx = Searcher.makeContext(it, bNumDocs.value, seg, bDel.value)
       bcq.value.iterator.flatMap { case (cq, qi) =>
         val topN = new TopNComputer(kk)
@@ -368,6 +366,43 @@ final class Searcher(spark: SparkSession, indexDir: String, asOfSeq: Option[Long
 
   // ------------------------------------------------------------- execution
 
+  /** Exactly one kernel task per segment. The Dataset `groupByKey(_.segment)`
+    * path hashes segment ids into shuffle partitions, and n keys into n
+    * buckets collide (birthday): measured on a 32-segment index, one task
+    * carried 3 segments (3.2 s) while others idled (median 1.1 s), costing
+    * ~15% of the batch kernel stage's makespan. An explicit partitioner on
+    * the manifest's segment ordinal restores the one-task-per-segment
+    * contract the executor fan-out is designed around (the rayon fan-out
+    * analog, `src/core/executor.rs:11-37`). The pruned scan's SQL plan
+    * (pushdown + pruning) is unchanged — only the exchange that routes rows
+    * to kernel tasks becomes exact instead of hashed.
+    */
+  private def perSegment[T: org.apache.spark.sql.Encoder : scala.reflect.ClassTag](
+      rows: org.apache.spark.sql.Dataset[PostingRow])(
+      f: (Int, Iterator[PostingRow]) => Iterator[T]): org.apache.spark.sql.Dataset[T] = {
+    val ord = manifest.segmentIds.zipWithIndex.toMap
+    val nseg = math.max(ord.size, 1)
+    val partitioner = new org.apache.spark.Partitioner {
+      override def numPartitions: Int = nseg
+      override def getPartition(key: Any): Int = ord.getOrElse(key.asInstanceOf[Int], 0)
+    }
+    // Kryo for this one exchange: the default RDD shuffle serializer (Java)
+    // measured 4-5x slower writing PostingRow's byte-array blobs
+    val shuffled = new org.apache.spark.rdd.ShuffledRDD[Int, PostingRow, PostingRow](
+      rows.rdd.map(r => (r.segment, r)), partitioner)
+    shuffled.setSerializer(new org.apache.spark.serializer.KryoSerializer(spark.sparkContext.getConf))
+    val rdd = shuffled
+      .mapPartitions { it =>
+        if (!it.hasNext) Iterator.empty
+        else {
+          val buf = it.buffered
+          val seg = buf.head._1
+          f(seg, buf.map(_._2))
+        }
+      }
+    spark.createDataset(rdd)
+  }
+
   /** Pruned read of exactly the rows the kernels need: the query terms'
     * posting rows plus each segment's norms row.
     */
@@ -389,9 +424,7 @@ final class Searcher(spark: SparkSession, indexDir: String, asOfSeq: Option[Long
     val bNumDocs = spark.sparkContext.broadcast(numDocsBySeg)
     val bDel = bDeletes
     val kk = k
-    val localTopK = kernelRows(cq)
-      .groupByKey(_.segment)
-      .flatMapGroups { (seg, it) =>
+    val localTopK = perSegment(kernelRows(cq)) { (seg, it) =>
         val ctx = Searcher.makeContext(it, bNumDocs.value, seg, bDel.value)
         val topN = new TopNComputer(kk)
         QueryKernel.topK(bcq.value, ctx, kk, topN, seg.toLong << 32)
@@ -435,9 +468,7 @@ final class Searcher(spark: SparkSession, indexDir: String, asOfSeq: Option[Long
     val sc = scored
     if (cq == CQuery.CEmpty)
       return Seq.empty[(Int, Int, Float)].toDF("segment", "docId", "score")
-    kernelRows(cq)
-      .groupByKey(_.segment)
-      .flatMapGroups { (seg, it) =>
+    perSegment(kernelRows(cq)) { (seg, it) =>
         val ctx = Searcher.makeContext(it, bNumDocs.value, seg, bDel.value)
         QueryKernel.allMatches(bcq.value, ctx, sc).map { case (d, s) => (seg, d, s) }
       }.toDF("segment", "docId", "score")
@@ -497,9 +528,7 @@ final class Searcher(spark: SparkSession, indexDir: String, asOfSeq: Option[Long
     val normsCond = col("field") === PostingRow.NormsField && col("term") === manifest.textField
     val base = termCond || normsCond || facetCond
     val cond = rangesCond(Seq(cq)).map(base || _).getOrElse(base)
-    postingsDF.where(cond).as[PostingRow]
-      .groupByKey(_.segment)
-      .flatMapGroups { (seg, it) =>
+    perSegment(postingsDF.where(cond).as[PostingRow]) { (seg, it) =>
         val rows = it.toArray
         val ctx = Searcher.makeContext(rows.iterator, bNumDocs.value, seg, bDel.value)
         val matched = new java.util.BitSet(ctx.numDocs)
@@ -545,10 +574,9 @@ final class Searcher(spark: SparkSession, indexDir: String, asOfSeq: Option[Long
       val bcq = spark.sparkContext.broadcast(cq)
       val bNumDocs = spark.sparkContext.broadcast(numDocsBySeg)
       val bDel = bDeletes
-      kernelRows(cq)
-        .groupByKey(_.segment)
-        .mapGroups { (seg, it) =>
-          QueryKernel.count(bcq.value, Searcher.makeContext(it, bNumDocs.value, seg, bDel.value))
+      perSegment(kernelRows(cq)) { (seg, it) =>
+          Iterator.single(
+            QueryKernel.count(bcq.value, Searcher.makeContext(it, bNumDocs.value, seg, bDel.value)))
         }.collect().sum
   }
 }

@@ -20,12 +20,20 @@ object QueryProbe {
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    val taskDurs = new scala.collection.concurrent.TrieMap[Int, scala.collection.mutable.ArrayBuffer[Long]]()
     spark.sparkContext.addSparkListener(new SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        taskDurs.getOrElseUpdate(te.stageId, new scala.collection.mutable.ArrayBuffer[Long]())
+          .synchronized { taskDurs(te.stageId) += te.taskInfo.duration }
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
         val si = sc.stageInfo
         val dur = (si.completionTime.getOrElse(0L) - si.submissionTime.getOrElse(0L)) / 1000.0
-        if (dur > 0.3)
-          println(f"[qstage] ${si.stageId}%3d tasks=${si.numTasks}%3d wall=$dur%.1fs")
+        if (dur > 0.3) {
+          val ds = taskDurs.getOrElse(si.stageId, Nil).toArray.sorted
+          val stats = if (ds.isEmpty) "" else
+            f" taskMed=${ds(ds.length / 2) / 1000.0}%.2fs taskMax=${ds.last / 1000.0}%.2fs sum=${ds.sum / 1000.0}%.1fs"
+          println(f"[qstage] ${si.stageId}%3d tasks=${si.numTasks}%3d wall=$dur%.1fs$stats")
+        }
       }
     })
     spark.range(100000L).selectExpr("sum(id)").collect()
