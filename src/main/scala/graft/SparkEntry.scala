@@ -56,7 +56,9 @@ object SparkEntry {
           langField = "lang", tsField = "warc_ts",
           longFields = Seq("n_chars", "ts_micros"),
           jsonFields = Seq("attrs"),
-          facetFields = Seq("facet")))
+          facetFields = Seq("facet"),
+          fastLongFields = Seq("n_chars"),
+          fastStringFields = Seq("source")))
       }
       dir
     })
@@ -336,6 +338,23 @@ object SparkEntry {
         (abs(col("pcts")(2) - col("e99")) <= col("e99") * 0.03).as("p99_ok"))),
     "q_range_fastfield" -> ((s, d) => docs(s, d)
       .where(col("n_chars") >= 200 && col("n_chars") < 400).select("doc_id")),
+    // general fast fields (src/fastfield/mod.rs): engine matches re-ranked by
+    // a columnar doc value, no postings or source-table touch past the match
+    "q_fastfield_sort" -> ((s, d) => {
+      val sr = searcherFor(s, d)
+      sr.topDocsBy(Query.Term("text", "spark"), 15,
+          Seq(col("n_chars").desc, col("url").cast("long").asc))
+        .select(col("url").cast("long").as("doc_id"), col("n_chars"))
+    }),
+    // fast-field filter + aggregation over engine matches (FilterCollector
+    // on a fast string field feeding a metric on a fast long field)
+    "q_fastfield_agg" -> ((s, d) => {
+      val sr = searcherFor(s, d)
+      sr.allMatches(Query.Term("text", "table"), scored = false)
+        .join(sr.docmapDF, Seq("segment", "docId"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("cnt"), sum("n_chars").as("sum_chars"))
+    }),
 
     // --- events: time windows + window functions
     "q_date_histogram" -> ((s, d) => events(s, d)
@@ -444,6 +463,8 @@ object SparkEntry {
     "q_facet_lang" -> OracleSql.facetLang,
     "q_percentiles" -> OracleSql.percentiles,
     "q_range_fastfield" -> OracleSql.rangeFastField,
+    "q_fastfield_sort" -> OracleSql.fastFieldSort,
+    "q_fastfield_agg" -> OracleSql.fastFieldAgg,
     "q_date_histogram" -> OracleSql.dateHistogram,
     "q_window_rank" -> OracleSql.windowRank,
     "q_sessionize" -> OracleSql.sessionize,

@@ -58,7 +58,17 @@ final case class IndexConfig(
       * reference's doc-store block codec; `uncompressed`, `snappy`, `lz4`,
       * `zstd`, `gzip` accepted.
       */
-    compression: String = "snappy") {
+    compression: String = "snappy",
+    /** General FAST fields (`src/fastfield/mod.rs`): source columns stored
+      * columnar in the docmap rows (NOT indexed — combine with `longFields`
+      * to also get typed terms on the same column). The Searcher flattens
+      * each into a named, typed docmap column for sort / filter / agg over
+      * matches. Types: long covers ints/dates/bools (the reference's u64
+      * monotonic mapping), double is f64, string is str.
+      */
+    fastLongFields: Seq[String] = Nil,
+    fastDoubleFields: Seq[String] = Nil,
+    fastStringFields: Seq[String] = Nil) {
   /** chunk ordinal cap per partition — segment id = pid * ChunksPerPartition + chunk */
   def rawFields: Seq[String] = Seq(keyField, langField)
 }
@@ -70,7 +80,9 @@ final case class IndexConfig(
   */
 final case class InDoc(key: String, text: String, lang: String, ts: java.sql.Timestamp,
     longs: Map[String, Long], jsons: Map[String, String], facets: Map[String, String],
-    preToks: Seq[String])
+    preToks: Seq[String],
+    ffLongs: Map[String, Long] = null, ffDoubles: Map[String, Double] = null,
+    ffStrings: Map[String, String] = null)
 
 object IndexBuilder {
 
@@ -125,6 +137,11 @@ object IndexBuilder {
       else map_filter(
         map(cfg.facetFields.flatMap(f => Seq(lit(f), col(f).cast("string"))): _*),
         (_, v) => v.isNotNull)
+    def ffMap(fields: Seq[String], sqlType: String) =
+      if (fields.isEmpty) lit(null).cast(s"map<string,$sqlType>")
+      else map_filter(
+        map(fields.flatMap(f => Seq(lit(f), col(f).cast(sqlType))): _*),
+        (_, v) => v.isNotNull)
     val in: Dataset[InDoc] = source.select(
         col(cfg.keyField).cast("string").as("key"),
         col(cfg.textField).cast("string").as("text"),
@@ -135,7 +152,10 @@ object IndexBuilder {
         facetsCol.as("facets"),
         cfg.preTokenizedField
           .map(f => coalesce(col(f).cast("array<string>"), typedlit(Seq.empty[String])))
-          .getOrElse(lit(null).cast("array<string>")).as("preToks"))
+          .getOrElse(lit(null).cast("array<string>")).as("preToks"),
+        ffMap(cfg.fastLongFields, "bigint").as("ffLongs"),
+        ffMap(cfg.fastDoubleFields, "double").as("ffDoubles"),
+        ffMap(cfg.fastStringFields, "string").as("ffStrings"))
       .as[InDoc]
 
     val parted = in
@@ -206,7 +226,11 @@ object IndexBuilder {
       rawFields = cfg.rawFields,
       numPartitions = cfg.numPartitions,
       segments = metas,
-      deletes = prior.map(_.deletes).getOrElse(Nil))
+      deletes = prior.map(_.deletes).getOrElse(Nil),
+      fastFields =
+        cfg.fastLongFields.map(FastField(_, "long")) ++
+        cfg.fastDoubleFields.map(FastField(_, "double")) ++
+        cfg.fastStringFields.map(FastField(_, "string")))
     IndexManifest.write(spark, indexDir, manifest)
     manifest
   }
@@ -368,7 +392,7 @@ object IndexBuilder {
 
     // doc-map rows (row store + fast fields) ride in the same table
     val docRows = docs.iterator.zipWithIndex.map { case (d, i) =>
-      PostingRow.docRow(segId, i, d.key, d.ts, d.lang)
+      PostingRow.docRow(segId, i, d.key, d.ts, d.lang, d.ffLongs, d.ffDoubles, d.ffStrings)
     }
     // buffer rows (they must be fully computed before t1 anyway for metrics)
     val body = (docRows ++ textRows ++ rawRows ++ jsonRows).toArray

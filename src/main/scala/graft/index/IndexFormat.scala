@@ -27,7 +27,18 @@ final case class PostingRow(
     skip: Array[Byte],
     positions: Array[Byte],
     ts: Timestamp = null,
-    lang: String = null)
+    lang: String = null,
+    /** General fast fields (doc rows only): typed columnar per-doc values
+      * for sorting / filtering / aggregation without touching postings —
+      * the reference's fast-field columnar storage
+      * (`/root/reference/src/fastfield/mod.rs`, `columnar/`). One map per
+      * value type (the reference's u64/i64/date monotonic mapping all fit
+      * `ffLongs`; f64 in `ffDoubles`; str in `ffStrings`); null when the
+      * index declares no fast fields, so unconfigured builds pay nothing.
+      */
+    ffLongs: Map[String, Long] = null,
+    ffDoubles: Map[String, Double] = null,
+    ffStrings: Map[String, String] = null)
 
 object PostingRow {
   val NormsField = "__norms__"
@@ -44,9 +55,12 @@ object PostingRow {
     */
   val DocField = "__doc__"
 
-  def docRow(segment: Int, docId: Int, url: String, ts: Timestamp, lang: String): PostingRow =
+  def docRow(segment: Int, docId: Int, url: String, ts: Timestamp, lang: String,
+      ffLongs: Map[String, Long] = null, ffDoubles: Map[String, Double] = null,
+      ffStrings: Map[String, String] = null): PostingRow =
     PostingRow(segment, DocField, url, docId, 0L,
-      Array.emptyByteArray, Array.emptyByteArray, Array.emptyByteArray, ts, lang)
+      Array.emptyByteArray, Array.emptyByteArray, Array.emptyByteArray, ts, lang,
+      ffLongs, ffDoubles, ffStrings)
 }
 
 /** Per-segment build metrics, logged in the manifest (north rule: segment
@@ -72,6 +86,13 @@ final case class SegmentMeta(
   */
 final case class DeleteTerm(field: String, term: String, opstamp: Long)
 
+/** Declared fast field: `name` is the docmap column the Searcher exposes,
+  * `ftype` ∈ {"long","double","string"} picks the typed map it lives in
+  * (the reference's per-field `FAST` flag + column type,
+  * `src/schema/numeric_options.rs`, `src/fastfield/mod.rs`).
+  */
+final case class FastField(name: String, ftype: String)
+
 /** Index manifest = the reference's `meta.json` (ARCHITECTURE.md:51-53):
   * atomically swapped on commit, carries the segment list + schema + commit
   * sequence (opstamp analog) + per-segment lineage and metrics. Resume =
@@ -85,7 +106,11 @@ final case class IndexManifest(
     rawFields: Seq[String],
     numPartitions: Int,
     segments: Seq[SegmentMeta],
-    deletes: Seq[DeleteTerm] = Nil) {
+    deletes: Seq[DeleteTerm] = Nil,
+    /** Fast fields declared at build time — the schema the Searcher uses to
+      * flatten docmap map columns into named, typed columns.
+      */
+    fastFields: Seq[FastField] = Nil) {
   def totalDocs: Long = segments.map(_.numDocs.toLong).sum
   def totalTokens: Long = segments.map(_.totalTokens).sum
   def segmentIds: Seq[Int] = segments.map(_.segment)
@@ -96,7 +121,7 @@ final case class IndexManifest(
 
 object IndexManifest {
   /** On-disk format version (bumped when the segment schema changes). */
-  val FormatVersion = 6
+  val FormatVersion = 7
 
   import org.json4s._
   import org.json4s.jackson.Serialization

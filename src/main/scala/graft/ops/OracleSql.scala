@@ -330,6 +330,20 @@ GROUP BY tok ORDER BY df DESC, term LIMIT 10"""
   val rangeFastField: String =
     "SELECT doc_id FROM documents WHERE n_chars >= 200 AND n_chars < 400"
 
+  /** Engine term match re-ranked by the n_chars fast field (doc_id tiebreak
+    * makes the top-15 set order-free for the hash compare).
+    */
+  val fastFieldSort: String =
+    s"WITH $T SELECT d.doc_id, d.n_chars FROM t JOIN documents d USING (doc_id) " +
+      "WHERE list_contains(toks, 'spark') " +
+      "ORDER BY d.n_chars DESC, d.doc_id ASC LIMIT 15"
+
+  /** Fast-field group-by + metric over engine matches. */
+  val fastFieldAgg: String =
+    s"WITH $T SELECT d.source, count(*)::BIGINT AS cnt, sum(d.n_chars)::BIGINT AS sum_chars " +
+      "FROM t JOIN documents d USING (doc_id) " +
+      "WHERE list_contains(toks, 'table') GROUP BY d.source"
+
   val dateHistogram: String =
     """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, count(*)::BIGINT AS cnt,
   CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value

@@ -43,11 +43,26 @@ final class Searcher(spark: SparkSession, indexDir: String, asOfSeq: Option[Long
   // `merge(keepOld = true)`, or newer commits) that must stay invisible here.
   private lazy val postingsDF: DataFrame = spark.read.parquet(s"$indexDir/postings")
     .where(col("segment").isin(manifest.segmentIds: _*))
-  /** Doc-map view over the same segment table (field == __doc__ rows). */
-  lazy val docmapDF: DataFrame = postingsDF
-    .where(col("field") === PostingRow.DocField)
-    .select(col("segment"), col("docFreq").as("docId"), col("term").as("url"),
-      col("ts").as("warc_ts"), col("lang"))
+  /** Doc-map view over the same segment table (field == __doc__ rows).
+    * Fast fields declared at build time (`IndexConfig.fast*Fields`) flatten
+    * from the typed map columns into named columns — the reference's
+    * fast-field reader surface (`src/fastfield/mod.rs`): sort / filter /
+    * aggregate over matches without touching postings or the source table.
+    */
+  lazy val docmapDF: DataFrame = {
+    val base = postingsDF
+      .where(col("field") === PostingRow.DocField)
+    val withFf = manifest.fastFields.foldLeft(base) { (df, ff) =>
+      val m = ff.ftype match {
+        case "long"   => "ffLongs"
+        case "double" => "ffDoubles"
+        case _        => "ffStrings"
+      }
+      df.withColumn(ff.name, element_at(col(m), ff.name))
+    }
+    withFf.select(Seq(col("segment"), col("docFreq").as("docId"), col("term").as("url"),
+      col("ts").as("warc_ts"), col("lang")) ++ manifest.fastFields.map(f => col(f.name)): _*)
+  }
 
   private val segBaseBits = 32
 
@@ -105,7 +120,7 @@ final class Searcher(spark: SparkSession, indexDir: String, asOfSeq: Option[Long
         terms = terms.filter(x => (prefix && x.startsWith(t)) || Searcher.osaDistance(x, t) <= d)
       constSet(f, terms)
     case Query.Regexp(f, p) =>
-      constSet(f, expandTerms(f, col("term").rlike(s"^(?:$p)$$")))
+      constSet(f, expandTerms(f, regexPred(p)))
     case Query.TermRange(f, lo, hi, loInc, hiInc) =>
       val preds = Seq(
         lo.map(v => if (loInc) col("term") >= v else col("term") > v),
@@ -125,7 +140,7 @@ final class Searcher(spark: SparkSession, indexDir: String, asOfSeq: Option[Long
       // is across all slots, as in the reference (:81-86).
       var budget = max
       val slots = pats.map { p =>
-        val terms = expandTerms(f, col("term").rlike(s"^(?:$p)$$"), budget + 1)
+        val terms = expandTerms(f, regexPred(p), budget + 1)
         if (terms.size > budget)
           throw new IllegalArgumentException(s"regex phrase exceeded max expansions $max")
         budget -= terms.size
@@ -141,6 +156,17 @@ final class Searcher(spark: SparkSession, indexDir: String, asOfSeq: Option[Long
   }
 
   private def sqlLit(s: String): String = "'" + s.replace("'", "''") + "'"
+
+  /** Anchored regex dictionary predicate, with the pattern's literal prefix
+    * pushed down as `startsWith` so the sorted term column's row-group stats
+    * prune the walk (the reference's automaton-prefix FST seek,
+    * `automaton_weight.rs:37-55`).
+    */
+  private def regexPred(p: String): org.apache.spark.sql.Column = {
+    val pred = col("term").rlike(s"^(?:$p)$$")
+    val pre = Searcher.literalPrefix(p)
+    if (pre.isEmpty) pred else col("term").startsWith(pre) && pred
+  }
 
   private def constSet(field: String, terms: Seq[String]): Query =
     if (terms.isEmpty) Query.Nothing
@@ -592,6 +618,47 @@ object Searcher {
     */
   def atSnapshot(spark: SparkSession, indexDir: String, seq: Long): Searcher =
     new Searcher(spark, indexDir, Some(seq))
+
+  /** Longest literal prefix of a regex pattern. The reference's regex query
+    * walks the FST only under the automaton's common prefix
+    * (`tantivy-fst` `Stream` over an `Automaton`,
+    * `/root/reference/src/query/automaton_weight.rs:37-55`); the Spark analog
+    * is a `startsWith` predicate alongside the `rlike`, which the Parquet
+    * scan turns into min/max row-group pruning over the sorted `term`
+    * column — the dictionary walk touches only the prefix's range instead of
+    * the whole vocabulary. Conservative: stops at the first metacharacter,
+    * and drops the last literal when a quantifier makes it optional.
+    */
+  def literalPrefix(p: String): String = {
+    val meta = ".[({*+?|^$\\"
+    val sb = new StringBuilder
+    var i = 0
+    var done = false
+    while (i < p.length && !done) {
+      val c = p.charAt(i)
+      if (meta.indexOf(c.toInt) >= 0) {
+        if ((c == '*' || c == '+' || c == '?' || c == '{') && sb.nonEmpty)
+          sb.setLength(sb.length - 1)
+        done = true
+      } else { sb.append(c); i += 1 }
+    }
+    // a later TOP-LEVEL alternation voids the prefix: in `ab|cd` the branch
+    // `cd` does not start with `ab`. Group-nested pipes (`ab(c|d)`) are fine.
+    // Conservative about char classes: a '|' inside [] also voids it.
+    var depth = 0
+    var esc = false
+    var j = i
+    while (j < p.length) {
+      val c = p.charAt(j)
+      if (esc) esc = false
+      else if (c == '\\') esc = true
+      else if (c == '(') depth += 1
+      else if (c == ')') depth -= 1
+      else if (c == '|' && depth == 0) return ""
+      j += 1
+    }
+    sb.toString
+  }
 
   /** Restricted-Damerau (optimal string alignment) edit distance — the
     * metric of the reference's transposition-cost-one Levenshtein automaton.

@@ -1,0 +1,96 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.corpus.WebCorpus
+import graft.index._
+import graft.search._
+
+/** General fast fields (`/root/reference/src/fastfield/mod.rs`): typed
+  * per-doc columnar values declared at build time, flattened by the Searcher
+  * into named docmap columns for sort / filter / aggregation over matches —
+  * checked against a driver-side oracle, across merge and delete.
+  */
+class FastFieldSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.spark
+
+  test("fast fields flatten, sort, filter, aggregate; survive merge and delete") {
+    import spark.implicits._
+    val n = 300
+    val dir = java.nio.file.Files.createTempDirectory("graft-ff").toString
+    val src = WebCorpus.generate(spark, n.toLong, 3).toDF()
+      .withColumn("nlen", length(col("text")).cast("long"))
+      .withColumn("score_d", (length(col("text")) % 97).cast("double") / lit(7.0))
+      .withColumn("mirror", col("url"))
+    IndexBuilder.build(spark, src, dir, IndexConfig(numPartitions = 4,
+      fastLongFields = Seq("nlen"),
+      fastDoubleFields = Seq("score_d"),
+      fastStringFields = Seq("mirror")))
+
+    val oracle: Map[String, (Seq[String], Long, Double)] = (0L until n.toLong).map { i =>
+      val d = WebCorpus.genDoc(i)
+      d.url -> ((graft.analysis.Analyzer.terms(d.text).toSeq,
+        d.text.length.toLong, (d.text.length % 97).toDouble / 7.0))
+    }.toMap
+
+    def checkAll(gone: Set[String] = Set.empty): Unit = {
+      val live = oracle -- gone
+      val s = new Searcher(spark, dir)
+      // manifest carries the declared schema
+      assert(s.manifest.fastFields.toSet == Set(
+        FastField("nlen", "long"), FastField("score_d", "double"), FastField("mirror", "string")))
+      // flattened docmap columns, typed
+      val dm = s.docmapDF
+      assert(dm.schema("nlen").dataType.typeName == "long")
+      assert(dm.schema("score_d").dataType.typeName == "double")
+      assert(dm.schema("mirror").dataType.typeName == "string")
+      val got = dm.select("url", "nlen", "score_d", "mirror")
+        .as[(String, Long, Double, String)].collect()
+      assert(got.length == live.size)
+      got.foreach { case (u, l, d, m) =>
+        val (_, ol, od) = live(u)
+        assert(l == ol && d == od && m == u, u)
+      }
+      // topDocsBy on a fast long field: matches of a term ordered by nlen
+      val matched = live.collect { case (u, (toks, len, _)) if toks.contains("alpha") => (u, len) }
+      val want = matched.toSeq.sortBy { case (u, len) => (-len, u) }.take(10)
+      val top = s.topDocsBy(Query.Term("text", "alpha"), 10,
+        Seq(col("nlen").desc, col("url").asc))
+        .select("url", "nlen").as[(String, Long)].collect().toSeq
+      assert(top == want)
+      // filter + aggregate over matches via the docmap join (FilterCollector
+      // over a fast field, no postings touched for the predicate)
+      val sumLens = s.allMatches(Query.Term("text", "alpha"), scored = false)
+        .join(s.docmapDF, Seq("segment", "docId"))
+        .where(col("score_d") > 5.0)
+        .agg(sum("nlen")).as[Long].head()
+      val wantSum = live.values.collect {
+        case (toks, len, d) if toks.contains("alpha") && d > 5.0 => len
+      }.sum
+      assert(sumLens == wantSum)
+    }
+    checkAll()
+
+    // a delete, then a purging merge: the dead doc's docmap row is dropped,
+    // survivors' fast-field values rebase intact (docmap rows copy through
+    // the merge with new (segment, docId) addresses)
+    val victim = oracle.keys.min
+    Deleter.deleteTerm(spark, dir, "url", victim)
+    SegmentMerger.mergeUntilStable(spark, dir,
+      SegmentMerger.LogMergePolicy(minNumSegments = 2, maxFanIn = 4))
+    val s2 = new Searcher(spark, dir)
+    assert(s2.manifest.segments.size == 1) // everything consolidated
+    checkAll(gone = Set(victim))
+
+  }
+
+  test("unconfigured builds expose no fast-field columns and pay no schema cost") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ff0").toString
+    val src = WebCorpus.generate(spark, 50L, 2).toDF()
+    IndexBuilder.build(spark, src, dir, IndexConfig(numPartitions = 2))
+    val s = new Searcher(spark, dir)
+    assert(s.manifest.fastFields.isEmpty)
+    assert(s.docmapDF.columns.toSeq == Seq("segment", "docId", "url", "warc_ts", "lang"))
+  }
+}

@@ -130,4 +130,26 @@ class RegexPhraseSpec extends AnyFunSuite {
       searcher.plan(Query.RegexPhrase("text", Seq(".*", "time"), 0, maxExpansions = 3))
     }
   }
+
+  test("regex literal-prefix extraction (dictionary-seek pushdown) is sound") {
+    import Searcher.literalPrefix
+    assert(literalPrefix("table") == "table")
+    assert(literalPrefix("ta.le") == "ta")
+    assert(literalPrefix("tab.*") == "tab")
+    assert(literalPrefix("tabl?e") == "tab") // quantifier drops the 'l'
+    assert(literalPrefix("tab+le") == "ta")
+    assert(literalPrefix("ta{2}ble") == "t")
+    assert(literalPrefix("pa(rt|int)") == "pa") // nested pipe keeps prefix
+    assert(literalPrefix("part|paint") == "")   // top-level pipe voids it
+    assert(literalPrefix("p[ai]rt") == "p")
+    assert(literalPrefix("\\w+ime") == "")
+    assert(literalPrefix(".*me") == "")
+    // end-to-end: prefixed and prefix-free regexes agree with brute force
+    for (p <- Seq("pa.*t", "pa(rt|int)", "part|paint", "t.mes?")) {
+      val want = texts.zipWithIndex.collect { case (t, i)
+        if Analyzer.terms(t).exists(_.matches(s"(?:$p)")) => i.toString
+      }.toSet
+      assert(matchedUrls(Query.Regexp("text", p)) == want, p)
+    }
+  }
 }
