@@ -262,6 +262,20 @@ object SparkEntry {
       .select(col("by_lang_key").as("lang"), col("by_src_key").as("source"),
         col("doc_count").as("cnt"), col("sumc_sum").cast("long").as("sum_c"),
         col("by_lang_doc_count").as("lang_cnt"), round(col("avgc_avg"), 4).as("avg_c"))),
+    // the AggregationCollector shape (src/aggregation/collector.rs): the ES
+    // agg tree runs over the ENGINE query's matched doc set, with bucket
+    // keys and metric inputs read from fast fields — search + aggs in one
+    // request, no source-table access
+    "q_agg_over_query" -> ((s, d) => {
+      val sr = searcherFor(s, d)
+      val matched = sr.allMatches(Query.Term("text", "fast"), scored = false)
+        .join(sr.docmapDF, Seq("segment", "docId"))
+      graft.agg.AggRequest.run(matched,
+        """{"by_src": {"terms": {"field": "source", "size": 5},
+          | "aggs": {"avgc": {"avg": {"field": "n_chars"}}}}}""".stripMargin)("by_src")
+        .select(col("by_src_key").as("source"), col("doc_count").as("cnt"),
+          round(col("avgc_avg"), 4).as("avg_c"))
+    }),
     // top_hits as a sub-aggregation in the tree (metric/top_hits.rs)
     "q_agg_top_hits" -> ((s, d) => graft.agg.AggRequest.run(docs(s, d),
       """{"by_lang": {"terms": {"field": "lang", "size": 10},
@@ -464,6 +478,7 @@ object SparkEntry {
     "q_percentiles" -> OracleSql.percentiles,
     "q_range_fastfield" -> OracleSql.rangeFastField,
     "q_fastfield_sort" -> OracleSql.fastFieldSort,
+    "q_agg_over_query" -> OracleSql.aggOverQuery,
     "q_fastfield_agg" -> OracleSql.fastFieldAgg,
     "q_date_histogram" -> OracleSql.dateHistogram,
     "q_window_rank" -> OracleSql.windowRank,

@@ -338,6 +338,17 @@ GROUP BY tok ORDER BY df DESC, term LIMIT 10"""
       "WHERE list_contains(toks, 'spark') " +
       "ORDER BY d.n_chars DESC, d.doc_id ASC LIMIT 15"
 
+  /** ES agg tree over the engine query's matched doc set (the
+    * AggregationCollector shape): terms(source, size 5, _count desc/_key asc)
+    * + avg(n_chars), all fields read from the docmap fast fields.
+    */
+  val aggOverQuery: String =
+    s"WITH $T SELECT d.source, count(*)::BIGINT AS cnt, " +
+      "round(avg(d.n_chars), 4) AS avg_c " +
+      "FROM t JOIN documents d USING (doc_id) " +
+      "WHERE list_contains(toks, 'fast') " +
+      "GROUP BY d.source ORDER BY cnt DESC, d.source ASC LIMIT 5"
+
   /** Fast-field group-by + metric over engine matches. */
   val fastFieldAgg: String =
     s"WITH $T SELECT d.source, count(*)::BIGINT AS cnt, sum(d.n_chars)::BIGINT AS sum_chars " +
