@@ -10,18 +10,18 @@ import org.apache.spark.sql.SparkSession
   * time (executor-side, from the term's own postings — the alive-bitset
   * analog) and physically purged by the next merge of their segment.
   *
-  * SINGLE-WRITER REQUIREMENT: like the reference (one `IndexWriter` holds
-  * the directory lock, `src/indexer/index_writer.rs`), manifest mutators —
+  * SINGLE WRITER: like the reference (one `IndexWriter` holds the directory
+  * lock, `src/indexer/index_writer.rs`), manifest mutators —
   * `Deleter.deleteTerm`/`deleteKey`, `IndexBuilder.build`, and
-  * `SegmentMerger.merge` — must not run concurrently against the same index
-  * directory: each does an unlocked read-modify-write of the manifest, so a
-  * concurrent commit could drop the other's update. Serialize them through
-  * one driver (the streaming indexer's microbatch loop already does).
+  * `SegmentMerger.merge` — each do a read-modify-write of the manifest; all
+  * of them now take the [[WriterLock]] (the INDEX_WRITER_LOCK analog), so a
+  * concurrent mutator in ANY process fails fast with LockBusy instead of
+  * silently dropping the other's update.
   */
 object Deleter {
 
   def deleteTerm(spark: SparkSession, indexDir: String, field: String, term: String)
-      : IndexManifest = {
+      : IndexManifest = WriterLock.withLock(spark, indexDir) {
     val m = IndexManifest.read(spark, indexDir)
       .getOrElse(throw new IllegalStateException(s"no manifest at $indexDir"))
     val opstamp = m.commitSeq + 1

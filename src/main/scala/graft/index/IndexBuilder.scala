@@ -103,7 +103,16 @@ object IndexBuilder {
     * are deleted before the build so append stays exactly-once.
     */
   def build(spark: SparkSession, source: DataFrame, indexDir: String, cfg: IndexConfig,
-      resume: Boolean = true, segmentBase: Int = 0): IndexManifest = {
+      resume: Boolean = true, segmentBase: Int = 0): IndexManifest =
+    // one writer per index dir (the reference's INDEX_WRITER_LOCK held for
+    // the IndexWriter's lifetime): the manifest RMW at commit would drop a
+    // concurrent mutator's update otherwise
+    WriterLock.withLock(spark, indexDir) {
+      buildLocked(spark, source, indexDir, cfg, resume, segmentBase)
+    }
+
+  private def buildLocked(spark: SparkSession, source: DataFrame, indexDir: String,
+      cfg: IndexConfig, resume: Boolean, segmentBase: Int): IndexManifest = {
     import spark.implicits._
 
     val prior = if (resume) IndexManifest.read(spark, indexDir) else None

@@ -107,7 +107,15 @@ object SegmentMerger {
     * eagerly, which is safe only when no reader spans the commit.
     */
   def merge(spark: SparkSession, indexDir: String, groups: Seq[MergeGroup],
-      keepOld: Boolean = false, compression: String = "snappy"): IndexManifest = {
+      keepOld: Boolean = false, compression: String = "snappy"): IndexManifest =
+    // single writer per index dir (INDEX_WRITER_LOCK): the publish below is
+    // a manifest read-modify-write
+    WriterLock.withLock(spark, indexDir) {
+      mergeLocked(spark, indexDir, groups, keepOld, compression)
+    }
+
+  private def mergeLocked(spark: SparkSession, indexDir: String, groups: Seq[MergeGroup],
+      keepOld: Boolean, compression: String): IndexManifest = {
     import spark.implicits._
     val manifest = IndexManifest.read(spark, indexDir)
       .getOrElse(throw new IllegalStateException(s"no manifest at $indexDir"))

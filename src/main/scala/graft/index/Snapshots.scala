@@ -69,6 +69,30 @@ object Snapshots {
     (hist ++ cur).flatMap(_.segmentIds).toSet
   }
 
+  /** Roll the current pointer back to retained snapshot `seq` (Iceberg's
+    * `rollback_to_snapshot`; operationally the recovery for a bad merge or
+    * ingest batch). History stays append-only: the rolled-back state is
+    * published as a NEW commit (seq = current + 1) whose content is the old
+    * manifest, so the bad commits remain inspectable until expiry. Requires
+    * the target snapshot's segments to still be on disk
+    * (`merge(keepOld = true)` retention + the `expire` window).
+    */
+  def rollback(spark: SparkSession, indexDir: String, seq: Long): IndexManifest =
+    WriterLock.withLock(spark, indexDir) {
+      val target = readAt(spark, indexDir, seq).getOrElse(
+        throw new IllegalArgumentException(s"snapshot $seq not retained at $indexDir"))
+      val cur = IndexManifest.read(spark, indexDir).getOrElse(
+        throw new IllegalStateException(s"no manifest at $indexDir"))
+      val fs = new Path(indexDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val missing = target.segmentIds.filterNot(id =>
+        fs.exists(new Path(indexDir, s"postings/segment=$id")))
+      require(missing.isEmpty,
+        s"snapshot $seq references expired segments ${missing.mkString(",")} — cannot roll back")
+      val out = target.copy(commitSeq = cur.commitSeq + 1)
+      IndexManifest.write(spark, indexDir, out)
+      out
+    }
+
   /** Expire old snapshots: keep the last `keepLast` history entries (the
     * current commit always survives), delete the rest, then delete segment
     * directories referenced by NO surviving snapshot. Returns
