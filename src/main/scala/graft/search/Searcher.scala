@@ -443,13 +443,22 @@ final class Searcher(spark: SparkSession, indexDir: String, asOfSeq: Option[Long
   private def numDocsBySeg: Map[Int, Int] = manifest.segments.map(m => m.segment -> m.numDocs).toMap
 
   /** Top-k by BM25: per-segment WAND kernels + driver-side fruit merge. */
-  def topDocs(q: Query, k: Int): Array[SearchHit] = {
+  def topDocs(q: Query, k: Int): Array[SearchHit] = topDocs(q, k, 0)
+
+  /** Top-k with pagination — the reference's `TopDocs::and_offset`
+    * (`src/collector/top_score_collector.rs:155-173`): each segment collects
+    * (offset + k) candidates (a doc ranked k-th globally can be the
+    * (offset+k)-th of one segment), the global merge keeps (offset + k) and
+    * drops the first `offset`. Ranks number the PAGE (offset+1 ...).
+    */
+  def topDocs(q: Query, k: Int, offset: Int): Array[SearchHit] = {
+    require(offset >= 0, "offset must be >= 0")
     val cq = plan(q)
     if (cq == CQuery.CEmpty) return Array.empty
     val bcq = spark.sparkContext.broadcast(cq)
     val bNumDocs = spark.sparkContext.broadcast(numDocsBySeg)
     val bDel = bDeletes
-    val kk = k
+    val kk = k + offset
     val localTopK = perSegment(kernelRows(cq)) { (seg, it) =>
         val ctx = Searcher.makeContext(it, bNumDocs.value, seg, bDel.value)
         val topN = new TopNComputer(kk)
@@ -460,16 +469,16 @@ final class Searcher(spark: SparkSession, indexDir: String, asOfSeq: Option[Long
       }.collect()
 
     // merge fruits: pushes must arrive in ascending global address order
-    val merged = new TopNComputer(k)
+    val merged = new TopNComputer(kk)
     localTopK.sortBy(r => (r._1.toLong << 32) | r._2.toLong).foreach { case (seg, docId, score) =>
       merged.push(score, (seg.toLong << 32) | docId.toLong)
     }
-    val top = merged.intoSortedVec()
+    val top = merged.intoSortedVec().drop(offset)
     if (top.isEmpty) return Array.empty
 
     // fetch stored fields: broadcast the tiny top-k against the docmap
     val addrs = top.zipWithIndex.map { case ((score, addr), rank) =>
-      ((addr >>> 32).toInt, (addr & 0xffffffffL).toInt, score, rank + 1)
+      ((addr >>> 32).toInt, (addr & 0xffffffffL).toInt, score, offset + rank + 1)
     }
     val addrDF = spark.createDataFrame(addrs.toSeq).toDF("segment", "docId", "score", "rank")
     val segs = addrs.map(_._1).distinct.toSeq

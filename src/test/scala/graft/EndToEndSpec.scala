@@ -279,4 +279,18 @@ class EndToEndSpec extends AnyFunSuite {
     val b = searcher.topDocs(Query.Term("text", "alpha"), 10).map(h => (h.url, h.score)).toList
     assert(a == b)
   }
+
+  test("pagination (TopDocs::and_offset): pages tile the unpaged ranking") {
+    val q = Query.should(Query.Term("text", "alpha"), Query.Term("text", "beta"))
+    val full = searcher.topDocs(q, 30)
+    assert(full.length == 30)
+    val pages = Seq(0, 10, 20).flatMap(off => searcher.topDocs(q, 10, off))
+    assert(pages.map(h => (h.url, h.score)).toList ==
+      full.map(h => (h.url, h.score)).toList)
+    // ranks number the page within the global ranking
+    assert(pages.map(_.rank).toList == (1 to 30).toList)
+    // an offset past the matches is empty, not an error
+    val total = searcher.count(q).toInt
+    assert(searcher.topDocs(q, 10, total).isEmpty)
+  }
 }
