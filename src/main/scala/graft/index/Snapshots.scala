@@ -87,7 +87,7 @@ object Snapshots {
       val missing = target.segmentIds.filterNot(id =>
         fs.exists(new Path(indexDir, s"postings/segment=$id")))
       require(missing.isEmpty,
-        s"snapshot $seq references expired segments ${missing.mkString(",")} — cannot roll back")
+        s"snapshot $seq references expired segments ${missing.mkString(",")} -- cannot roll back")
       val out = target.copy(commitSeq = cur.commitSeq + 1)
       IndexManifest.write(spark, indexDir, out)
       out
