@@ -354,6 +354,55 @@ object Analyzer extends Serializable {
     toks.map(t => t.copy(text = stem(t.text)))
   }
 
+  /** ISO-639-1 codes for the `_stem` analyzer names (tantivy registers
+    * `en_stem` by default and users register the rest; both the code and
+    * the full language name are accepted here).
+    */
+  private val LangCodes = Map(
+    "en" -> "english", "da" -> "danish", "no" -> "norwegian", "sv" -> "swedish",
+    "de" -> "german", "nl" -> "dutch", "es" -> "spanish", "pt" -> "portuguese",
+    "it" -> "italian", "fr" -> "french", "ru" -> "russian", "ro" -> "romanian",
+    "hu" -> "hungarian", "fi" -> "finnish", "el" -> "greek", "ar" -> "arabic",
+    "ta" -> "tamil", "tr" -> "turkish")
+
+  /** TokenizerManager analog (`/root/reference/src/tokenizer/
+    * tokenizer_manager.rs:56-81`): resolve a REGISTERED analyzer name to its
+    * full chain. Built-ins mirror the reference's defaults: `default`
+    * (simple + remove_long(40) + lowercase), `raw` (whole value, unaltered),
+    * `whitespace`, and `<lang>_stem` = default + Snowball stemmer (`en_stem`,
+    * `de_stem`, ... or full names `german_stem`, ...). The name is recorded
+    * in the index manifest so build and query-parse always agree — the
+    * reference stores it in the schema's text options the same way.
+    * Resolution is cheap and serialization-free: executors resolve from the
+    * broadcast config string, nothing closes over the stemmer tables.
+    */
+  def chain(name: String): String => ArrayBuffer[Token] = name match {
+    case "default" => tokenize(_: String)
+    case "raw" => (t: String) => {
+      val b = new ArrayBuffer[Token](1)
+      if (t.nonEmpty) b += Token(t, 0, 0, t.length)
+      b
+    }
+    case "whitespace" => whitespaceTokens(_: String)
+    case s if s.endsWith("_stem") =>
+      val code = s.stripSuffix("_stem")
+      val stem = snowball.SnowballStemmer(LangCodes.getOrElse(code, code))
+      (t: String) => {
+        val toks = tokenize(t)
+        var i = 0
+        while (i < toks.length) { toks(i) = toks(i).copy(text = stem(toks(i).text)); i += 1 }
+        toks
+      }
+    case other => throw new IllegalArgumentException(
+      s"unknown analyzer '$other' (registered: default, raw, whitespace, <lang>_stem)")
+  }
+
+  /** Term list through a named chain (query-parser side). */
+  def chainTerms(name: String): String => Seq[String] = {
+    val c = chain(name)
+    t => c(t).map(_.text).toSeq
+  }
+
   /** The classic Lucene/tantivy English stop list (35 terms). */
   val EnglishStopWords: Set[String] = Set(
     "a", "an", "and", "are", "as", "at", "be", "but", "by", "for", "if",

@@ -68,7 +68,14 @@ final case class IndexConfig(
       */
     fastLongFields: Seq[String] = Nil,
     fastDoubleFields: Seq[String] = Nil,
-    fastStringFields: Seq[String] = Nil) {
+    fastStringFields: Seq[String] = Nil,
+    /** Named analyzer for the text field — the reference's per-field
+      * tokenizer assignment (`TextOptions.set_tokenizer`,
+      * `src/schema/text_options.rs`): `default`, `raw`, `whitespace`, or
+      * `<lang>_stem` (Snowball; `en_stem` etc.). Recorded in the manifest so
+      * the query parser analyzes with the SAME chain.
+      */
+    textAnalyzer: String = "default") {
   /** chunk ordinal cap per partition — segment id = pid * ChunksPerPartition + chunk */
   def rawFields: Seq[String] = Seq(keyField, langField)
 }
@@ -120,6 +127,8 @@ object IndexBuilder {
     prior.foreach { p =>
       require(p.numPartitions == cfg.numPartitions,
         s"resume with different numPartitions (${p.numPartitions} != ${cfg.numPartitions}) would re-map docIds")
+      require(p.textAnalyzer == cfg.textAnalyzer,
+        s"resume with different analyzer ('${p.textAnalyzer}' != '${cfg.textAnalyzer}') would mix term spaces")
     }
 
     // clean partial output of segments that never made it into the manifest
@@ -239,7 +248,8 @@ object IndexBuilder {
       fastFields =
         cfg.fastLongFields.map(FastField(_, "long")) ++
         cfg.fastDoubleFields.map(FastField(_, "double")) ++
-        cfg.fastStringFields.map(FastField(_, "string")))
+        cfg.fastStringFields.map(FastField(_, "string")),
+      textAnalyzer = cfg.textAnalyzer)
     IndexManifest.write(spark, indexDir, manifest)
     manifest
   }
@@ -296,12 +306,13 @@ object IndexBuilder {
 
     var docId = 0
     val preTokenized = cfg.preTokenizedField.isDefined
+    val analyzerChain = Analyzer.chain(cfg.textAnalyzer)
     docs.foreach { d =>
       val toks: scala.collection.Seq[graft.analysis.Token] =
         if (preTokenized)
           d.preToks.iterator.zipWithIndex
             .map { case (t, i) => graft.analysis.Token(t, i, 0, 0) }.toIndexedSeq
-        else Analyzer.tokenize(d.text)
+        else analyzerChain(d.text)
       var i = 0
       while (i < toks.length) {
         val t = toks(i)

@@ -110,7 +110,11 @@ final case class IndexManifest(
     /** Fast fields declared at build time — the schema the Searcher uses to
       * flatten docmap map columns into named, typed columns.
       */
-    fastFields: Seq[FastField] = Nil) {
+    fastFields: Seq[FastField] = Nil,
+    /** Named analyzer of the text field (TokenizerManager registration);
+      * the query parser must analyze with the same chain.
+      */
+    textAnalyzer: String = "default") {
   def totalDocs: Long = segments.map(_.numDocs.toLong).sum
   def totalTokens: Long = segments.map(_.totalTokens).sum
   def segmentIds: Seq[Int] = segments.map(_.segment)

@@ -17,10 +17,12 @@ object MoreLikeThis {
       maxWordLength: Int = 0,
       boost: Boolean = true)
 
-  /** Build the query from a raw document text. */
+  /** Build the query from a raw document text (analyzed with the index's
+    * own named chain, so seed terms live in the index's term space).
+    */
   def query(searcher: Searcher, field: String, docText: String,
       cfg: Config = Config()): Query = {
-    val terms = Analyzer.terms(docText)
+    val terms = Analyzer.chain(searcher.manifest.textAnalyzer)(docText).map(_.text)
     val tf = terms.groupBy(identity).view.mapValues(_.size).toMap
       .filter { case (t, f) =>
         f >= cfg.minTermFreq &&

@@ -19,7 +19,8 @@ import graft.analysis.Analyzer
   *     (`fuzzyFields`)
   *   - `*` (AllQuery)
   *
-  * Literals on analyzed fields run through the default analyzer chain;
+  * Literals on analyzed fields run through the index's named analyzer chain
+  * (`analyzer` ctor arg; read it from `manifest.textAnalyzer`);
   * a literal that tokenizes to several terms becomes a phrase query
   * (query_parser.rs:535-620). Occur default is Should unless
   * `conjunctionByDefault` (query_parser.rs:630-634). All-negative queries
@@ -48,9 +49,17 @@ final class QueryParser(
       * microsecond terms): RFC3339 literals and range bounds compile to
       * typed ranges (query_parser.rs "date values").
       */
-    dateFields: Set[String] = Set.empty) {
+    dateFields: Set[String] = Set.empty,
+    /** Named analyzer for text literals — MUST match the index's
+      * `IndexConfig.textAnalyzer` (read it from `manifest.textAnalyzer`);
+      * the reference resolves the field's registered tokenizer the same way
+      * (query_parser.rs `compute_logical_ast_for_leaf`).
+      */
+    analyzer: String = "default") {
 
   import graft.index.JsonTerms
+
+  private val analyzeTerms: String => Seq[String] = Analyzer.chainTerms(analyzer)
 
   private def utcMicros(iso: String): Long = {
     val i = java.time.Instant.parse(iso)
@@ -81,7 +90,7 @@ final class QueryParser(
     try (parse(input), Nil)
     catch {
       case e: Exception =>
-        val terms = Analyzer.terms(input).toSeq
+        val terms = analyzeTerms(input)
         val q =
           if (terms.isEmpty) Query.Nothing
           else if (terms.length == 1) Query.Term(defaultField, terms.head)
@@ -103,7 +112,7 @@ final class QueryParser(
 
   private def analyzed(field: String, text: String): Query = resolveJson(field) match {
     case Some((jf, path)) =>
-      val terms = Analyzer.terms(text)
+      val terms = analyzeTerms(text)
       if (terms.isEmpty) Query.Nothing
       else if (terms.length == 1) {
         val strQ = Query.Term(jf, JsonTerms.str(path, terms(0)))
@@ -117,7 +126,7 @@ final class QueryParser(
     case None =>
       if (rawFields.contains(field)) Query.Term(field, text)
       else {
-        val terms = Analyzer.terms(text)
+        val terms = analyzeTerms(text)
         if (terms.isEmpty) Query.Nothing
         else if (terms.length == 1) Query.Term(field, terms(0))
         else Query.Phrase(field, terms.toSeq)
@@ -255,20 +264,20 @@ final class QueryParser(
         // `"big bad wo"*` — phrase-prefix (query_parser.rs "prefix operator")
         pos += 1
         val terms =
-          if (rawFields.contains(field)) Seq(text) else Analyzer.terms(text).toSeq
+          if (rawFields.contains(field)) Seq(text) else analyzeTerms(text)
         require(terms.length >= 2,
           "phrase-prefix requires at least two terms (PhrasePrefixRequiresAtLeastTwoTerms)")
         return Query.PhrasePrefix(field, terms)
       }
       resolveJson(field) match {
         case Some((jf, path)) =>
-          Analyzer.terms(text).toSeq match {
+          analyzeTerms(text) match {
             case Seq() => Query.Nothing
             case Seq(t) => Query.Term(jf, JsonTerms.str(path, t))
             case ts => Query.Phrase(jf, ts.map(JsonTerms.str(path, _)), slop)
           }
         case None =>
-          val terms = if (rawFields.contains(field)) Seq(text) else Analyzer.terms(text).toSeq
+          val terms = if (rawFields.contains(field)) Seq(text) else analyzeTerms(text)
           terms match {
             case Seq() => Query.Nothing
             case Seq(t) => Query.Term(field, t)
@@ -321,7 +330,7 @@ final class QueryParser(
     }
 
     private def norm(field: String, v: String): String =
-      if (rawFields.contains(field)) v else Analyzer.terms(v).headOption.getOrElse(v)
+      if (rawFields.contains(field)) v else analyzeTerms(v).headOption.getOrElse(v)
 
     def rangeBound(): Option[String] = {
       skipWs()

@@ -16,7 +16,7 @@ import graft.search.{Query, QueryParser, Searcher}
   * of `IndexConfig.numPartitions`.
   *
   * Commands:
-  *   build  <srcParquet> <indexDir> [numPartitions=32] [textCol=text] [keyCol=url]
+  *   build  <srcParquet> <indexDir> [numPartitions=32] [textCol=text] [keyCol=url] [analyzer=default]
   *   search <indexDir> <query...>           (QueryParser syntax; top-10)
   *   count  <indexDir> <query...>
   *   merge  <indexDir> [maxFanIn=16]        (log-policy rounds until stable)
@@ -46,9 +46,11 @@ object IndexCli {
       val parts = rest.headOption.map(_.toInt).getOrElse(32)
       val textCol = rest.lift(1).getOrElse("text")
       val keyCol = rest.lift(2).getOrElse("url")
+      val analyzer = rest.lift(3).getOrElse("default")
       val df = spark.read.parquet(src)
       val m = IndexBuilder.build(spark, df, dir,
-        IndexConfig(numPartitions = parts, keyField = keyCol, textField = textCol))
+        IndexConfig(numPartitions = parts, keyField = keyCol, textField = textCol,
+          textAnalyzer = analyzer))
       println(s"committed seq=${m.commitSeq}: ${m.segments.size} segments, " +
         s"${m.totalDocs} docs, ${m.totalTokens} tokens")
       m.segments.sortBy(_.segment).foreach { s =>
@@ -89,7 +91,8 @@ object IndexCli {
       val s = new Searcher(spark, args(1))
       val m = s.manifest
       println(s"commitSeq=${m.commitSeq} segments=${m.segments.size} docs=${m.totalDocs} " +
-        s"tokens=${m.totalTokens} deletes=${m.deletes.size} fastFields=${m.fastFields.map(_.name).mkString(",")}")
+        s"tokens=${m.totalTokens} deletes=${m.deletes.size} analyzer=${m.textAnalyzer} " +
+        s"fastFields=${m.fastFields.map(_.name).mkString(",")}")
       val su = s.spaceUsage
       println(s"total index bytes (logical): ${su.total}")
       su.perField.toSeq.sortBy(-_._2).foreach { case (f, b) => println(f"  $f%-16s $b%12d B") }
@@ -100,11 +103,11 @@ object IndexCli {
   private def parse(spark: SparkSession, dir: String, s: String): Query = {
     val m = IndexManifest.read(spark, dir)
       .getOrElse(throw new IllegalStateException(s"no manifest at $dir"))
-    new QueryParser(m.textField).parse(s)
+    new QueryParser(m.textField, analyzer = m.textAnalyzer).parse(s)
   }
 
   private val usage: String =
-    """usage: IndexCli build <srcParquet> <indexDir> [numPartitions] [textCol] [keyCol]
+    """usage: IndexCli build <srcParquet> <indexDir> [numPartitions] [textCol] [keyCol] [analyzer]
       |       IndexCli search|count <indexDir> <query...>
       |       IndexCli merge <indexDir> [maxFanIn]
       |       IndexCli delete <indexDir> <field> <term>
