@@ -492,6 +492,25 @@ final class Searcher(spark: SparkSession, indexDir: String, asOfSeq: Option[Long
     urls.map { case (rank, url, score, seg, docId) => SearchHit(rank, url, score, seg, docId) }
   }
 
+  /** Stored-field fetch by doc address — the reference's `Searcher::doc`
+    * (`src/core/searcher.rs:~60`): one pruned docmap lookup returning the
+    * row store's fields (url, warc_ts, lang + declared fast fields).
+    */
+  def doc(segment: Int, docId: Int): Option[org.apache.spark.sql.Row] =
+    docmapDF.where(col("segment") === segment && col("docId") === docId)
+      .collect().headOption
+
+  /** Search with aggregations in ONE request — the reference's
+    * `AggregationCollector` run (`src/aggregation/collector.rs`): the ES
+    * JSON agg tree evaluates over the query's matched doc set, bucket keys
+    * and metric inputs reading docmap fast fields. Returns the nested ES
+    * result JSON (`AggRequest.runJson`).
+    */
+  def aggregate(q: Query, aggJson: String): String =
+    graft.agg.AggRequest.runJson(
+      allMatches(q, scored = false).join(docmapDF, Seq("segment", "docId")),
+      aggJson)
+
   /** All matching docs with scores, as a DataFrame (segment, docId, score).
     * Exhaustive (no pruning) — the oracle-checkable full result relation.
     */

@@ -85,6 +85,36 @@ class FastFieldSpec extends AnyFunSuite {
 
   }
 
+  test("Searcher.doc fetch and search-with-aggregations over fast fields") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ff-agg").toString
+    val src = WebCorpus.generate(spark, 200L, 2).toDF()
+      .withColumn("nlen", length(col("text")).cast("long"))
+    IndexBuilder.build(spark, src, dir, IndexConfig(numPartitions = 2,
+      fastLongFields = Seq("nlen"), fastStringFields = Seq("lang")))
+    val s = new Searcher(spark, dir)
+
+    // doc(): stored fields by address, None for a bad address
+    val hit = s.topDocs(Query.Term("text", "alpha"), 1).head
+    val row = s.doc(hit.segment, hit.docId).get
+    assert(row.getAs[String]("url") == hit.url)
+    assert(row.getAs[Long]("nlen") == WebCorpus.genDoc(
+      hit.url.split("p").last.toLong).text.length.toLong)
+    assert(s.doc(hit.segment, 1 << 30).isEmpty)
+
+    // aggregate(): ES tree over the query's matched set, fast-field inputs
+    val json = s.aggregate(Query.Term("text", "alpha"),
+      """{"by_lang": {"terms": {"field": "lang", "size": 5},
+        | "aggs": {"avg_len": {"avg": {"field": "nlen"}}}}}""".stripMargin)
+    val parsed = org.json4s.jackson.JsonMethods.parse(json)
+    val buckets = (parsed \ "by_lang" \ "buckets").children
+    assert(buckets.nonEmpty)
+    val total = buckets.map(b => (b \ "doc_count").values.asInstanceOf[BigInt].toLong).sum
+    assert(total == s.count(Query.Term("text", "alpha")))
+    val avg = (buckets.head \ "avg_len" \ "value").values.asInstanceOf[Double]
+    assert(avg > 0.0)
+  }
+
   test("unconfigured builds expose no fast-field columns and pay no schema cost") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ff0").toString
     val src = WebCorpus.generate(spark, 50L, 2).toDF()
