@@ -87,6 +87,16 @@ object IndexCli {
         println(s"seq=$s segments=${m.map(_.segments.size).getOrElse(-1)} " +
           s"docs=${m.map(_.totalDocs).getOrElse(-1L)}$mark")
       }
+    case "terms" =>
+      // dictionary walk (prefix-pruned like the FST seek): term + global df
+      val dir = args(1)
+      val field = args.lift(2).getOrElse("text")
+      val prefix = args.lift(3).getOrElse("")
+      val s = new Searcher(spark, dir)
+      val ts = s.expandTerms(field,
+        org.apache.spark.sql.functions.col("term").startsWith(prefix), max = 50)
+      val dfs = s.docFreqsPublic(ts.map(t => (field, t)).toSet)
+      ts.foreach(t => println(f"${dfs.getOrElse((field, t), 0L)}%9d  $t"))
     case "stats" =>
       val s = new Searcher(spark, args(1))
       val m = s.manifest
@@ -112,5 +122,6 @@ object IndexCli {
       |       IndexCli merge <indexDir> [maxFanIn]
       |       IndexCli delete <indexDir> <field> <term>
       |       IndexCli rollback <indexDir> <commitSeq>
+      |       IndexCli terms <indexDir> [field] [prefix]
       |       IndexCli snapshots|stats <indexDir>""".stripMargin
 }
