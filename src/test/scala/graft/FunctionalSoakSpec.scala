@@ -9,7 +9,8 @@ import graft.search.{Occur, Query, Searcher}
 import graft.streaming.StreamingIndexer
 
 /** The reference's `functional_test.rs` analog: a seeded random sequence of
-  * index operations (append batch / delete term / delete key / merge) is
+  * index operations (append batch / delete term / delete key / merge /
+  * retention-merge / snapshot rollback) is
   * replayed against a driver-side model of the alive corpus; after every
   * op, engine results must equal the model's for a probe query set (counts
   * AND matched url sets, including a phrase and a boolean).
@@ -86,9 +87,14 @@ class FunctionalSoakSpec extends AnyFunSuite {
     }
     check("initial")
 
+    // snapshot-seq -> model state, for rollback ops (the snapshot log makes
+    // every committed state addressable; rollback must land exactly on it)
+    def curSeq: Long = graft.index.IndexManifest.read(spark, dir).get.commitSeq
+    var history = Map(curSeq -> alive)
+
     var batch = 0L
-    for (op <- 1 to 8) {
-      rnd.nextInt(4) match {
+    for (op <- 1 to 12) {
+      rnd.nextInt(6) match {
         case 0 => // append
           appendDocs(80 + rnd.nextInt(120), batch); batch += 1
         case 1 => // delete a term (kills every doc containing it, older segments)
@@ -105,7 +111,22 @@ class FunctionalSoakSpec extends AnyFunSuite {
           val m = graft.index.IndexManifest.read(spark, dir).get
           if (m.segments.size > 1)
             SegmentMerger.merge(spark, dir, SegmentMerger.plan(m, fanIn = 3))
+        case 4 => // snapshot-retention merge (readers keep old files)
+          val m = graft.index.IndexManifest.read(spark, dir).get
+          if (m.segments.size > 1)
+            SegmentMerger.merge(spark, dir, SegmentMerger.plan(m, fanIn = 4), keepOld = true)
+        case 5 => // rollback to a random retained snapshot (or a loud refusal
+          // when its segments were reclaimed by a non-retention merge)
+          val seqs = graft.index.Snapshots.list(spark, dir)
+          val target = seqs(rnd.nextInt(seqs.size))
+          try {
+            graft.index.Snapshots.rollback(spark, dir, target)
+            alive = history(target)
+          } catch { case e: IllegalArgumentException =>
+            assert(e.getMessage.contains("cannot roll back"), e.getMessage)
+          }
       }
+      history += curSeq -> alive
       check(s"op $op")
     }
 
