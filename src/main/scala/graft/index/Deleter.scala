@@ -38,4 +38,19 @@ object Deleter {
       .getOrElse(throw new IllegalStateException(s"no manifest at $indexDir"))
     deleteTerm(spark, indexDir, m.keyField, key)
   }
+
+  /** The reference's `IndexWriter::delete_all_documents`
+    * (`src/indexer/index_writer.rs:~660`): commit an empty index in one
+    * opstamp — the manifest's segment list empties and pending tombstones
+    * retire. Segment FILES are left for retained snapshots (time travel to
+    * pre-wipe states keeps working); `Snapshots.expire` reclaims them.
+    */
+  def deleteAll(spark: SparkSession, indexDir: String): IndexManifest =
+    WriterLock.withLock(spark, indexDir) {
+      val m = IndexManifest.read(spark, indexDir)
+        .getOrElse(throw new IllegalStateException(s"no manifest at $indexDir"))
+      val out = m.copy(commitSeq = m.commitSeq + 1, segments = Nil, deletes = Nil)
+      IndexManifest.write(spark, indexDir, out)
+      out
+    }
 }

@@ -81,5 +81,13 @@ class WriterLockSpec extends AnyFunSuite {
     assert(Snapshots.list(spark, dir).contains(m4.commitSeq))
     // rolling back to an expired/unknown snapshot fails loudly
     intercept[IllegalArgumentException] { Snapshots.rollback(spark, dir, 999L) }
+
+    // delete_all_documents: empty commit, recoverable via the snapshot log
+    val wiped = Deleter.deleteAll(spark, dir)
+    assert(wiped.segments.isEmpty && wiped.deletes.isEmpty)
+    assert(new Searcher(spark, dir).count(q) == 0L)
+    val restored = Snapshots.rollback(spark, dir, m4.commitSeq)
+    assert(new Searcher(spark, dir).topDocs(q, 10).map(h => (h.url, h.score)).toList == baseline)
+    assert(restored.commitSeq > wiped.commitSeq)
   }
 }
