@@ -224,6 +224,8 @@ object SparkEntry {
     "q_cosine_topk" -> ((s, d) => PipelineOps.cosineTopK(embeddings(s, d), 0L, 10)),
     "q_embed_neardup" -> ((s, d) => PipelineOps.embeddingNearDupPairs(embeddings(s, d), 0.35)),
     "q_ann_lsh" -> ((s, d) => PipelineOps.annTopK(embeddings(s, d), 0L, 10, 8)),
+    "q_ann_ivf" -> ((s, d) => PipelineOps.ivfTopK(embeddings(s, d), 0L, 10,
+      nCentroids = 16, nprobe = 4)),
 
     // --- aggregations (collector / ES-agg equivalents)
     "q_terms_agg" -> ((s, d) => PipelineOps.withTokens(docs(s, d))

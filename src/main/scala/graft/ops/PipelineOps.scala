@@ -365,6 +365,52 @@ object PipelineOps {
     * (one primitive pass per row, whole-stage codegen); bit-parity with the
     * declarative HOF form below is pinned by SimilaritySpec.
     */
+  /** IVF coarse-quantizer ANN — the clustering-based scale path (the IVF
+    * stage of Jégou et al., "Product Quantization for Nearest Neighbor
+    * Search", TPAMI 2011, without the PQ residual codes): seeded Spark ML
+    * k-means over L2-NORMALIZED vectors (spherical k-means, so centroid L2
+    * distance is monotone with cosine), every vector assigned to its nearest
+    * centroid's inverted list, and a query exact-verifies ONLY the `nprobe`
+    * nearest centroids' lists. At 100 TB: train on a sample, write the
+    * assignment bucketed by `cluster` — the probe becomes a partition-pruned
+    * scan of nprobe/nCentroids of the data; centroids stay driver-tiny.
+    * Returns (assignments(vec_id, cluster), centroids).
+    */
+  def ivfAssignments(embeddings: DataFrame, nCentroids: Int,
+      seed: Long = 20260818L): (DataFrame, Array[Array[Double]]) = {
+    import org.apache.spark.ml.clustering.KMeans
+    val v = col("embedding").cast("array<double>")
+    val norm = sqrt(aggregate(v, lit(0.0), (acc, x) => acc + x * x))
+    val feat = embeddings.select(col("vec_id"),
+      org.apache.spark.ml.functions.array_to_vector(
+        transform(v, x => x / norm)).as("features"))
+    val model = new KMeans().setK(nCentroids).setSeed(seed).setMaxIter(10).fit(feat)
+    val assigned = model.transform(feat).select(col("vec_id"), col("prediction").as("cluster"))
+    (assigned, model.clusterCenters.map(_.toArray))
+  }
+
+  /** ANN top-k through the IVF lists: rank centroids against the query on
+    * the driver (tiny), pushed-down `IN` over the nprobe nearest lists,
+    * exact cosine on the candidates only. Recall@10 >= 0.8 vs `cosineTopK`
+    * is pinned by SimilaritySpec (same gate as the LSH path).
+    */
+  def ivfTopK(embeddings: DataFrame, queryVecId: Long, k: Int,
+      nCentroids: Int, nprobe: Int): DataFrame = {
+    val (assigned, centers) = ivfAssignments(embeddings, nCentroids)
+    val qRaw = embeddings.where(col("vec_id") === queryVecId)
+      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0).toArray
+    val qn = math.sqrt(qRaw.map(x => x * x).sum)
+    val q = qRaw.map(_ / qn)
+    val probes = centers.zipWithIndex.sortBy { case (c, _) =>
+      var s = 0.0
+      var i = 0
+      while (i < c.length) { val d = c(i) - q(i); s += d * d; i += 1 }
+      s
+    }.take(nprobe).map(_._2).toIndexedSeq
+    val candIds = assigned.where(col("cluster").isin(probes: _*)).select("vec_id")
+    cosineTopK(embeddings.join(candIds, "vec_id"), queryVecId, k)
+  }
+
   def annBuckets(embeddings: DataFrame, nBits: Int): DataFrame =
     embeddings.select(col("vec_id"),
       graft.functions.VecOps.lsh_bucket(

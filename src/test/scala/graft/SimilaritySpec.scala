@@ -69,6 +69,26 @@ class SimilaritySpec extends AnyFunSuite {
     assert(mean >= 0.8, s"mean recall@10 $mean below 0.8 gate")
   }
 
+  test("IVF ANN: recall@10 >= 0.8 vs exact cosine top-k; probes a fraction of lists") {
+    val e = genEmbeddings(1000)
+    val queries = Seq(0L, 7L, 123L, 500L, 999L)
+    val recalls = queries.map { q =>
+      val exact = PipelineOps.cosineTopK(e, q, 10)
+        .collect().map(_.getLong(0)).toSet
+      val ivf = PipelineOps.ivfTopK(e, q, 10, nCentroids = 16, nprobe = 4)
+        .collect().map(_.getLong(0)).toSet
+      exact.intersect(ivf).size.toDouble / exact.size
+    }
+    val mean = recalls.sum / recalls.size
+    info(f"IVF recall@10 per query: ${recalls.map(r => f"$r%.2f").mkString(", ")} (mean $mean%.3f)")
+    assert(mean >= 0.8, s"mean IVF recall@10 $mean below 0.8 gate")
+    // the probe really is partial: candidate lists hold a strict minority
+    val (assigned, _) = PipelineOps.ivfAssignments(e, 16)
+    val sizes = assigned.groupBy("cluster").count().collect().map(_.getLong(1))
+    assert(sizes.length > 8, "k-means collapsed") // clusters materialized
+    assert(sizes.sorted.takeRight(4).sum < 1000L, "4 lists must not hold everything")
+  }
+
   test("native vec_cosine / lsh_bucket kernels == HOF forms (bit-exact)") {
     val e = genEmbeddings(500)
     // cosine: native expression vs aggregate/zip_with fold, exact doubles
