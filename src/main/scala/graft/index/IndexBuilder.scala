@@ -69,6 +69,11 @@ final case class IndexConfig(
     fastLongFields: Seq[String] = Nil,
     fastDoubleFields: Seq[String] = Nil,
     fastStringFields: Seq[String] = Nil,
+    /** Multi-valued fast fields: source ARRAY columns stored per doc
+      * (tags-style; `Cardinality::Multivalued` in the reference columnar).
+      */
+    fastLongArrayFields: Seq[String] = Nil,
+    fastStringArrayFields: Seq[String] = Nil,
     /** Named analyzer for the text field — the reference's per-field
       * tokenizer assignment (`TextOptions.set_tokenizer`,
       * `src/schema/text_options.rs`): `default`, `raw`, `whitespace`, or
@@ -89,7 +94,9 @@ final case class InDoc(key: String, text: String, lang: String, ts: java.sql.Tim
     longs: Map[String, Long], jsons: Map[String, String], facets: Map[String, String],
     preToks: Seq[String],
     ffLongs: Map[String, Long] = null, ffDoubles: Map[String, Double] = null,
-    ffStrings: Map[String, String] = null)
+    ffStrings: Map[String, String] = null,
+    ffLongArrays: Map[String, Seq[Long]] = null,
+    ffStringArrays: Map[String, Seq[String]] = null)
 
 object IndexBuilder {
 
@@ -173,7 +180,9 @@ object IndexBuilder {
           .getOrElse(lit(null).cast("array<string>")).as("preToks"),
         ffMap(cfg.fastLongFields, "bigint").as("ffLongs"),
         ffMap(cfg.fastDoubleFields, "double").as("ffDoubles"),
-        ffMap(cfg.fastStringFields, "string").as("ffStrings"))
+        ffMap(cfg.fastStringFields, "string").as("ffStrings"),
+        ffMap(cfg.fastLongArrayFields, "array<bigint>").as("ffLongArrays"),
+        ffMap(cfg.fastStringArrayFields, "array<string>").as("ffStringArrays"))
       .as[InDoc]
 
     val parted = in
@@ -248,7 +257,9 @@ object IndexBuilder {
       fastFields =
         cfg.fastLongFields.map(FastField(_, "long")) ++
         cfg.fastDoubleFields.map(FastField(_, "double")) ++
-        cfg.fastStringFields.map(FastField(_, "string")),
+        cfg.fastStringFields.map(FastField(_, "string")) ++
+        cfg.fastLongArrayFields.map(FastField(_, "longs")) ++
+        cfg.fastStringArrayFields.map(FastField(_, "strings")),
       textAnalyzer = cfg.textAnalyzer)
     IndexManifest.write(spark, indexDir, manifest)
     manifest
@@ -412,7 +423,8 @@ object IndexBuilder {
 
     // doc-map rows (row store + fast fields) ride in the same table
     val docRows = docs.iterator.zipWithIndex.map { case (d, i) =>
-      PostingRow.docRow(segId, i, d.key, d.ts, d.lang, d.ffLongs, d.ffDoubles, d.ffStrings)
+      PostingRow.docRow(segId, i, d.key, d.ts, d.lang, d.ffLongs, d.ffDoubles, d.ffStrings,
+        d.ffLongArrays, d.ffStringArrays)
     }
     // buffer rows (they must be fully computed before t1 anyway for metrics)
     val body = (docRows ++ textRows ++ rawRows ++ jsonRows).toArray

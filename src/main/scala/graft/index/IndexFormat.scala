@@ -38,7 +38,14 @@ final case class PostingRow(
       */
     ffLongs: Map[String, Long] = null,
     ffDoubles: Map[String, Double] = null,
-    ffStrings: Map[String, String] = null)
+    ffStrings: Map[String, String] = null,
+    /** Multi-valued fast fields (the reference's columnar multi-value
+      * cardinality, `columnar/` `Cardinality::Multivalued`): per-doc value
+      * ARRAYS, for tags-style filter (`array_contains`) and exploded
+      * aggregation.
+      */
+    ffLongArrays: Map[String, Seq[Long]] = null,
+    ffStringArrays: Map[String, Seq[String]] = null)
 
 object PostingRow {
   val NormsField = "__norms__"
@@ -57,10 +64,12 @@ object PostingRow {
 
   def docRow(segment: Int, docId: Int, url: String, ts: Timestamp, lang: String,
       ffLongs: Map[String, Long] = null, ffDoubles: Map[String, Double] = null,
-      ffStrings: Map[String, String] = null): PostingRow =
+      ffStrings: Map[String, String] = null,
+      ffLongArrays: Map[String, Seq[Long]] = null,
+      ffStringArrays: Map[String, Seq[String]] = null): PostingRow =
     PostingRow(segment, DocField, url, docId, 0L,
       Array.emptyByteArray, Array.emptyByteArray, Array.emptyByteArray, ts, lang,
-      ffLongs, ffDoubles, ffStrings)
+      ffLongs, ffDoubles, ffStrings, ffLongArrays, ffStringArrays)
 }
 
 /** Per-segment build metrics, logged in the manifest (north rule: segment
@@ -87,8 +96,9 @@ final case class SegmentMeta(
 final case class DeleteTerm(field: String, term: String, opstamp: Long)
 
 /** Declared fast field: `name` is the docmap column the Searcher exposes,
-  * `ftype` ∈ {"long","double","string"} picks the typed map it lives in
-  * (the reference's per-field `FAST` flag + column type,
+  * `ftype` ∈ {"long","double","string","longs","strings"} picks the typed
+  * map it lives in — plural forms are multi-valued arrays (the reference's
+  * per-field `FAST` flag + column type + cardinality,
   * `src/schema/numeric_options.rs`, `src/fastfield/mod.rs`).
   */
 final case class FastField(name: String, ftype: String)
@@ -125,7 +135,7 @@ final case class IndexManifest(
 
 object IndexManifest {
   /** On-disk format version (bumped when the segment schema changes). */
-  val FormatVersion = 7
+  val FormatVersion = 8
 
   import org.json4s._
   import org.json4s.jackson.Serialization

@@ -54,9 +54,12 @@ final class Searcher(spark: SparkSession, indexDir: String, asOfSeq: Option[Long
       .where(col("field") === PostingRow.DocField)
     val withFf = manifest.fastFields.foldLeft(base) { (df, ff) =>
       val m = ff.ftype match {
-        case "long"   => "ffLongs"
-        case "double" => "ffDoubles"
-        case _        => "ffStrings"
+        case "long"    => "ffLongs"
+        case "double"  => "ffDoubles"
+        case "string"  => "ffStrings"
+        case "longs"   => "ffLongArrays"
+        case "strings" => "ffStringArrays"
+        case other => throw new IllegalStateException(s"unknown fast-field type '$other'")
       }
       df.withColumn(ff.name, element_at(col(m), ff.name))
     }

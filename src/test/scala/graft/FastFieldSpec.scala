@@ -115,6 +115,58 @@ class FastFieldSpec extends AnyFunSuite {
     assert(avg > 0.0)
   }
 
+  test("multi-valued fast fields: tags filter, exploded agg, merge survival") {
+    import spark.implicits._
+    val n = 200
+    val dir = java.nio.file.Files.createTempDirectory("graft-ffmv").toString
+    // deterministic tags: doc i carries tag_{i%3} and tag_{i%5}; lens = [len, len%7]
+    val src = WebCorpus.generate(spark, n.toLong, 2).toDF()
+      .withColumn("tags", array(
+        concat(lit("tag_"), (col("url").substr(-8, 8).cast("long") % 3)),
+        concat(lit("tag_"), (col("url").substr(-8, 8).cast("long") % 5))))
+      .withColumn("lens", array(length(col("text")).cast("long"),
+        (length(col("text")) % 7).cast("long")))
+    IndexBuilder.build(spark, src, dir, IndexConfig(numPartitions = 2,
+      fastLongArrayFields = Seq("lens"), fastStringArrayFields = Seq("tags")))
+
+    val oracle: Map[String, (Seq[String], Seq[String], Seq[Long])] = (0L until n.toLong).map { i =>
+      val d = WebCorpus.genDoc(i)
+      val tags = Seq(s"tag_${i % 3}", s"tag_${i % 5}")
+      val lens = Seq(d.text.length.toLong, (d.text.length % 7).toLong)
+      d.url -> ((graft.analysis.Analyzer.terms(d.text).toSeq, tags, lens))
+    }.toMap
+
+    def checkAll(): Unit = {
+      val s = new Searcher(spark, dir)
+      assert(s.manifest.fastFields.toSet ==
+        Set(FastField("lens", "longs"), FastField("tags", "strings")))
+      // values roundtrip per doc
+      val got = s.docmapDF.select("url", "tags", "lens")
+        .as[(String, Seq[String], Seq[Long])].collect()
+      assert(got.length == n)
+      got.foreach { case (u, tg, ln) =>
+        val (_, ot, ol) = oracle(u); assert(tg == ot && ln == ol, u)
+      }
+      // tags filter over engine matches (array_contains on the fast column)
+      val matched = s.allMatches(Query.Term("text", "alpha"), scored = false)
+        .join(s.docmapDF, Seq("segment", "docId"))
+        .where(array_contains(col("tags"), "tag_2"))
+        .select("url").as[String].collect().toSet
+      val want = oracle.collect { case (u, (toks, tg, _))
+        if toks.contains("alpha") && tg.contains("tag_2") => u }.toSet
+      assert(matched == want)
+      // exploded aggregation: tag -> doc count
+      val counts = s.docmapDF.select(explode(col("tags")).as("tag"))
+        .groupBy("tag").count().as[(String, Long)].collect().toMap
+      val wantCounts = oracle.values.flatMap(_._2).groupBy(identity).view.mapValues(_.size.toLong).toMap
+      assert(counts == wantCounts)
+    }
+    checkAll()
+    SegmentMerger.mergeUntilStable(spark, dir,
+      SegmentMerger.LogMergePolicy(minNumSegments = 2, maxFanIn = 4))
+    checkAll()
+  }
+
   test("unconfigured builds expose no fast-field columns and pay no schema cost") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ff0").toString
     val src = WebCorpus.generate(spark, 50L, 2).toDF()
