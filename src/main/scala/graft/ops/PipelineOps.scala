@@ -384,7 +384,13 @@ object PipelineOps {
     val feat = embeddings.select(col("vec_id"),
       org.apache.spark.ml.functions.array_to_vector(
         transform(v, x => x / norm)).as("features"))
-    val model = new KMeans().setK(nCentroids).setSeed(seed).setMaxIter(10).fit(feat)
+    // random init (seeded) over k-means||: skips init's extra passes — with
+    // the exact-verify stage downstream, coarse centroids only steer recall,
+    // and the recall gate (SimilaritySpec) holds at this setting. Training
+    // is once-per-corpus in production (assignments persist bucketed), not
+    // per query.
+    val model = new KMeans().setK(nCentroids).setSeed(seed)
+      .setInitMode("random").setMaxIter(6).fit(feat)
     val assigned = model.transform(feat).select(col("vec_id"), col("prediction").as("cluster"))
     (assigned, model.clusterCenters.map(_.toArray))
   }
