@@ -167,9 +167,12 @@ object IndexBuilder {
       else map_filter(
         map(fields.flatMap(f => Seq(lit(f), col(f).cast(sqlType))): _*),
         (_, v) => v.isNotNull)
+    // null-lenient ingestion (web corpora carry nulls): a null text indexes
+    // as an empty field (the reference's doc-without-field), a null key
+    // becomes "" (still addressable); lang/ts stay null in the docmap
     val in: Dataset[InDoc] = source.select(
-        col(cfg.keyField).cast("string").as("key"),
-        col(cfg.textField).cast("string").as("text"),
+        coalesce(col(cfg.keyField).cast("string"), lit("")).as("key"),
+        coalesce(col(cfg.textField).cast("string"), lit("")).as("text"),
         col(cfg.langField).cast("string").as("lang"),
         col(cfg.tsField).cast("timestamp").as("ts"),
         longsCol.as("longs"),

@@ -167,6 +167,29 @@ class FastFieldSpec extends AnyFunSuite {
     checkAll()
   }
 
+  test("null-lenient ingestion: null text/lang/ts rows index instead of killing the build") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-nulls").toString
+    val df = Seq(
+      ("u0", "alpha beta", "en"),
+      ("u1", null, "en"),             // null text -> doc without the field
+      ("u2", "alpha gamma", null),    // null lang -> null docmap cell
+      (null, "beta delta", "en"))     // null key -> "" (still addressable)
+      .toDF("url", "text", "lang")
+      .withColumn("warc_ts",
+        when(col("url") === "u2", lit(null).cast("timestamp"))
+          .otherwise(lit(java.sql.Timestamp.valueOf("2025-01-01 00:00:00"))))
+    val m = IndexBuilder.build(spark, df, dir, IndexConfig(numPartitions = 2))
+    assert(m.totalDocs == 4L)
+    val s = new Searcher(spark, dir)
+    def urls(q: Query) = s.allMatches(q, scored = false)
+      .join(s.docmapDF, Seq("segment", "docId")).select("url").as[String].collect().toSet
+    assert(urls(Query.Term("text", "alpha")) == Set("u0", "u2"))
+    assert(urls(Query.Term("text", "beta")) == Set("u0", ""))
+    assert(s.docmapDF.where(col("lang").isNull).count() == 1L)
+    assert(s.docmapDF.where(col("warc_ts").isNull).count() == 1L)
+  }
+
   test("unconfigured builds expose no fast-field columns and pay no schema cost") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ff0").toString
     val src = WebCorpus.generate(spark, 50L, 2).toDF()
