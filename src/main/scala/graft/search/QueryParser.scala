@@ -139,6 +139,17 @@ final class QueryParser(
     def peek: Char = s.charAt(pos)
     def skipWs(): Unit = while (!eof && s.charAt(pos).isWhitespace) pos += 1
 
+    /** Combine operator legs, SPLICING pure-negative groups ("NOT x" /
+      * "-x") into the parent as MustNot clauses — the reference's logical
+      * flattening (query_grammar.rs:1055-1062: `term OR -term` means
+      * `*term -term`, `a AND NOT b` means `+a -b`).
+      */
+    private def combine(occur: Occur, legs: List[Query]): Query =
+      Query.Bool(legs.flatMap {
+        case Query.Bool(cs, 0) if cs.nonEmpty && cs.forall(_._1 == Occur.MustNot) => cs
+        case q => Seq(occur -> q)
+      })
+
     def parseOr(): Query = {
       var legs = List(parseAnd())
       skipWs()
@@ -148,7 +159,7 @@ final class QueryParser(
         skipWs()
       }
       if (legs.size == 1) legs.head
-      else Query.Bool(legs.reverse.map(Occur.Should -> _))
+      else combine(Occur.Should, legs.reverse)
     }
 
     def parseAnd(): Query = {
@@ -160,7 +171,7 @@ final class QueryParser(
         skipWs()
       }
       if (legs.size == 1) legs.head
-      else Query.Bool(legs.reverse.map(Occur.Must -> _))
+      else combine(Occur.Must, legs.reverse)
     }
 
     /** A run of whitespace-separated clauses with +/- occurs (stops at
@@ -173,6 +184,9 @@ final class QueryParser(
         val occur =
           if (peek == '+') { pos += 1; Occur.Must }
           else if (peek == '-') { pos += 1; Occur.MustNot }
+          // `NOT x` keyword == `-x` (query_grammar.rs:772; a bare trailing
+          // NOT is a parse error like the reference's test_is_parse_err)
+          else if (wordAhead("NOT")) { consumeWord("NOT"); Occur.MustNot }
           else if (conjunctionByDefault) Occur.Must
           else Occur.Should
         val q = parseBoosted()

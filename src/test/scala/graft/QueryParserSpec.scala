@@ -97,4 +97,22 @@ class QueryParserSpec extends AnyFunSuite {
     assert(pc.parse("a b") == Query.Bool(Seq(
       Occur.Must -> Query.Term("text", "a"), Occur.Must -> Query.Term("text", "b"))))
   }
+  test("NOT keyword (query_grammar.rs:772,1247-1283)") {
+    // `a AND NOT b` == `+a -b`; `NOT a AND b` == `-a +b` (negative legs
+    // splice into the conjunction — the reference's logical flattening)
+    assert(p.parse("a AND NOT b") == Query.Bool(Seq(
+      Occur.Must -> Query.Term("text", "a"), Occur.MustNot -> Query.Term("text", "b"))))
+    assert(p.parse("NOT a AND b") == Query.Bool(Seq(
+      Occur.MustNot -> Query.Term("text", "a"), Occur.Must -> Query.Term("text", "b"))))
+    // inside a clause group NOT behaves like `-`
+    assert(p.parse("a NOT b") == Query.Bool(Seq(
+      Occur.Should -> Query.Term("text", "a"), Occur.MustNot -> Query.Term("text", "b"))))
+    // `term OR -term` means `*term -term` (query_grammar.rs:1058)
+    assert(p.parse("a OR -b") == Query.Bool(Seq(
+      Occur.Should -> Query.Term("text", "a"), Occur.MustNot -> Query.Term("text", "b"))))
+    // NOTa is a plain term; bare/all-negative NOT is rejected
+    assert(p.parse("NOTa") == Query.Term("text", "nota"))
+    intercept[Exception](p.parse("NOT"))
+    intercept[IllegalArgumentException](p.parse("NOT a"))
+  }
 }
