@@ -11,8 +11,10 @@ import graft.analysis.Analyzer
   *   - `"a phrase"` / `'a phrase'` (escaped quotes ok), `"a phrase"~slop`,
   *     `"a phrase pre"*` (phrase prefix)
   *   - `term*` (prefix), `term~d` (fuzzy, d in 1..2)
-  *   - `field:[a TO b]` / `{a TO b}` (inclusive/exclusive term ranges);
+  *   - `field:[a TO b]` / `{a TO b}` (inclusive/exclusive term ranges),
+  *     `field:>a` / `>=a` / `<a` / `<=a` comparison shorthands;
   *     RFC3339 bounds/literals on configured date fields -> typed ranges
+  *   - `NOT a` (== `-a`); pure-negative AND/OR legs splice into the parent
   *   - `field:IN [a b c]` (term set)
   *   - `/regex/`
   *   - `^boost`, per-field boosts (`fieldBoosts`), per-field fuzzy
@@ -227,11 +229,14 @@ final class QueryParser(
       val save = pos
       val fieldOpt = tryField()
       val field = fieldOpt.getOrElse(defaultField)
-      skipNone()
+      // the reference tolerates spaces after an explicit field's colon
+      // ("title: >a", query_grammar.rs:1305)
+      if (fieldOpt.isDefined) skipWs()
       if (eof) { pos = save; require(false, "dangling field"); }
       peek match {
         case '"' | '\'' => withFieldBoost(field, parseQuoted(field))
         case '[' | '{' => withFieldBoost(field, parseRange(field))
+        case '>' | '<' => withFieldBoost(field, parseCmpRange(field))
         case '/' => withFieldBoost(field, parseRegex(field))
         case '*' => pos += 1; Query.All
         case _ =>
@@ -239,8 +244,6 @@ final class QueryParser(
           else withFieldBoost(field, parseWord(field))
       }
     }
-
-    private def skipNone(): Unit = ()
 
     def tryField(): Option[String] = {
       val save = pos
@@ -312,8 +315,28 @@ final class QueryParser(
       require(!eof && (peek == ']' || peek == '}'), "unterminated range")
       val hiInc = peek == ']'
       pos += 1
-      val loV = lo.filter(_ != "*")
-      val hiV = hi.filter(_ != "*")
+      buildRange(field, lo.filter(_ != "*"), hi.filter(_ != "*"), loInc, hiInc)
+    }
+
+    /** Comparison-operator ranges (query_grammar.rs:1305-1325):
+      * `field:>a` / `>=a` / `<a` / `<=a`, spaces after the operator ok.
+      */
+    def parseCmpRange(field: String): Query = {
+      val gt = peek == '>'
+      pos += 1
+      val inc = !eof && peek == '='
+      if (inc) pos += 1
+      skipWs()
+      val start = pos
+      while (!eof && !peek.isWhitespace && peek != ')' && peek != '^') pos += 1
+      require(pos > start, "comparison operator needs a bound")
+      val v = Some(s.substring(start, pos)).filter(_ != "*")
+      if (gt) buildRange(field, v, None, inc, hiInc = false)
+      else buildRange(field, None, v, loInc = false, inc)
+    }
+
+    private def buildRange(field: String, loV: Option[String], hiV: Option[String],
+        loInc: Boolean, hiInc: Boolean): Query = {
       if (dateFields.contains(field))
         // RFC3339 bounds on a typed date field (query_parser.rs date ranges)
         return Query.longRange(field, loV.map(utcMicros), hiV.map(utcMicros), loInc, hiInc)

@@ -115,4 +115,19 @@ class QueryParserSpec extends AnyFunSuite {
     intercept[Exception](p.parse("NOT"))
     intercept[IllegalArgumentException](p.parse("NOT a"))
   }
+  test("comparison-operator ranges (query_grammar.rs:1305-1325)") {
+    assert(p.parse("title:>a") == Query.TermRange("title", Some("a"), None, false, false))
+    assert(p.parse("title:>=a") == Query.TermRange("title", Some("a"), None, true, false))
+    assert(p.parse("title: <a") == Query.TermRange("title", None, Some("a"), false, false))
+    assert(p.parse("title:<=bsd") == Query.TermRange("title", None, Some("bsd"), false, true))
+    assert(p.parse("weight: <= 70") == Query.TermRange("weight", None, Some("70"), false, true))
+    // default field + composition + parens
+    assert(p.parse(">=a") == Query.TermRange("text", Some("a"), None, true, false))
+    assert(p.parse("(title:>a)^2") == Query.Boost(
+      Query.TermRange("title", Some("a"), None, false, false), 2.0f))
+    // typed date field shorthand
+    val pd = new QueryParser("text", dateFields = Set("ts"))
+    assert(pd.parse("ts:>=2025-01-01T00:00:00Z") ==
+      Query.longRange("ts", Some(1735689600000000L), None, true, false))
+  }
 }
