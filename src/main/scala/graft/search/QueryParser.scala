@@ -27,6 +27,13 @@ import graft.analysis.Analyzer
   * (query_parser.rs:535-620). Occur default is Should unless
   * `conjunctionByDefault` (query_parser.rs:630-634). All-negative queries
   * are rejected (query_parser.rs:227-236).
+  *
+  * Known divergence: in MIXED implicit/explicit operator runs the reference
+  * binds a binary op only to its two adjacent operands (`a AND b aaa` ==
+  * `(?(+a +b) *aaa)`, query_grammar.rs:1269); here AND/OR take whole
+  * whitespace clause groups as operands (`(+a +(b aaa))`), i.e. classic
+  * precedence instead of adjacent-pair binding. Unmixed forms — pure
+  * boolean operators, or pure +/- prefixes — agree exactly.
   */
 final class QueryParser(
     defaultField: String,
