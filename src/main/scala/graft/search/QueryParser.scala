@@ -28,12 +28,20 @@ import graft.analysis.Analyzer
   * `conjunctionByDefault` (query_parser.rs:630-634). All-negative queries
   * are rejected (query_parser.rs:227-236).
   *
-  * Known divergence: in MIXED implicit/explicit operator runs the reference
-  * binds a binary op only to its two adjacent operands (`a AND b aaa` ==
-  * `(?(+a +b) *aaa)`, query_grammar.rs:1269); here AND/OR take whole
-  * whitespace clause groups as operands (`(+a +(b aaa))`), i.e. classic
-  * precedence instead of adjacent-pair binding. Unmixed forms — pure
-  * boolean operators, or pure +/- prefixes — agree exactly.
+  * Known divergences (both deliberate):
+  *  - MIXED implicit/explicit operator runs: the reference binds a binary
+  *    op only to its two adjacent operands (`a AND b aaa` ==
+  *    `(?(+a +b) *aaa)`, query_grammar.rs:1269); here AND/OR take whole
+  *    whitespace clause groups as operands — classic precedence. Unmixed
+  *    forms agree exactly.
+  *  - Negative legs of binary ops: the reference parses `NOT b` / `-b`
+  *    after OR (and NOT after AND) into a NESTED pure-negative clause
+  *    (`(+a +(-b))`, query_grammar.rs:1282) which its own boolean weight
+  *    evaluates to an EmptyScorer — `a AND NOT b` matches NOTHING there
+  *    (boolean_weight.rs:306-318 with no include scorers). Here such legs
+  *    flatten into the parent (`+a -b`), the semantics every `-` form of
+  *    the reference produces (`a AND -b` == `(+a -b)`, :1280) and the one
+  *    users mean.
   */
 final class QueryParser(
     defaultField: String,
