@@ -29,8 +29,11 @@ object SparkEntry {
 
   private[graft] def searcherFor(spark: SparkSession, sfDir: String): Searcher = {
     val indexDir = indexCache.getOrElseUpdate(sfDir, {
+      // salt = synthetic-input construction revision: bumping it retires
+      // stale on-disk indexes whose derived columns (attrs/facet/ts) predate
+      // the current shape
       val digest = java.security.MessageDigest.getInstance("MD5")
-        .digest(sfDir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        .digest((sfDir + "#in2").getBytes("UTF-8")).map("%02x".format(_)).mkString
       val dir = s"/tmp/graft-index-$digest"
       val existing = graft.index.IndexManifest.read(spark, dir)
       if (existing.exists(_.version != graft.index.IndexManifest.FormatVersion)) {
@@ -49,7 +52,11 @@ object SparkEntry {
           // deterministic dynamic-schema JSON column (mirrors the documents
           // columns so DuckDB oracles stay expressible)
           .withColumn("attrs", concat(lit("{\"meta\": {\"src\": \""), col("source"),
-            lit("\", \"n\": "), col("n_chars"), lit("}}")))
+            lit("\", \"n\": "), col("n_chars"),
+            // optional key on a deterministic subset -> ExistsQuery non-trivial
+            when(col("n_chars") % 3 === 0,
+              concat(lit(", \"opt\": "), col("n_chars"))).otherwise(lit("")),
+            lit("}}")))
           .withColumn("facet", concat(lit("/"), col("source"), lit("/"), col("lang")))
         IndexBuilder.build(spark, in, dir, IndexConfig(
           numPartitions = 4, keyField = "doc_id", textField = "text",
@@ -148,6 +155,11 @@ object SparkEntry {
     "q_search_json_range" -> ((s, d) => engineMatches(s, d,
       new graft.search.QueryParser("text", jsonFields = Set("attrs"), conjunctionByDefault = true)
         .parse("text:table AND attrs.meta.n:[800 TO 2000}"))),
+    // ExistsQuery via the parser's field:* syntax on a json subpath present
+    // on a deterministic subset of docs
+    "q_search_exists" -> ((s, d) => engineMatches(s, d,
+      new graft.search.QueryParser("text", jsonFields = Set("attrs"))
+        .parse("attrs.meta.opt:*"))),
     "q_count_matrix" -> ((s, d) => {
       import s.implicits._
       val sr = searcherFor(s, d)
@@ -440,6 +452,7 @@ object SparkEntry {
     "q_facet_hierarchy" -> OracleSql.facetHierarchy,
     "q_search_json" -> OracleSql.searchJson,
     "q_search_json_range" -> OracleSql.searchJsonRange,
+    "q_search_exists" -> OracleSql.searchExists,
     "q_search_disjmax" -> OracleSql.searchDisjMax,
     "q_search_msm" -> OracleSql.searchMsm,
     "q_search_boost" -> OracleSql.searchBoost,

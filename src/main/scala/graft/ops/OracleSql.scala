@@ -65,6 +65,9 @@ object OracleSql {
   val searchJsonRange: String =
     s"WITH $T SELECT t.doc_id FROM t JOIN documents d ON t.doc_id = d.doc_id " +
       "WHERE list_contains(t.toks, 'table') AND d.n_chars >= 800 AND d.n_chars < 2000"
+  /** attrs.meta.opt is present exactly when n_chars % 3 = 0. */
+  val searchExists: String =
+    "SELECT doc_id FROM documents WHERE n_chars % 3 = 0"
 
   /** DisjunctionMax doc set == the disjuncts' union (scores differ, docs don't). */
   val searchDisjMax: String =

@@ -80,6 +80,13 @@ object Query {
     TypedRange(field, lo.map(TypedTerms.encodeTimestamp), hi.map(TypedTerms.encodeTimestamp),
       loInclusive, hiInclusive)
 
+  /** ExistsQuery on a regular indexed field (`src/query/exists_query.rs`,
+    * parser syntax `field:*` — query_grammar.rs:319-362): matches docs
+    * carrying ANY term in `field`, as an unbounded segment dictionary walk
+    * unioned into a bitset. Constant score, like the reference.
+    */
+  def exists(field: String): TypedRange = TypedRange(field, None, None)
+
   /** ExistsQuery on a JSON subpath (`src/query/exists_query.rs` with json
     * paths): matches docs carrying ANY value at `path` — a term-range scan
     * over the path's whole tag+value space, clamped so neighboring paths

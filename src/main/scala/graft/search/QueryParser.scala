@@ -19,7 +19,8 @@ import graft.analysis.Analyzer
   *   - `/regex/`
   *   - `^boost`, per-field boosts (`fieldBoosts`), per-field fuzzy
   *     (`fuzzyFields`)
-  *   - `*` (AllQuery)
+  *   - `*` (AllQuery); `field:*` (ExistsQuery — any value in the field,
+  *     query_grammar.rs:319-362; json subpaths supported)
   *
   * Literals on analyzed fields run through the index's named analyzer chain
   * (`analyzer` ctor arg; read it from `manifest.textAnalyzer`);
@@ -253,7 +254,15 @@ final class QueryParser(
         case '[' | '{' => withFieldBoost(field, parseRange(field))
         case '>' | '<' => withFieldBoost(field, parseCmpRange(field))
         case '/' => withFieldBoost(field, parseRegex(field))
-        case '*' => pos += 1; Query.All
+        case '*' =>
+          pos += 1
+          fieldOpt match {
+            case None => Query.All
+            case Some(f) => withFieldBoost(f, resolveJson(f) match {
+              case Some((jf, path)) => Query.jsonExists(jf, path)
+              case None => Query.exists(f)
+            })
+          }
         case _ =>
           if (wordAhead("IN") && fieldOpt.isDefined) withFieldBoost(field, parseSet(field))
           else withFieldBoost(field, parseWord(field))

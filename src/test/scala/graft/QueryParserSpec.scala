@@ -82,6 +82,15 @@ class QueryParserSpec extends AnyFunSuite {
     assert(p.parse("/w00.?3/") == Query.Regexp("text", "w00.?3"))
     assert(p.parse("*") == Query.All)
   }
+  test("field:* is exists, not all (query_grammar.rs:319-362)") {
+    assert(p.parse("lang:*") == Query.exists("lang"))
+    assert(p.parse("lang: *") == Query.exists("lang")) // space-tolerant colon
+    assert(p.parse("a lang:*") == Query.Bool(Seq(
+      Occur.Should -> Query.Term("text", "a"),
+      Occur.Should -> Query.exists("lang"))))
+    val pj = new QueryParser("text", jsonFields = Set("attrs"))
+    assert(pj.parse("attrs.meta.src:*") == Query.jsonExists("attrs", "meta.src"))
+  }
   test("boost and parens") {
     assert(p.parse("alpha^2.5") == Query.Boost(Query.Term("text", "alpha"), 2.5f))
     assert(p.parse("(a OR b) AND c") == Query.Bool(Seq(
