@@ -33,7 +33,7 @@ object SparkEntry {
       // stale on-disk indexes whose derived columns (attrs/facet/ts) predate
       // the current shape
       val digest = java.security.MessageDigest.getInstance("MD5")
-        .digest((sfDir + "#in2").getBytes("UTF-8")).map("%02x".format(_)).mkString
+        .digest((sfDir + "#in3").getBytes("UTF-8")).map("%02x".format(_)).mkString
       val dir = s"/tmp/graft-index-$digest"
       val existing = graft.index.IndexManifest.read(spark, dir)
       if (existing.exists(_.version != graft.index.IndexManifest.FormatVersion)) {
@@ -58,11 +58,17 @@ object SparkEntry {
               concat(lit(", \"opt\": "), col("n_chars"))).otherwise(lit("")),
             lit("}}")))
           .withColumn("facet", concat(lit("/"), col("source"), lit("/"), col("lang")))
+          // deterministic ip column: v4 from doc_id octets, every 9th doc v6
+          .withColumn("ip", expr(
+            "CASE WHEN doc_id % 9 = 0 THEN concat('2001:db8::', lower(hex(doc_id))) " +
+            "ELSE concat('10.', cast((doc_id div 256) % 256 as int), '.', " +
+            "cast(doc_id % 256 as int), '.7') END"))
         IndexBuilder.build(spark, in, dir, IndexConfig(
           numPartitions = 4, keyField = "doc_id", textField = "text",
           langField = "lang", tsField = "warc_ts",
           longFields = Seq("n_chars", "ts_micros"),
           jsonFields = Seq("attrs"),
+          ipFields = Seq("ip"),
           facetFields = Seq("facet"),
           fastLongFields = Seq("n_chars"),
           fastStringFields = Seq("source")))
@@ -160,6 +166,9 @@ object SparkEntry {
     "q_search_exists" -> ((s, d) => engineMatches(s, d,
       new graft.search.QueryParser("text", jsonFields = Set("attrs"))
         .parse("attrs.meta.opt:*"))),
+    // typed IP term range inside the engine (v6-mapped 128-bit order)
+    "q_search_range_ip" -> ((s, d) => engineMatches(s, d,
+      Query.ipRange("ip", Some("10.0.100.0"), Some("10.1.200.255")))),
     "q_count_matrix" -> ((s, d) => {
       import s.implicits._
       val sr = searcherFor(s, d)
@@ -453,6 +462,7 @@ object SparkEntry {
     "q_search_json" -> OracleSql.searchJson,
     "q_search_json_range" -> OracleSql.searchJsonRange,
     "q_search_exists" -> OracleSql.searchExists,
+    "q_search_range_ip" -> OracleSql.searchRangeIp,
     "q_search_disjmax" -> OracleSql.searchDisjMax,
     "q_search_msm" -> OracleSql.searchMsm,
     "q_search_boost" -> OracleSql.searchBoost,

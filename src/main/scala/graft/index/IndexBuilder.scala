@@ -32,6 +32,13 @@ final case class IndexConfig(
       * range-scan the dictionary inside boolean engine queries.
       */
     longFields: Seq[String] = Nil,
+    /** IP-address columns (string v4/v6 literals) indexed as TYPED terms:
+      * each value becomes one order-preserving 128-bit term — v4 mapped into
+      * v6 space like the reference (`src/schema/ip_options.rs`,
+      * `common::u128_to_monotonic`) — so `Query.ipTerm`/`ipRange` range-scan
+      * the dictionary inside boolean engine queries.
+      */
+    ipFields: Seq[String] = Nil,
     /** JSON columns indexed as dynamic fields: every leaf becomes a
       * path-prefixed term (`JsonTerms` layout — string tokens analyzed with
       * positions, numbers/bools typed) so `path:value` queries and numeric
@@ -96,7 +103,8 @@ final case class InDoc(key: String, text: String, lang: String, ts: java.sql.Tim
     ffLongs: Map[String, Long] = null, ffDoubles: Map[String, Double] = null,
     ffStrings: Map[String, String] = null,
     ffLongArrays: Map[String, Seq[Long]] = null,
-    ffStringArrays: Map[String, Seq[String]] = null)
+    ffStringArrays: Map[String, Seq[String]] = null,
+    ips: Map[String, String] = null)
 
 object IndexBuilder {
 
@@ -185,7 +193,8 @@ object IndexBuilder {
         ffMap(cfg.fastDoubleFields, "double").as("ffDoubles"),
         ffMap(cfg.fastStringFields, "string").as("ffStrings"),
         ffMap(cfg.fastLongArrayFields, "array<bigint>").as("ffLongArrays"),
-        ffMap(cfg.fastStringArrayFields, "array<string>").as("ffStringArrays"))
+        ffMap(cfg.fastStringArrayFields, "array<string>").as("ffStringArrays"),
+        ffMap(cfg.ipFields, "string").as("ips"))
       .as[InDoc]
 
     val parted = in
@@ -356,6 +365,17 @@ object IndexBuilder {
         var vec = raw.get(key)
         if (vec == null) { vec = new IntVec(); raw.put(key, vec) }
         vec += docId
+      }
+      // ip fields: order-preserving 128-bit term per value (unparseable
+      // addresses index nothing — lenient like json)
+      if (d.ips != null) d.ips.foreach { case (f, v) =>
+        val enc = try TypedTerms.encodeIp(v) catch { case _: Exception => null }
+        if (enc != null) {
+          val key = (f, enc)
+          var vec = raw.get(key)
+          if (vec == null) { vec = new IntVec(); raw.put(key, vec) }
+          vec += docId
+        }
       }
       // facet fields: each path emits itself + every ancestor, deduped per
       // doc (multi-valued paths share ancestors)

@@ -68,6 +68,13 @@ object OracleSql {
   /** attrs.meta.opt is present exactly when n_chars % 3 = 0. */
   val searchExists: String =
     "SELECT doc_id FROM documents WHERE n_chars % 3 = 0"
+  /** ip = 10.(doc_id div 256 % 256).(doc_id % 256).7 unless doc_id % 9 = 0
+    * (v6, outside the v4 window); [10.0.100.0, 10.1.200.255] therefore holds
+    * exactly the v4 docs with doc_id % 65536 in [100, 456].
+    */
+  val searchRangeIp: String =
+    "SELECT doc_id FROM documents WHERE doc_id % 9 <> 0 " +
+      "AND doc_id % 65536 BETWEEN 100 AND 456"
 
   /** DisjunctionMax doc set == the disjuncts' union (scores differ, docs don't). */
   val searchDisjMax: String =

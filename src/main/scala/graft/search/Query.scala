@@ -79,6 +79,16 @@ object Query {
       loInclusive: Boolean = true, hiInclusive: Boolean = true): TypedRange =
     TypedRange(field, lo.map(TypedTerms.encodeTimestamp), hi.map(TypedTerms.encodeTimestamp),
       loInclusive, hiInclusive)
+  /** Exact-value / range queries over a typed IP field
+    * (`IndexConfig.ipFields`; v4 literals compare inside v6 space like the
+    * reference's MappedIpv4 ordering, `src/schema/ip_options.rs`).
+    */
+  def ipTerm(field: String, addr: String, boost: Float = 1.0f): Term =
+    Term(field, TypedTerms.encodeIp(addr), boost)
+  def ipRange(field: String, lo: Option[String], hi: Option[String],
+      loInclusive: Boolean = true, hiInclusive: Boolean = true): TypedRange =
+    TypedRange(field, lo.map(TypedTerms.encodeIp), hi.map(TypedTerms.encodeIp),
+      loInclusive, hiInclusive)
 
   /** ExistsQuery on a regular indexed field (`src/query/exists_query.rs`,
     * parser syntax `field:*` — query_grammar.rs:319-362): matches docs

@@ -112,4 +112,57 @@ class TypedRangeSpec extends AnyFunSuite {
       SegmentMerger.LogMergePolicy(minNumSegments = 2, maxFanIn = 4))
     checkAll()
   }
+
+  test("ip field: term + range queries across mixed v4/v6, lenient on junk") {
+    import spark.implicits._
+    val n = 300
+    // deterministic mixed corpus: mostly v4, every 7th v6, every 50th junk
+    def ipOf(i: Long): String =
+      if (i % 50 == 0) "not-an-ip"
+      else if (i % 7 == 0) f"2001:db8::${i}%x"
+      else s"10.${(i / 256) % 256}.${i % 256}.7"
+    val dir = java.nio.file.Files.createTempDirectory("graft-ip").toString
+    val idOf: String => Long = _.takeRight(8).toLong // .../p%08d url suffix
+    val src = WebCorpus.generate(spark, n.toLong, 3).toDF()
+      .withColumn("ip", udf((u: String) => ipOf(idOf(u))).apply(col("url")))
+    IndexBuilder.build(spark, src, dir, IndexConfig(numPartitions = 4, ipFields = Seq("ip")))
+
+    // independent oracle: v6-mapped 16-byte unsigned lexicographic order
+    def key(addr: String): IndexedSeq[Int] = {
+      val b = java.net.InetAddress.getByName(addr).getAddress
+      val full = if (b.length == 16) b
+        else Array.fill[Byte](10)(0) ++ Array[Byte](-1, -1) ++ b
+      full.map(_ & 0xff).toIndexedSeq
+    }
+    import scala.math.Ordering.Implicits._
+    def oracle(lo: String, hi: String, loInc: Boolean, hiInc: Boolean): Set[Long] =
+      (0L until n.toLong).filter { i =>
+        val a = ipOf(i)
+        a != "not-an-ip" && {
+          val k = key(a)
+          (if (loInc) k >= key(lo) else k > key(lo)) &&
+            (if (hiInc) k <= key(hi) else k < key(hi))
+        }
+      }.toSet
+    def engineIds(q: Query): Set[Long] = {
+      val s = new Searcher(spark, dir)
+      s.allMatches(q, scored = false).join(s.docmapDF, Seq("segment", "docId"))
+        .select("url").as[String].collect().map(idOf).toSet
+    }
+    // v4-only window
+    assert(engineIds(Query.ipRange("ip", Some("10.0.64.0"), Some("10.0.192.255"))) ==
+      oracle("10.0.64.0", "10.0.192.255", loInc = true, hiInc = true))
+    // window spanning the whole v4 space: every v4 doc, no v6 doc
+    assert(engineIds(Query.ipRange("ip", Some("0.0.0.0"), Some("255.255.255.255"))) ==
+      oracle("0.0.0.0", "255.255.255.255", loInc = true, hiInc = true))
+    // v6-only window; exclusive upper
+    assert(engineIds(Query.ipRange("ip", Some("2001:db8::"), Some("2001:db8::ff"),
+        loInclusive = true, hiInclusive = false)) ==
+      oracle("2001:db8::", "2001:db8::ff", loInc = true, hiInc = false))
+    // exact term (v4 and v6 literal forms); 1 and 7 are not junk/v6-v4 swaps
+    assert(engineIds(Query.ipTerm("ip", "10.0.1.7")) == Set(1L))
+    assert(engineIds(Query.ipTerm("ip", "2001:db8::7")) == Set(7L))
+    // junk rows indexed nothing: doc 0 matches no ip query at all
+    assert(!engineIds(Query.ipRange("ip", Some("::"), None)).contains(0L))
+  }
 }
