@@ -437,8 +437,37 @@ object SparkEntry {
     "q_binary_meta" -> ((s, d) => docs(s, d)
       .select(col("doc_id"),
         octet_length(encode(col("text"), "UTF-8")).cast("long").as("byte_len"),
-        md5(col("text")).as("digest")))
+        md5(col("text")).as("digest"))),
+    // REAL multimodal decode (MediaCodec): synthesized PPM/WAV payloads per
+    // doc, decoded back partition-parallel; the oracle recomputes the
+    // decoded dimensions/durations from doc_id arithmetic
+    "q_media_meta" -> ((s, d) => {
+      val mediaUdf = udf((id: Long) => mediaFor(id)) // synthesis scaffolding, not a hot path
+      val withMedia = docs(s, d).withColumn("media", mediaUdf(col("doc_id")))
+      graft.ops.Multimodal.extractMeta(s, withMedia).toDF()
+        .select(col("doc_id"), col("kind"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("durationMs").cast("long").as("duration_ms"))
+    })
   )
+
+  /** Deterministic media payload: every 3rd doc a PCM WAV whose duration is
+    * 200 + doc_id % 800 ms, the rest constant-color PPMs sized
+    * (16 + doc_id % 16) x (8 + doc_id % 8).
+    */
+  private[graft] def mediaFor(id: Long): Array[Byte] = {
+    import graft.ops.MediaCodec
+    if (id % 3 == 0)
+      MediaCodec.encodeWav(MediaCodec.WavPcm(8000, 1,
+        new Array[Short](((200 + id % 800) * 8).toInt)))
+    else {
+      val w = (16 + id % 16).toInt
+      val h = (8 + id % 8).toInt
+      MediaCodec.encodePpm(MediaCodec.ImageRgb(w, h,
+        Array.fill(w * h * 3)((id % 251).toByte)))
+    }
+  }
 
   // -------------------------------------------------------------- oracle
 
@@ -510,7 +539,8 @@ object SparkEntry {
     "q_sessionize" -> OracleSql.sessionize,
     "q_agg_pricing" -> OracleSql.aggPricing,
     "q_join_enrich" -> OracleSql.joinEnrich,
-    "q_binary_meta" -> OracleSql.binaryMeta
+    "q_binary_meta" -> OracleSql.binaryMeta,
+    "q_media_meta" -> OracleSql.mediaMeta
   )
 
   /** DataFrame-level BM25 (double precision), mirroring OracleSql.bm25Scores

@@ -6,10 +6,13 @@ import org.apache.spark.sql.functions._
 /** Multimodal columns: images/audio/video ride through the pipeline as
   * opaque `binary` columns with typed metadata structs. The Spark-side
   * plumbing — schemas, partition-parallel decode, bounded-memory batch
-  * iteration, frame sampling — is real and tested; the codec step itself is
-  * STUBBED with a deterministic fake decoder (`FakeCodec`) because no
-  * image/audio libraries exist in this container. Swapping in a real codec
-  * is replacing one pure function inside the `mapPartitions`.
+  * iteration, frame sampling — is real and tested. The codec step is REAL
+  * for the self-contained formats ([[MediaCodec]]: PPM/BMP images, PCM WAV
+  * audio — pure JVM, no external libraries), including perceptual hashing
+  * (dHash) for image near-dup; payloads in formats needing container-absent
+  * libraries (JPEG/H.264) fall back to the deterministic `FakeCodec` stub —
+  * swapping in a real codec there is replacing one pure function inside the
+  * `mapPartitions`.
   */
 object Multimodal {
 
@@ -69,15 +72,48 @@ object Multimodal {
     docsWithMedia.select(col("doc_id").cast("long"), col("media"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        // per-task codec init would go here
+        // per-task codec init (amortized across the partition) would go here
+        val md = java.security.MessageDigest.getInstance("MD5")
         it.map { case (id, bytes) =>
-          val kind = FakeCodec.sniffKind(bytes)
-          val (w, h, dur) = FakeCodec.decodeMeta(bytes)
-          val digest = java.security.MessageDigest.getInstance("MD5").digest(bytes)
-            .map("%02x".format(_)).mkString
-          MediaMeta(id, kind, bytes.length.toLong, w, h, dur, digest)
+          md.reset()
+          val digest = md.digest(bytes).map("%02x".format(_)).mkString
+          MediaCodec.sniff(bytes) match {
+            case Some("image/ppm") =>
+              val img = MediaCodec.decodePpm(bytes)
+              MediaMeta(id, "image", bytes.length.toLong, img.width, img.height, 0L, digest)
+            case Some("image/bmp") =>
+              val img = MediaCodec.decodeBmp(bytes)
+              MediaMeta(id, "image", bytes.length.toLong, img.width, img.height, 0L, digest)
+            case Some("audio/wav") =>
+              val pcm = MediaCodec.decodeWav(bytes)
+              MediaMeta(id, "audio", bytes.length.toLong, 0, 0, pcm.durationMs, digest)
+            case _ => // container-absent codec: deterministic stub
+              val kind = FakeCodec.sniffKind(bytes)
+              val (w, h, dur) = FakeCodec.decodeMeta(bytes)
+              MediaMeta(id, kind, bytes.length.toLong, w, h, dur, digest)
+          }
         }
       }
+  }
+
+  /** Perceptual image hashes (64-bit dHash over the REAL decode) — the
+    * image-near-dup map pass: identical/near-identical images collide or
+    * land within small hamming distance; group or band-join downstream
+    * exactly like SimHash. Non-image payloads yield no row.
+    */
+  def imageHashes(spark: SparkSession, docsWithMedia: DataFrame): DataFrame = {
+    import spark.implicits._
+    docsWithMedia.select(col("doc_id").cast("long"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          MediaCodec.sniff(bytes) match {
+            case Some("image/ppm") => Some((id, MediaCodec.dHash(MediaCodec.decodePpm(bytes))))
+            case Some("image/bmp") => Some((id, MediaCodec.dHash(MediaCodec.decodeBmp(bytes))))
+            case _ => None
+          }
+        }
+      }.toDF("doc_id", "dhash")
   }
 
   /** Frame sampling: one row per sampled frame, `fps`-spaced over the fake

@@ -68,6 +68,19 @@ object OracleSql {
   /** attrs.meta.opt is present exactly when n_chars % 3 = 0. */
   val searchExists: String =
     "SELECT doc_id FROM documents WHERE n_chars % 3 = 0"
+  /** q_media_meta synthesis contract: every 3rd doc a WAV of
+    * (200 + doc_id % 800) ms, the rest PPMs sized
+    * (16 + doc_id % 16) x (8 + doc_id % 8) — the Spark side REALLY decodes
+    * the generated containers, the oracle just recomputes the arithmetic.
+    */
+  val mediaMeta: String =
+    "SELECT doc_id, " +
+      "CASE WHEN doc_id % 3 = 0 THEN 'audio' ELSE 'image' END AS kind, " +
+      "CASE WHEN doc_id % 3 = 0 THEN 0 ELSE 16 + doc_id % 16 END AS width, " +
+      "CASE WHEN doc_id % 3 = 0 THEN 0 ELSE 8 + doc_id % 8 END AS height, " +
+      "CASE WHEN doc_id % 3 = 0 THEN 200 + doc_id % 800 ELSE 0 END AS duration_ms " +
+      "FROM documents"
+
   /** ip = 10.(doc_id div 256 % 256).(doc_id % 256).7 unless doc_id % 9 = 0
     * (v6, outside the v4 window); [10.0.100.0, 10.1.200.255] therefore holds
     * exactly the v4 docs with doc_id % 65536 in [100, 456].
