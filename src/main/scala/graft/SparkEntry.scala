@@ -239,6 +239,8 @@ object SparkEntry {
     "q_dedup_exact" -> ((s, d) => PipelineOps.dedupExact(docs(s, d))),
     "q_dedup_jaccard" -> ((s, d) => PipelineOps.ngramJaccardPairs(docs(s, d), 0.5)),
     "q_dedup_minhash" -> ((s, d) => PipelineOps.dedupMinHash(docs(s, d), 0.5)),
+    "q_dedup_resolve" -> ((s, d) => PipelineOps.dedupResolve(docs(s, d),
+      PipelineOps.dedupMinHash(docs(s, d), 0.5).select(col("ia"), col("ib")))),
     "q_simhash" -> ((s, d) => PipelineOps.simHash(docs(s, d))),
 
     // --- similarity
@@ -510,6 +512,7 @@ object SparkEntry {
     "q_dedup_exact" -> OracleSql.dedupExact,
     "q_dedup_jaccard" -> OracleSql.jaccardPairs(0.5),
     "q_dedup_minhash" -> OracleSql.minhashPairs(0.5),
+    "q_dedup_resolve" -> OracleSql.dedupResolve(0.5),
     "q_simhash" -> OracleSql.simhash,
     "q_cosine_topk" -> OracleSql.cosineTopK(0L, 10),
     "q_embed_neardup" -> OracleSql.embeddingNearDup(0.35),

@@ -218,6 +218,21 @@ verified AS (SELECT cand.ia, cand.ib,
 SELECT ia, ib, round(j, 4) AS jaccard FROM verified WHERE j >= $threshold"""
   }
 
+  /** Dedup resolution: transitive closure over the minhash near-dup pairs
+    * (recursive reachability — the independent formulation of what the Spark
+    * side computes with large-star/small-star), canonical = min doc_id per
+    * cluster, unpaired docs canonical to themselves.
+    */
+  def dedupResolve(threshold: Double): String =
+    s"""WITH RECURSIVE pairs AS (${minhashPairs(threshold)}),
+edges AS (SELECT ia AS u, ib AS v FROM pairs UNION SELECT ib AS u, ia AS v FROM pairs),
+walk(u, v) AS (SELECT u, v FROM edges
+  UNION SELECT w.u, e.v FROM walk w JOIN edges e ON w.v = e.u),
+comp AS (SELECT u AS doc_id, min(v) AS mn FROM walk GROUP BY u)
+SELECT d.doc_id, coalesce(least(d.doc_id, c.mn), d.doc_id) AS canonical_id,
+  coalesce(least(d.doc_id, c.mn), d.doc_id) = d.doc_id AS is_kept
+FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id"""
+
   val simhash: String = {
     val bitSums = (0 until 32).map { b =>
       s"sum(CASE WHEN (h >> $b) % 2 = 1 THEN 1 ELSE -1 END) AS b$b"

@@ -463,4 +463,89 @@ object PipelineOps {
     val cands = embeddings.join(candIds, "vec_id")
     cosineTopK(cands, queryVecId, k)
   }
+
+  // --------------------------------------------- dedup cluster resolution
+
+  /** Connected components over an undirected pair graph — the alternating
+    * large-star / small-star algorithm (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", ACM SoCC 2014). Each round is two
+    * groupBy-min + equi-join passes — a node's neighborhood is NEVER
+    * materialized on one row (no collect_set/collect_list), so a hot node
+    * (a giant near-dup cluster's star center) costs a skewed equi-join that
+    * AQE splits, not an OOM; convergence is O(log n) rounds regardless of
+    * graph diameter (min-propagation would need diameter rounds — a
+    * 1M-long chain of near-dups is pathological but real in boilerplate
+    * web text). Rounds materialize via localCheckpoint to truncate lineage
+    * (on a cluster with a checkpoint dir, `RDD.checkpoint` semantics —
+    * same call).
+    *
+    * Returns (doc_id, component) for every node that appears in `pairs`
+    * (both columns), component = min doc_id of the node's cluster.
+    */
+  def connectedComponents(pairs: DataFrame, maxRounds: Int = 25): DataFrame = {
+    val p0 = pairs.columns(0)
+    val p1 = pairs.columns(1)
+    // canonical undirected edges u < v
+    var edges = pairs.select(
+        least(col(p0), col(p1)).cast("long").as("u"),
+        greatest(col(p0), col(p1)).cast("long").as("v"))
+      .where(col("u") =!= col("v")).distinct()
+      .localCheckpoint()
+    // converged when the edge set is a fixpoint: count + order-free xxhash64
+    // XOR fold (no overflow under ANSI; collision odds ~ n^2 / 2^64 — fine
+    // for a gate that is also bounded by maxRounds)
+    def sig(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)), expr("bit_xor(xxhash64(u, v))")).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    var s = sig(edges)
+    var round = 0
+    var done = edges.isEmpty
+    while (!done && round < maxRounds) {
+      // large-star: for each node a with m = min(a, min nbr), attach every
+      // strictly-larger neighbor to m
+      val nbrs = edges.select(col("u").as("a"), col("v").as("b"))
+        .union(edges.select(col("v").as("a"), col("u").as("b")))
+      val mins = nbrs.groupBy("a")
+        .agg(min(col("b")).as("mn"))
+        .select(col("a"), least(col("a"), col("mn")).as("m"))
+      val ls = nbrs.join(mins, "a").where(col("b") > col("a"))
+        .select(col("m").as("u"), col("b").as("v")) // m <= a < b: canonical
+        .where(col("u") =!= col("v")).distinct()
+      // small-star: direct each edge large->small; attach all smaller
+      // neighbors AND the center itself to the center's min neighbor
+      val dir = ls.select(col("v").as("a"), col("u").as("b")) // a > b
+      val dmins = dir.groupBy("a").agg(min(col("b")).as("m"))
+      val ss = dir.join(dmins, "a")
+        .select(col("m").as("u"), col("b").as("v"))
+        .union(dmins.select(col("m").as("u"), col("a").as("v")))
+        .where(col("u") =!= col("v")).distinct()
+        .localCheckpoint()
+      val s2 = sig(ss)
+      edges = ss
+      done = s2 == s
+      s = s2
+      round += 1
+    }
+    // fixpoint edges form stars rooted at the component min: u IS the root
+    edges.select(col("v").as("doc_id"), col("u").as("component"))
+      .union(edges.select(col("u").as("doc_id"), col("u").as("component")))
+      .distinct()
+  }
+
+  /** Dedup resolution — the step after pair generation that a training-data
+    * pipeline actually ships: fold near-dup PAIRS into clusters (transitive
+    * closure via [[connectedComponents]]) and keep one canonical doc per
+    * cluster (min doc_id — deterministic; swap the ordering column for a
+    * quality score to keep the best instead). Docs in no pair are their own
+    * canonical. Returns (doc_id, canonical_id, is_kept).
+    */
+  def dedupResolve(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val cc = connectedComponents(pairs)
+    docs.select(col("doc_id").cast("long").as("doc_id"))
+      .join(cc.withColumnRenamed("component", "canonical_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("canonical_id"), col("doc_id")).as("canonical_id"))
+      .withColumn("is_kept", col("doc_id") === col("canonical_id"))
+  }
 }
