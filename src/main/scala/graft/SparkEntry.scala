@@ -241,6 +241,15 @@ object SparkEntry {
     "q_dedup_minhash" -> ((s, d) => PipelineOps.dedupMinHash(docs(s, d), 0.5)),
     "q_dedup_resolve" -> ((s, d) => PipelineOps.dedupResolve(docs(s, d),
       PipelineOps.dedupMinHash(docs(s, d), 0.5).select(col("ia"), col("ib")))),
+
+    // --- curation (quality filters / decontamination / mixture sampling)
+    "q_repetition" -> ((s, d) => PipelineOps.repetitionScore(docs(s, d))),
+    "q_contamination" -> ((s, d) => {
+      val dd = docs(s, d)
+      PipelineOps.contamination(dd, dd.where(col("doc_id") % 97 === 0), 3)
+    }),
+    "q_strat_sample" -> ((s, d) => PipelineOps.stratifiedSample(docs(s, d), "lang",
+      Map("en" -> 0.5, "de" -> 0.25, "fr" -> 0.1)).select(col("doc_id"), col("lang"))),
     "q_simhash" -> ((s, d) => PipelineOps.simHash(docs(s, d))),
 
     // --- similarity
@@ -513,6 +522,9 @@ object SparkEntry {
     "q_dedup_jaccard" -> OracleSql.jaccardPairs(0.5),
     "q_dedup_minhash" -> OracleSql.minhashPairs(0.5),
     "q_dedup_resolve" -> OracleSql.dedupResolve(0.5),
+    "q_repetition" -> OracleSql.repetition,
+    "q_contamination" -> OracleSql.contamination(3),
+    "q_strat_sample" -> OracleSql.stratifiedSample,
     "q_simhash" -> OracleSql.simhash,
     "q_cosine_topk" -> OracleSql.cosineTopK(0L, 10),
     "q_embed_neardup" -> OracleSql.embeddingNearDup(0.35),

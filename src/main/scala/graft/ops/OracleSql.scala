@@ -218,6 +218,31 @@ verified AS (SELECT cand.ia, cand.ib,
 SELECT ia, ib, round(j, 4) AS jaccard FROM verified WHERE j >= $threshold"""
   }
 
+  /** Within-doc repeated-3-gram fraction (Gopher repetition filter). */
+  val repetition: String =
+    s"""WITH $T, s AS (SELECT doc_id, $ShinglesExprDuck AS sh FROM t)
+SELECT doc_id, len(sh)::BIGINT AS n_ngrams, len(list_distinct(sh))::BIGINT AS n_distinct_ngrams,
+round(1.0 - len(list_distinct(sh)) * 1.0 / len(sh), 4) AS dup_ngram_frac FROM s"""
+
+  /** Decontamination: distinct shared 3-grams per (doc, benchmark doc)
+    * pair, benchmark = doc_id % 97 = 0 subset, threshold `minShared`.
+    */
+  def contamination(minShared: Int): String =
+    s"""WITH $shinglesCte,
+d AS (SELECT doc_id, unnest(sh) AS g FROM s),
+b AS (SELECT doc_id AS bench_id, unnest(sh) AS g FROM s WHERE doc_id % 97 = 0)
+SELECT d.doc_id, b.bench_id, count(*)::BIGINT AS n_shared
+FROM d JOIN b ON d.g = b.g WHERE d.doc_id <> b.bench_id
+GROUP BY d.doc_id, b.bench_id HAVING count(*) >= $minShared"""
+
+  /** Deterministic stratified sample: md5(doc_id) bucket under the
+    * stratum's mix weight (en 0.5 / de 0.25 / fr 0.1, rest 0).
+    */
+  val stratifiedSample: String =
+    """SELECT doc_id, lang FROM documents
+WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000
+  < (CASE WHEN lang = 'en' THEN 0.5 WHEN lang = 'de' THEN 0.25 WHEN lang = 'fr' THEN 0.1 ELSE 0.0 END) * 10000"""
+
   /** Dedup resolution: transitive closure over the minhash near-dup pairs
     * (recursive reachability — the independent formulation of what the Spark
     * side computes with large-star/small-star), canonical = min doc_id per

@@ -464,6 +464,57 @@ object PipelineOps {
     cosineTopK(cands, queryVecId, k)
   }
 
+  // ------------------------------------------------ quality / curation ops
+
+  /** Within-doc repeated-n-gram fraction — the Gopher-family repetition
+    * quality filter (Rae et al. 2021, "Scaling Language Models: ... Gopher",
+    * §A.1.1 repetition signals): 1 − distinct/total over the doc's word
+    * 3-grams. Pure per-row map (no shuffle); boilerplate / template spam
+    * scores high and gets dropped by a threshold downstream.
+    */
+  def repetitionScore(docs: DataFrame): DataFrame =
+    withTokens(docs).withColumn("sh", expr(ShinglesExprSpark))
+      .select(col("doc_id"),
+        size(col("sh")).cast("long").as("n_ngrams"),
+        size(array_distinct(col("sh"))).cast("long").as("n_distinct_ngrams"))
+      .withColumn("dup_ngram_frac",
+        round(lit(1.0) - col("n_distinct_ngrams").cast("double") / col("n_ngrams"), 4))
+
+  /** Benchmark decontamination — the n-gram-overlap scan every serious
+    * training-data pipeline runs before shipping (the GPT-3/Llama
+    * deduplicate-against-eval step): for each (training doc, benchmark doc)
+    * pair sharing at least `minShared` distinct word n-grams, emit the pair
+    * and the overlap count. 100 TB shape: the benchmark side is tiny (eval
+    * sets, not corpora) — its exploded n-gram set broadcasts, so the big
+    * side never shuffles on the join; only matched rows reach the
+    * (doc, bench) groupBy.
+    */
+  def contamination(docs: DataFrame, benchDocs: DataFrame, minShared: Int): DataFrame = {
+    val d = withShingles(docs).select(col("doc_id"), explode(col("sh")).as("g"))
+    val b = withShingles(benchDocs)
+      .select(col("doc_id").as("bench_id"), explode(col("sh")).as("g")).distinct()
+    d.join(broadcast(b), "g")
+      .where(col("doc_id") =!= col("bench_id"))
+      .groupBy("doc_id", "bench_id")
+      .agg(count(lit(1)).as("n_shared")) // d side is distinct shingles per doc
+      .where(col("n_shared") >= minShared)
+  }
+
+  /** Deterministic per-stratum subsampling — the mixture-building step
+    * (sample each domain/language at its training-mix weight). The keep
+    * decision hashes ONLY doc_id (md5 arithmetic shared with the DuckDB
+    * dialect), so it is reproducible row-wise across runs, engines and
+    * repartitions — no RNG state, no sampleBy approximation drift.
+    */
+  def stratifiedSample(docs: DataFrame, strataCol: String,
+      fractions: Map[String, Double]): DataFrame = {
+    val bucket = expr("cast(conv(substr(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint) % 10000")
+    val frac = fractions.foldLeft(lit(0.0)) { case (acc, (k, f)) =>
+      when(col(strataCol) === k, lit(f)).otherwise(acc)
+    }
+    docs.where(bucket < frac * 10000.0)
+  }
+
   // --------------------------------------------- dedup cluster resolution
 
   /** Connected components over an undirected pair graph — the alternating
