@@ -305,7 +305,12 @@ object QueryKernel {
   /** Wide disjunctions switch to the horizon-window union (buffered_union.rs
     * picks the buffered scorer whenever there are >1 legs; we keep the
     * zero-setup linear scan for narrow unions where the window refill
-    * overhead dominates).
+    * overhead dominates). Measured (tools/UnionProbe, 1M docs, OR-8): the
+    * buffered kernel wins on DENSE self-driven unions (~1.0-1.5x) and on
+    * SPARSE rare-term self-driven unions too (~1.15x — empty windows skip
+    * to the next live doc instead of refilling), so no density gate is
+    * needed on the self-driven path; only seek-driven unions (below) want
+    * the drive-ratio gate.
     */
   private val WideUnionThreshold =
     sys.env.get("GRAFT_WIDE_UNION").map(_.toInt).getOrElse(4)

@@ -10,6 +10,8 @@ import graft.search.{Occur, Query, Searcher}
   * seek-driven case (1000000000 = always buffer, matching the reference).
   * Usage: UnionProbe <cores> <indexDir> [batch] [legs] [mode]
   * mode: dense  — self-driven OR-k over hot terms (union iterates itself)
+  *       sparse — self-driven OR-k over rare tail terms: windows are mostly
+  *                empty, so refill overhead has nothing to amortize over
   *       driven — +rareTerm (OR-k hot, msm=1): the rare must seeks the
   *                union sparsely, the worst case for window refills
   */
@@ -35,8 +37,13 @@ object UnionProbe {
     // hot Zipf vocabulary terms for the union legs; rare tail terms as the
     // selective must that drives sparse seeks in `driven` mode
     val hot = (0 until 16).map(i => f"w$i%05d")
+    val rareVocab = (0 until 64).map(i => f"w${5000 + i * 53}%05d")
     val qs: Seq[Query] = (0 until batch).map { i =>
-      val ts = rnd.shuffle(mode match { case "driven" => hot; case _ => common }).take(legs)
+      val ts = rnd.shuffle(mode match {
+        case "driven" => hot
+        case "sparse" => rareVocab
+        case _ => common
+      }).take(legs)
       val shoulds = ts.map(t => Query.Term("text", t))
       mode match {
         case "driven" =>
