@@ -460,6 +460,24 @@ object SparkEntry {
           col("width").cast("long").as("width"),
           col("height").cast("long").as("height"),
           col("durationMs").cast("long").as("duration_ms"))
+    }),
+    // perceptual-hash image dedup over the REAL decode: docs in the same
+    // content class carry byte-identical PPMs -> identical dHash; the oracle
+    // only knows the class arithmetic, so a broken decode/hash splits or
+    // merges clusters and goes red
+    "q_image_dedup" -> ((s, d) => {
+      val mUdf = udf((id: Long) => imageFor(id))
+      val withMedia = docs(s, d).withColumn("media", mUdf(col("doc_id")))
+      val hashes = graft.ops.Multimodal.imageHashes(s, withMedia)
+      val canon = hashes.groupBy("dhash").agg(min("doc_id").as("canonical_id"))
+      hashes.join(canon, "dhash").select(col("doc_id"), col("canonical_id"))
+    }),
+    // real WAV decode -> RMS windows; square-wave amplitude makes the RMS
+    // integer-exact so the oracle is pure doc_id arithmetic
+    "q_audio_energy" -> ((s, d) => {
+      val mUdf = udf((id: Long) => audioFor(id))
+      val withMedia = docs(s, d).withColumn("media", mUdf(col("doc_id")))
+      graft.ops.Multimodal.audioEnergy(s, withMedia, windowMs = 100)
     })
   )
 
@@ -467,6 +485,36 @@ object SparkEntry {
     * 200 + doc_id % 800 ms, the rest constant-color PPMs sized
     * (16 + doc_id % 16) x (8 + doc_id % 8).
     */
+  /** Content-class image: class = doc_id % 7 fixes size (16+cls x 8+cls)
+    * AND a class-seeded noise pattern, so same-class docs share identical
+    * bytes (=> identical dHash) and the 7 classes' patterns are mutually
+    * far in dHash space.
+    */
+  private[graft] def imageFor(id: Long): Array[Byte] = {
+    val cls = (id % 7).toInt
+    val w = 16 + cls
+    val h = 8 + cls
+    val rgb = new Array[Byte](w * h * 3)
+    var i = 0
+    while (i < rgb.length) {
+      rgb(i) = (((i * 31L + cls * 7919L) * 2654435761L >> 13) & 0xFF).toByte
+      i += 1
+    }
+    graft.ops.MediaCodec.encodePpm(graft.ops.MediaCodec.ImageRgb(w, h, rgb))
+  }
+
+  /** Square wave at amplitude 100 + doc_id % 900 (8 kHz mono,
+    * (200 + doc_id % 800) ms): every RMS window equals the amplitude
+    * EXACTLY in IEEE double (integer partial sums, exact division, exact
+    * sqrt of a perfect square), so the oracle needs no tolerance.
+    */
+  private[graft] def audioFor(id: Long): Array[Byte] = {
+    val amp = (100 + id % 900).toInt
+    val n = ((200 + id % 800) * 8).toInt
+    val samples = Array.tabulate[Short](n)(i => if (i % 2 == 0) amp.toShort else (-amp).toShort)
+    graft.ops.MediaCodec.encodeWav(graft.ops.MediaCodec.WavPcm(8000, 1, samples))
+  }
+
   private[graft] def mediaFor(id: Long): Array[Byte] = {
     import graft.ops.MediaCodec
     if (id % 3 == 0)
@@ -555,7 +603,9 @@ object SparkEntry {
     "q_agg_pricing" -> OracleSql.aggPricing,
     "q_join_enrich" -> OracleSql.joinEnrich,
     "q_binary_meta" -> OracleSql.binaryMeta,
-    "q_media_meta" -> OracleSql.mediaMeta
+    "q_media_meta" -> OracleSql.mediaMeta,
+    "q_image_dedup" -> OracleSql.imageDedup,
+    "q_audio_energy" -> OracleSql.audioEnergy
   )
 
   /** DataFrame-level BM25 (double precision), mirroring OracleSql.bm25Scores

@@ -116,6 +116,29 @@ object Multimodal {
       }.toDF("doc_id", "dhash")
   }
 
+  /** Per-window RMS audio energy over the REAL WAV decode — the silence /
+    * loudness feature pass. One row per audio doc: window count plus the
+    * first window's RMS (all windows of a stationary signal agree; callers
+    * wanting the full profile explode `MediaCodec.rmsWindows` instead).
+    * Non-audio payloads yield no row.
+    */
+  def audioEnergy(spark: SparkSession, docsWithMedia: DataFrame,
+      windowMs: Int = 100): DataFrame = {
+    import spark.implicits._
+    docsWithMedia.select(col("doc_id").cast("long"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          MediaCodec.sniff(bytes) match {
+            case Some("audio/wav") =>
+              val rms = MediaCodec.rmsWindows(MediaCodec.decodeWav(bytes), windowMs)
+              Some((id, rms.length.toLong, if (rms.isEmpty) 0.0 else rms(0)))
+            case _ => None
+          }
+        }
+      }.toDF("doc_id", "n_windows", "rms")
+  }
+
   /** Frame sampling: one row per sampled frame, `fps`-spaced over the fake
     * duration — the explode-style fan-out a video pipeline needs, bounded by
     * maxFrames per doc to keep rows/task predictable.

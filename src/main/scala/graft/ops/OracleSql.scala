@@ -81,6 +81,23 @@ object OracleSql {
       "CASE WHEN doc_id % 3 = 0 THEN 200 + doc_id % 800 ELSE 0 END AS duration_ms " +
       "FROM documents"
 
+  /** q_image_dedup synthesis contract: identical class (doc_id % 7) ->
+    * byte-identical PPM -> identical dHash; canonical = min doc_id of the
+    * class. The Spark side earns these rows by really decoding and hashing.
+    */
+  val imageDedup: String =
+    """SELECT d.doc_id, c.min_id AS canonical_id FROM documents d
+JOIN (SELECT doc_id % 7 AS cls, min(doc_id) AS min_id FROM documents GROUP BY doc_id % 7) c
+ON d.doc_id % 7 = c.cls"""
+
+  /** q_audio_energy synthesis contract: square wave amplitude
+    * 100 + doc_id % 900 over (200 + doc_id % 800) ms at 8 kHz; 100 ms
+    * windows -> ceil(ms/100) windows, each with RMS exactly the amplitude.
+    */
+  val audioEnergy: String =
+    """SELECT doc_id, CAST(ceil((200 + doc_id % 800) / 100.0) AS BIGINT) AS n_windows,
+CAST(100 + doc_id % 900 AS DOUBLE) AS rms FROM documents"""
+
   /** ip = 10.(doc_id div 256 % 256).(doc_id % 256).7 unless doc_id % 9 = 0
     * (v6, outside the v4 window); [10.0.100.0, 10.1.200.255] therefore holds
     * exactly the v4 docs with doc_id % 65536 in [100, 456].
