@@ -78,6 +78,14 @@ object SparkEntry {
     new Searcher(spark, indexDir)
   }
 
+  /** The resolved (and, if needed, freshly built) index dir for a testdata
+    * scale factor — for probes that read the index files directly.
+    */
+  private[graft] def indexDirFor(spark: SparkSession, sfDir: String): String = {
+    searcherFor(spark, sfDir)
+    indexCache(sfDir)
+  }
+
   /** Engine query -> DataFrame of matching doc_ids (via docmap join). */
   private def engineMatches(spark: SparkSession, sfDir: String, q: Query): DataFrame = {
     val s = searcherFor(spark, sfDir)

@@ -473,10 +473,14 @@ object PipelineOps {
     * scores high and gets dropped by a threshold downstream.
     */
   def repetitionScore(docs: DataFrame): DataFrame =
-    withTokens(docs).withColumn("sh", expr(ShinglesExprSpark))
-      .select(col("doc_id"),
-        size(col("sh")).cast("long").as("n_ngrams"),
-        size(array_distinct(col("sh"))).cast("long").as("n_distinct_ngrams"))
+    docs.select(col("doc_id"),
+        // total 3-gram count needs no shingle materialization, and the
+        // distinct count comes from the native kernel — the whole op is one
+        // codegen'd map, no interpreted HOF lambda per row
+        greatest(size(graft.functions.ShingleOps.sql_tokens(col("text"))) - 2, lit(1))
+          .cast("long").as("n_ngrams"),
+        size(graft.functions.ShingleOps.distinct_shingles(col("text")))
+          .cast("long").as("n_distinct_ngrams"))
       .withColumn("dup_ngram_frac",
         round(lit(1.0) - col("n_distinct_ngrams").cast("double") / col("n_ngrams"), 4))
 

@@ -20,8 +20,7 @@ object ExplainProbe {
     val searcher = graft.SparkEntry.searcherFor(spark, sfDir)
 
     println("==== postings term-lookup scan (docFreqs path) ====")
-    val indexDir = "/tmp/graft-index-" + java.security.MessageDigest.getInstance("MD5")
-      .digest(sfDir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val indexDir = graft.SparkEntry.indexDirFor(spark, sfDir)
     spark.read.parquet(s"$indexDir/postings")
       .where(col("field") === "text" && col("term").isin("spark", "table"))
       .groupBy("field", "term").agg(sum("docFreq"))
@@ -38,6 +37,18 @@ object ExplainProbe {
     spark.read.parquet(s"$sfDir/documents.parquet")
       .where(col("n_chars") >= 200 && col("n_chars") < 400).select("doc_id")
       .explain("formatted")
+
+    val docsDf = spark.read.parquet(s"$sfDir/documents.parquet")
+    println("==== contamination (benchmark side must BroadcastExchange) ====")
+    graft.ops.PipelineOps.contamination(
+      docsDf, docsDf.where(col("doc_id") % 97 === 0), 3).explain("formatted")
+
+    println("==== repetition score (single WholeStageCodegen map, no shuffle) ====")
+    graft.ops.PipelineOps.repetitionScore(docsDf).explain("formatted")
+
+    println("==== stratified sample (filter pushed onto the scan) ====")
+    graft.ops.PipelineOps.stratifiedSample(docsDf, "lang",
+      Map("en" -> 0.5, "de" -> 0.25)).explain("formatted")
     spark.stop()
   }
 }
