@@ -346,6 +346,30 @@ object Analyzer extends Serializable {
   def removeStopWords(toks: ArrayBuffer[Token], stopWords: Set[String]): ArrayBuffer[Token] =
     toks.filterNot(t => stopWords.contains(t.text))
 
+  /** Built-in per-language stop lists (`StopWordFilter::new(Language)`,
+    * `src/tokenizer/stop_word_filter/mod.rs:36-62`): the public
+    * Snowball-project data the reference vendors (BSD-3,
+    * snowballstem.org; English is the Lucene 33-word list per
+    * mod.rs:41-48), packaged as the `graft/stopwords.txt` resource
+    * (regenerate with tools/gen_stopwords.py). Keyed by full language name.
+    */
+  lazy val builtinStopWords: Map[String, Set[String]] = {
+    val in = getClass.getResourceAsStream("/graft/stopwords.txt")
+    require(in != null, "missing resource graft/stopwords.txt")
+    val src = scala.io.Source.fromInputStream(in, "UTF-8")
+    try src.getLines().filter(l => l.nonEmpty && !l.startsWith("#")).map { l =>
+      val i = l.indexOf(':')
+      l.substring(0, i) -> l.substring(i + 1).split(' ').toSet
+    }.toMap
+    finally src.close()
+  }
+
+  /** Stop list for an ISO code or full language name; None when no list is
+    * published (matches the reference's Option return).
+    */
+  def stopWordsFor(language: String): Option[Set[String]] =
+    builtinStopWords.get(LangCodes.getOrElse(language, language))
+
   /** Stemmer token filter (`src/tokenizer/stemmer.rs`): rewrite each token to
     * its Snowball stem for the given language; positions/offsets kept.
     */
@@ -393,8 +417,13 @@ object Analyzer extends Serializable {
         while (i < toks.length) { toks(i) = toks(i).copy(text = stem(toks(i).text)); i += 1 }
         toks
       }
+    case s if s.endsWith("_stop") =>
+      val code = s.stripSuffix("_stop")
+      val stop = stopWordsFor(code).getOrElse(throw new IllegalArgumentException(
+        s"no built-in stop list for '$code'"))
+      (t: String) => removeStopWords(tokenize(t), stop)
     case other => throw new IllegalArgumentException(
-      s"unknown analyzer '$other' (registered: default, raw, whitespace, <lang>_stem)")
+      s"unknown analyzer '$other' (registered: default, raw, whitespace, <lang>_stem, <lang>_stop)")
   }
 
   /** Term list through a named chain (query-parser side). */
