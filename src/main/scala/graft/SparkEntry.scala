@@ -239,6 +239,17 @@ object SparkEntry {
 
     // --- text analysis
     "q_token_count" -> ((s, d) => PipelineOps.tokenCounts(docs(s, d))),
+    // content-token count after built-in English stop removal: the Spark
+    // side's stop set comes from the packaged resource
+    // (Analyzer.stopWordsFor), the oracle hardcodes the public Lucene list
+    // independently — a resource regression flips the row red
+    "q_stop_tokens" -> ((s, d) => {
+      val arr = graft.analysis.Analyzer.stopWordsFor("en").get.toSeq.sorted
+        .map(w => s"'$w'").mkString(",")
+      PipelineOps.withTokens(docs(s, d)).select(col("doc_id"),
+        expr(s"cast(size(filter(toks, x -> NOT x IN ($arr))) as bigint)")
+          .as("n_content_tokens"))
+    }),
     "q_lang_id" -> ((s, d) => PipelineOps.langId(docs(s, d))),
     "q_quality" -> ((s, d) => PipelineOps.qualityScore(docs(s, d))),
     "q_fingerprint" -> ((s, d) => PipelineOps.fingerprint(docs(s, d))),
@@ -571,6 +582,7 @@ object SparkEntry {
     "q_count_matrix" -> OracleSql.countMatrix,
     "q_bm25_scores" -> OracleSql.bm25Scores(Seq("spark", "vector")),
     "q_token_count" -> OracleSql.tokenCount,
+    "q_stop_tokens" -> OracleSql.stopTokens,
     "q_lang_id" -> OracleSql.langId,
     "q_quality" -> OracleSql.quality,
     "q_fingerprint" -> OracleSql.fingerprint,

@@ -178,6 +178,18 @@ ORDER BY bm25 DESC, doc_id LIMIT 10"""
   val sketchOracle: String =
     "SELECT true AS p50_ok, true AS p90_ok, true AS p99_ok"
 
+  /** Independent copy of the public Lucene English stop list (the
+    * reference's Language::English choice, stop_word_filter/mod.rs:41-48) —
+    * deliberately NOT read from the Spark side's resource.
+    */
+  val stopTokens: String = {
+    val lucene = Seq("a", "an", "and", "are", "as", "at", "be", "but", "by",
+      "for", "if", "in", "into", "is", "it", "no", "not", "of", "on", "or",
+      "such", "that", "the", "their", "then", "there", "these", "they",
+      "this", "to", "was", "will", "with").map(w => s"'$w'").mkString(",")
+    s"WITH $T SELECT doc_id, len(list_filter(toks, x -> NOT x IN ($lucene)))::BIGINT AS n_content_tokens FROM t"
+  }
+
   val tokenCount: String =
     s"WITH $T SELECT doc_id, len(toks)::BIGINT AS n_tokens, len(list_distinct(toks))::BIGINT AS n_distinct FROM t"
 
