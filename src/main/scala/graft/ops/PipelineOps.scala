@@ -494,9 +494,12 @@ object PipelineOps {
     * (doc, bench) groupBy.
     */
   def contamination(docs: DataFrame, benchDocs: DataFrame, minShared: Int): DataFrame = {
-    val d = withShingles(docs).select(col("doc_id"), explode(col("sh")).as("g"))
-    val b = withShingles(benchDocs)
-      .select(col("doc_id").as("bench_id"), explode(col("sh")).as("g")).distinct()
+    // shingle sets via the native kernel (bit-parity with the HOF form,
+    // ShingleOpsSpec) — the corpus-side map stays in whole-stage codegen
+    val sh = graft.functions.ShingleOps.distinct_shingles(col("text"))
+    val d = docs.select(col("doc_id"), explode(sh).as("g"))
+    val b = benchDocs
+      .select(col("doc_id").as("bench_id"), explode(sh).as("g")).distinct()
     d.join(broadcast(b), "g")
       .where(col("doc_id") =!= col("bench_id"))
       .groupBy("doc_id", "bench_id")
