@@ -13,7 +13,12 @@ import graft.search.{Query, QueryParser, Searcher}
   * with a real master; in the sandbox the master defaults to local[*]
   * (override with GRAFT_MASTER). No code path differs between the two —
   * parallelism is a property of the session, the index layout is a property
-  * of `IndexConfig.numPartitions`.
+  * of `IndexConfig.numPartitions`. Smoke-verified against the plain
+  * `sbt package` jar (Spark jars provided by the cluster):
+  * `/opt/spark/bin/spark-submit --master local[8] --driver-memory 8g
+  * --class graft.tools.IndexCli target/scala-2.13/tantivyspark_*.jar
+  * count <indexDir> "alpha OR beta"` — give the driver headroom in local
+  * mode, where executor fruit merges land on the driver heap too.
   *
   * Commands:
   *   build  <srcParquet> <indexDir> [numPartitions=32] [textCol=text] [keyCol=url] [analyzer=default]
