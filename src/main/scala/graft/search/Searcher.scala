@@ -332,10 +332,16 @@ final class Searcher(spark: SparkSession, indexDir: String, asOfSeq: Option[Long
     val normsCond = col("field") === PostingRow.NormsField && col("term") === manifest.textField
     val baseCond = termCond || normsCond
     val countCond = rangesCond(live.map(_._1)).map(baseCond || _).getOrElse(baseCond)
-    val counts = perSegment(postingsDF.where(countCond).as[PostingRow]) { (seg, it) =>
-        val ctx = Searcher.makeContext(it, bNumDocs.value, seg, bDel.value)
-        bcq.value.iterator.map { case (cq, qi) => (qi, QueryKernel.count(cq, ctx)) }
-      }
+    val nShards = queryShardCount(live.size)
+    def countShard(seg: Int, shard: Int, it: Iterator[PostingRow]): Iterator[(Int, Long)] = {
+      val ctx = Searcher.makeContext(it, bNumDocs.value, seg, bDel.value)
+      bcq.value.iterator.zipWithIndex
+        .filter { case (_, i) => i % nShards == shard }
+        .map { case ((cq, qi), _) => (qi, QueryKernel.count(cq, ctx)) }
+    }
+    val countRows = postingsDF.where(countCond).as[PostingRow]
+    val counts = (if (nShards <= 1) perSegment(countRows)((seg, it) => countShard(seg, 0, it))
+      else perSegmentShard(countRows, live, nShards)(countShard))
       .collect()
       .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
     qs.indices.map(qi => counts.getOrElse(qi, 0L))
@@ -355,14 +361,20 @@ final class Searcher(spark: SparkSession, indexDir: String, asOfSeq: Option[Long
     val rowCond = rangesCond(live.map(_._1)).map(baseCond || _).getOrElse(baseCond)
     val rows = postingsDF.where(rowCond).as[PostingRow]
     val bDel = bDeletes
-    val local = perSegment(rows) { (seg, it) =>
+    val nShards = queryShardCount(live.size)
+    def runShard(seg: Int, shard: Int, it: Iterator[PostingRow]): Iterator[(Int, Long, Float)] = {
       val ctx = Searcher.makeContext(it, bNumDocs.value, seg, bDel.value)
-      bcq.value.iterator.flatMap { case (cq, qi) =>
-        val topN = new TopNComputer(kk)
-        QueryKernel.topK(cq, ctx, kk, topN, seg.toLong << 32)
-        topN.intoSortedVec().iterator.map { case (score, addr) => (qi, addr, score) }
-      }
+      bcq.value.iterator.zipWithIndex
+        .filter { case (_, i) => i % nShards == shard }
+        .flatMap { case ((cq, qi), _) =>
+          val topN = new TopNComputer(kk)
+          QueryKernel.topK(cq, ctx, kk, topN, seg.toLong << 32)
+          topN.intoSortedVec().iterator.map { case (score, addr) => (qi, addr, score) }
+        }
     }
+    val local =
+      if (nShards <= 1) perSegment(rows)((seg, it) => runShard(seg, 0, it))
+      else perSegmentShard(rows, live, nShards)(runShard)
     // per-query fruit merge as a second (tiny) shuffle stage — executor-side,
     // so the merge parallelizes with the batch instead of serializing on the
     // driver (collector merge_fruits, distributed)
@@ -406,6 +418,82 @@ final class Searcher(spark: SparkSession, indexDir: String, asOfSeq: Option[Long
     * (pushdown + pruning) is unchanged — only the exchange that routes rows
     * to kernel tasks becomes exact instead of hashed.
     */
+  /** Batched-query fan-out: parallelism = segments × QUERY SHARDS. A merged
+    * index can have fewer segments than the cluster has cores — one task
+    * per segment would leave most of a 1000-executor cluster idle on a
+    * 2-segment index. Sharding the query batch restores the fan-out: each
+    * (segment, shard) task receives ONLY the posting rows its own shard's
+    * terms/ranges touch (plus the norms/delete rows every kernel needs), so
+    * the extra shuffle volume is bounded by cross-shard term overlap plus
+    * nShards copies of the per-segment norms. Results are bit-identical:
+    * every query still sees the complete postings for its own terms.
+    */
+  private def queryShardCount(nLive: Int): Int = {
+    val forced = spark.conf.getOption("spark.graft.queryShards")
+      .orElse(sys.env.get("GRAFT_QUERY_SHARDS")).map(_.toInt)
+    forced match {
+      case Some(n) => math.max(1, math.min(nLive, n))
+      case None =>
+        val nseg = math.max(manifest.segments.size, 1)
+        val cores = spark.sparkContext.defaultParallelism
+        val byCores = (cores + nseg - 1) / nseg
+        math.max(1, math.min(nLive, math.min(8, byCores)))
+    }
+  }
+
+  private def perSegmentShard[T: org.apache.spark.sql.Encoder : scala.reflect.ClassTag](
+      rows: org.apache.spark.sql.Dataset[PostingRow],
+      live: Seq[(CQuery, Int)], nShards: Int)(
+      f: (Int, Int, Iterator[PostingRow]) => Iterator[T]): org.apache.spark.sql.Dataset[T] = {
+    val segIds = manifest.segmentIds.toArray
+    val ord = segIds.zipWithIndex.toMap
+    val nseg = math.max(segIds.length, 1)
+    // shard i-th live query to i % nShards; route rows by term/range/norms
+    val termToShards: Map[(String, String), Array[Int]] = live.zipWithIndex
+      .flatMap { case ((cq, _), i) => CQuery.termsOf(cq).map(_ -> (i % nShards)) }
+      .groupBy(_._1).map { case (t, ss) => t -> ss.map(_._2).distinct.toArray }
+    val rangesByShard: Array[Array[CQuery.CRange]] = {
+      val a = Array.fill(nShards)(Vector.empty[CQuery.CRange])
+      live.zipWithIndex.foreach { case ((cq, _), i) =>
+        val rs = CQuery.rangesOf(cq)
+        if (rs.nonEmpty) a(i % nShards) = a(i % nShards) ++ rs
+      }
+      a.map(_.toArray)
+    }
+    val delTerms = allDeleteTerms
+    val normsField = PostingRow.NormsField
+    val bRoute = spark.sparkContext.broadcast((termToShards, rangesByShard, delTerms))
+    val partitioner = new org.apache.spark.Partitioner {
+      override def numPartitions: Int = nseg * nShards
+      override def getPartition(key: Any): Int = key.asInstanceOf[Int]
+    }
+    val keyed = rows.rdd.flatMap { r =>
+      val (t2s, rbs, del) = bRoute.value
+      val base = ord.getOrElse(r.segment, 0) * nShards
+      if (r.field == normsField || del.contains((r.field, r.term)))
+        (0 until nShards).iterator.map(s => (base + s, r))
+      else {
+        val direct = t2s.getOrElse((r.field, r.term), Array.emptyIntArray)
+        val viaRange = (0 until nShards).filter { s =>
+          !direct.contains(s) && rbs(s).exists { rg =>
+            rg.field == r.field &&
+              rg.lo.forall(v => if (rg.loInclusive) r.term >= v else r.term > v) &&
+              rg.hi.forall(v => if (rg.hiInclusive) r.term <= v else r.term < v)
+          }
+        }
+        (direct.iterator ++ viaRange.iterator).map(s => (base + s, r))
+      }
+    }
+    val shuffled = new org.apache.spark.rdd.ShuffledRDD[Int, PostingRow, PostingRow](
+      keyed, partitioner)
+    shuffled.setSerializer(new org.apache.spark.serializer.KryoSerializer(spark.sparkContext.getConf))
+    val rdd = shuffled.mapPartitionsWithIndex { (idx, it) =>
+      if (!it.hasNext) Iterator.empty
+      else f(segIds(idx / nShards), idx % nShards, it.map(_._2))
+    }
+    spark.createDataset(rdd)
+  }
+
   private def perSegment[T: org.apache.spark.sql.Encoder : scala.reflect.ClassTag](
       rows: org.apache.spark.sql.Dataset[PostingRow])(
       f: (Int, Iterator[PostingRow]) => Iterator[T]): org.apache.spark.sql.Dataset[T] = {

@@ -243,6 +243,33 @@ class EndToEndSpec extends AnyFunSuite {
     assert(searcher.batchCount(qs) == qs.map(searcher.count))
   }
 
+  test("query-shard fan-out is bit-identical to the unsharded path") {
+    // the merged-index scale path: parallelism = segments x query shards;
+    // force shard counts that exceed segments AND don't divide the batch
+    val qs: Seq[Query] = Seq(
+      Query.Term("text", "alpha"),
+      Query.must(Query.Term("text", "alpha"), Query.Term("text", "beta")),
+      Query.should(Query.Term("text", "beta"), Query.Term("text", "gamma"),
+        Query.Term("text", "delta")),
+      Query.Bool(Seq(Occur.Must -> Query.Term("text", "alpha"),
+        Occur.MustNot -> Query.Term("text", "beta"))),
+      Query.Phrase("text", Seq("alpha", "beta")),
+      Query.Term("text", "zzzmissing"))
+    def withShards[T](n: Int)(f: => T): T = {
+      spark.conf.set("spark.graft.queryShards", n.toString)
+      try f finally spark.conf.unset("spark.graft.queryShards")
+    }
+    val base = withShards(1)(searcher.batchTopDocs(qs, 10))
+      .map(_.map(h => (h.url, h.score)).toList)
+    val baseCounts = withShards(1)(searcher.batchCount(qs))
+    for (n <- Seq(2, 3, 5)) {
+      val sharded = withShards(n)(searcher.batchTopDocs(qs, 10))
+        .map(_.map(h => (h.url, h.score)).toList)
+      assert(sharded == base, s"topDocs diverged at $n shards")
+      assert(withShards(n)(searcher.batchCount(qs)) == baseCounts, s"counts diverged at $n shards")
+    }
+  }
+
   test("build determinism: second build of same corpus is identical") {
     val dir2 = java.nio.file.Files.createTempDirectory("graft-e2e2").toString
     val docs = WebCorpus.generate(spark, NumDocs.toLong, 7) // different gen parallelism
