@@ -123,11 +123,14 @@ class QueryFuzzSpec extends AnyFunSuite {
       case _ => genLeaf(rnd)
     }
 
+  // GRAFT_FUZZ_TRIALS raises the count for one-off deep soaks (default 80)
+  private val trials = sys.env.get("GRAFT_FUZZ_TRIALS").map(_.toInt).getOrElse(80)
+
   test("80 random query trees: engine match set == independent text-level evaluator") {
     import spark.implicits._
     val s = new Searcher(spark, indexDir)
     val rnd = new scala.util.Random(20260818L)
-    val queries = (0 until 80).map(_ => gen(rnd, 2 + rnd.nextInt(2)))
+    val queries = (0 until trials).map(_ => gen(rnd, 2 + rnd.nextInt(2)))
     var nonEmpty = 0
     queries.zipWithIndex.foreach { case (q, qi) =>
       val got = s.allMatches(q, scored = false)
@@ -139,7 +142,7 @@ class QueryFuzzSpec extends AnyFunSuite {
       if (want.nonEmpty) nonEmpty += 1
     }
     // the generator must actually exercise matching docs, not just misses
-    assert(nonEmpty > 40, s"only $nonEmpty/80 queries matched anything")
+    assert(nonEmpty > trials / 2, s"only $nonEmpty/$trials queries matched anything")
     // counts agree on the same trees through the count path
     val counts = s.batchCount(queries.take(20))
     queries.take(20).zip(counts).foreach { case (q, c) =>
