@@ -497,19 +497,51 @@ object SparkEntry {
       val mUdf = udf((id: Long) => audioFor(id))
       val withMedia = docs(s, d).withColumn("media", mUdf(col("doc_id")))
       graft.ops.Multimodal.audioEnergy(s, withMedia, windowMs = 100)
+    }),
+    // REAL video decode: each doc carries an animated GIF of
+    // (2 + doc_id % 4) constant-color 250 ms frames; sampling every 250 ms
+    // must emit one row per frame whose decoded red channel matches the
+    // synthesis arithmetic — a broken frame walk, delay parse, or pixel
+    // decode goes red
+    "q_video_frames" -> ((s, d) => {
+      import s.implicits._
+      val mUdf = udf((id: Long) => videoFor(id))
+      val withMedia = docs(s, d).withColumn("media", mUdf(col("doc_id")))
+      graft.ops.Multimodal.sampleFrames(s, withMedia, everyMs = 250L, maxFrames = 8)
+        .map(fr => (fr.doc_id, fr.frameIdx.toLong, fr.ts_ms, (fr.pixels(0) & 0xff).toLong))
+        .toDF("doc_id", "frame_idx", "ts_ms", "red")
     })
   )
 
-  /** Deterministic media payload: every 3rd doc a PCM WAV whose duration is
-    * 200 + doc_id % 800 ms, the rest constant-color PPMs sized
-    * (16 + doc_id % 16) x (8 + doc_id % 8).
+  /** Animated-GIF clip: (2 + doc_id % 4) frames, 16x12, frame f constant
+    * color with red = (doc_id + 40*f) % 256, 250 ms per frame.
     */
-  /** Content-class image: class = doc_id % 7 fixes size (16+cls x 8+cls)
-    * AND a class-seeded noise pattern, so same-class docs share identical
-    * bytes (=> identical dHash) and the 7 classes' patterns are mutually
-    * far in dHash space.
+  private[graft] def videoFor(id: Long): Array[Byte] = {
+    import graft.ops.MediaCodec
+    val n = (2 + id % 4).toInt
+    val frames = (0 until n).map { f =>
+      val rgb = new Array[Byte](16 * 12 * 3)
+      var i = 0
+      while (i < rgb.length) {
+        rgb(i) = if (i % 3 == 0) (((id + 40L * f) % 256).toInt.toByte)
+                 else if (i % 3 == 1) ((id * 13 % 256).toInt.toByte)
+                 else 64.toByte
+        i += 1
+      }
+      MediaCodec.ImageRgb(16, 12, rgb)
+    }
+    MediaCodec.encodeAnimatedGif(frames, delayMs = 250)
+  }
+
+  /** Content-class image: class = doc_id % 7 fixes size (16+cls x 8+cls),
+    * a class-seeded noise pattern, AND the container format (PPM/PNG/JPEG/
+    * BMP by cls % 4 — JPEG/PNG/BMP exercise the real ImageIO/hand-rolled
+    * decoders), so same-class docs share identical bytes (=> identical
+    * dHash, lossy or not) and the 7 classes' patterns are mutually far in
+    * dHash space.
     */
   private[graft] def imageFor(id: Long): Array[Byte] = {
+    import graft.ops.MediaCodec
     val cls = (id % 7).toInt
     val w = 16 + cls
     val h = 8 + cls
@@ -519,7 +551,13 @@ object SparkEntry {
       rgb(i) = (((i * 31L + cls * 7919L) * 2654435761L >> 13) & 0xFF).toByte
       i += 1
     }
-    graft.ops.MediaCodec.encodePpm(graft.ops.MediaCodec.ImageRgb(w, h, rgb))
+    val img = MediaCodec.ImageRgb(w, h, rgb)
+    (cls % 4) match {
+      case 0 => MediaCodec.encodePpm(img)
+      case 1 => MediaCodec.encodeJavax(img, "png")
+      case 2 => MediaCodec.encodeJavax(img, "jpg")
+      case _ => MediaCodec.encodeJavax(img, "bmp")
+    }
   }
 
   /** Square wave at amplitude 100 + doc_id % 900 (8 kHz mono,
@@ -534,16 +572,27 @@ object SparkEntry {
     graft.ops.MediaCodec.encodeWav(graft.ops.MediaCodec.WavPcm(8000, 1, samples))
   }
 
+  /** Deterministic media payload: every 3rd doc audio of
+    * (200 + doc_id % 800) ms (WAV or AIFF, alternating), the rest
+    * constant-color images sized (16 + doc_id % 16) x (8 + doc_id % 8) in
+    * a container rotating over PPM/PNG/JPEG/BMP — all four really decode
+    * (dimensions survive every container, including lossy JPEG).
+    */
   private[graft] def mediaFor(id: Long): Array[Byte] = {
     import graft.ops.MediaCodec
-    if (id % 3 == 0)
-      MediaCodec.encodeWav(MediaCodec.WavPcm(8000, 1,
-        new Array[Short](((200 + id % 800) * 8).toInt)))
-    else {
+    if (id % 3 == 0) {
+      val pcm = MediaCodec.WavPcm(8000, 1, new Array[Short](((200 + id % 800) * 8).toInt))
+      if ((id / 3) % 2 == 0) MediaCodec.encodeWav(pcm) else MediaCodec.encodeAiff(pcm)
+    } else {
       val w = (16 + id % 16).toInt
       val h = (8 + id % 8).toInt
-      MediaCodec.encodePpm(MediaCodec.ImageRgb(w, h,
-        Array.fill(w * h * 3)((id % 251).toByte)))
+      val img = MediaCodec.ImageRgb(w, h, Array.fill(w * h * 3)((id % 251).toByte))
+      (id % 4) match {
+        case 0 => MediaCodec.encodePpm(img)
+        case 1 => MediaCodec.encodeJavax(img, "png")
+        case 2 => MediaCodec.encodeJavax(img, "jpg")
+        case _ => MediaCodec.encodeJavax(img, "bmp")
+      }
     }
   }
 
@@ -625,7 +674,8 @@ object SparkEntry {
     "q_binary_meta" -> OracleSql.binaryMeta,
     "q_media_meta" -> OracleSql.mediaMeta,
     "q_image_dedup" -> OracleSql.imageDedup,
-    "q_audio_energy" -> OracleSql.audioEnergy
+    "q_audio_energy" -> OracleSql.audioEnergy,
+    "q_video_frames" -> OracleSql.videoFrames
   )
 
   /** DataFrame-level BM25 (double precision), mirroring OracleSql.bm25Scores

@@ -1,13 +1,15 @@
 package graft.ops
 
-/** Real, pure-JVM media codecs for the self-contained formats — no native
-  * or external libraries needed, so the multimodal decode step is REAL for
-  * these (the `FakeCodec` stub remains only for container-absent codecs
-  * like JPEG/H.264):
+/** Real media codecs — pure JVM, no external libraries, so the multimodal
+  * decode step is REAL for every common web image format plus WAV/AIFF
+  * audio (the `FakeCodec` stub remains only for codecs the JVM genuinely
+  * lacks, i.e. H.264-class video):
   *
-  *   - PPM (P6 binary): header tokens + raw RGB
-  *   - BMP (uncompressed 24-bit BI_RGB): bottom-up padded BGR rows
-  *   - WAV (RIFF PCM 16-bit): fmt/data chunk walk
+  *   - PPM (P6 binary): header tokens + raw RGB (hand-rolled)
+  *   - BMP (uncompressed 24-bit BI_RGB): bottom-up padded BGR rows (hand-rolled)
+  *   - JPEG / PNG / GIF / TIFF: the JDK's own ImageIO plugins (java.desktop)
+  *   - WAV (RIFF PCM 16-bit): fmt/data chunk walk (hand-rolled)
+  *   - AIFF / AU: javax.sound.sampled with PCM_SIGNED 16-bit transcode
   *
   * Plus the typical feature-extract steps over the decoded forms:
   * nearest-neighbor resize, 64-bit difference hash (dHash — Krawetz's
@@ -34,14 +36,93 @@ object MediaCodec {
       else samples.length.toLong * 1000L / (sampleRate.toLong * channels)
   }
 
-  /** Magic-byte sniff: Some(mime) for formats this codec really decodes. */
+  /** Magic-byte sniff: Some(mime) for formats this codec really decodes.
+    * JPEG/PNG/GIF/TIFF decode through the JDK's own ImageIO plugins
+    * (java.desktop ships them — no external libraries), the rest are the
+    * hand-rolled pure-JVM decoders below.
+    */
   def sniff(bytes: Array[Byte]): Option[String] =
     if (bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == '6') Some("image/ppm")
     else if (bytes.length >= 2 && bytes(0) == 'B' && bytes(1) == 'M') Some("image/bmp")
+    else if (bytes.length >= 3 && (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8 &&
+      (bytes(2) & 0xff) == 0xff) Some("image/jpeg")
+    else if (bytes.length >= 8 && (bytes(0) & 0xff) == 0x89 && bytes(1) == 'P' &&
+      bytes(2) == 'N' && bytes(3) == 'G') Some("image/png")
+    else if (bytes.length >= 4 && bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F' &&
+      bytes(3) == '8') Some("image/gif")
+    else if (bytes.length >= 4 && ((bytes(0) == 'I' && bytes(1) == 'I' && bytes(2) == 42 &&
+      bytes(3) == 0) || (bytes(0) == 'M' && bytes(1) == 'M' && bytes(2) == 0 &&
+      bytes(3) == 42))) Some("image/tiff")
     else if (bytes.length >= 12 && bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' &&
       bytes(3) == 'F' && bytes(8) == 'W' && bytes(9) == 'A' && bytes(10) == 'V' &&
       bytes(11) == 'E') Some("audio/wav")
+    else if (bytes.length >= 12 && bytes(0) == 'F' && bytes(1) == 'O' && bytes(2) == 'R' &&
+      bytes(3) == 'M' && bytes(8) == 'A' && bytes(9) == 'I' && bytes(10) == 'F' &&
+      bytes(11) == 'F') Some("audio/aiff")
     else None
+
+  /** True when [[decodeImage]] can handle the payload. */
+  def isImage(mime: String): Boolean = mime.startsWith("image/")
+
+  /** Decode any sniffed image format to RGB: PPM/BMP via the hand-rolled
+    * decoders, JPEG/PNG/GIF/TIFF via the JDK's ImageIO plugins (headless-safe;
+    * GIF yields the first frame).
+    */
+  def decodeImage(bytes: Array[Byte]): ImageRgb = sniff(bytes) match {
+    case Some("image/ppm") => decodePpm(bytes)
+    case Some("image/bmp") => decodeBmp(bytes)
+    case Some(m) if m.startsWith("image/") => decodeJavax(bytes)
+    case other => throw new IllegalArgumentException(s"not an image payload: $other")
+  }
+
+  /** JDK ImageIO decode (JPEG/PNG/GIF/TIFF) to packed RGB. */
+  def decodeJavax(bytes: Array[Byte]): ImageRgb = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    require(img != null, "ImageIO could not decode payload")
+    val w = img.getWidth; val h = img.getHeight
+    val argb = img.getRGB(0, 0, w, h, null, 0, w)
+    val rgb = new Array[Byte](w * h * 3)
+    var i = 0
+    while (i < argb.length) {
+      val p = argb(i)
+      rgb(i * 3) = ((p >> 16) & 0xff).toByte
+      rgb(i * 3 + 1) = ((p >> 8) & 0xff).toByte
+      rgb(i * 3 + 2) = (p & 0xff).toByte
+      i += 1
+    }
+    ImageRgb(w, h, rgb)
+  }
+
+  /** Encode via a JDK ImageIO writer plugin: "png", "jpg", "gif", "tiff",
+    * "bmp" — for fixture generation and re-encode pipelines.
+    */
+  def encodeJavax(img: ImageRgb, format: String): Array[Byte] = {
+    val bi = toBuffered(img)
+    val bos = new java.io.ByteArrayOutputStream()
+    require(javax.imageio.ImageIO.write(bi, format, bos), s"no ImageIO writer for $format")
+    bos.toByteArray
+  }
+
+  /** Decode AIFF/AU (and WAV) through the JDK's javax.sound.sampled to
+    * 16-bit PCM. Non-16-bit or compressed streams are converted by the
+    * platform's PCM_SIGNED transcoder when one exists.
+    */
+  def decodeJavaxAudio(bytes: Array[Byte]): WavPcm = {
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
+    val in0 = AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+    val f0 = in0.getFormat
+    val target = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED, f0.getSampleRate,
+      16, f0.getChannels, f0.getChannels * 2, f0.getSampleRate, false)
+    val in = if (f0.matches(target)) in0 else AudioSystem.getAudioInputStream(target, in0)
+    val raw = in.readAllBytes()
+    val samples = new Array[Short](raw.length / 2)
+    var i = 0
+    while (i < samples.length) {
+      samples(i) = ((raw(i * 2) & 0xff) | (raw(i * 2 + 1) << 8)).toShort
+      i += 1
+    }
+    WavPcm(target.getSampleRate.toInt, target.getChannels, samples)
+  }
 
   // ------------------------------------------------------------------ PPM
 
@@ -192,6 +273,199 @@ object MediaCodec {
     var i = 0
     while (i < pcm.samples.length) { w16(44 + i * 2, pcm.samples(i) & 0xffff); i += 1 }
     out
+  }
+
+  /** Encode 16-bit PCM as AIFF via javax.sound (fixture generation for the
+    * [[decodeJavaxAudio]] path).
+    */
+  def encodeAiff(pcm: WavPcm): Array[Byte] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED, pcm.sampleRate.toFloat,
+      16, pcm.channels, pcm.channels * 2, pcm.sampleRate.toFloat, true) // AIFF is big-endian
+    val raw = new Array[Byte](pcm.samples.length * 2)
+    var i = 0
+    while (i < pcm.samples.length) {
+      raw(i * 2) = (pcm.samples(i) >> 8).toByte
+      raw(i * 2 + 1) = pcm.samples(i).toByte
+      i += 1
+    }
+    val ais = new AudioInputStream(new java.io.ByteArrayInputStream(raw), fmt,
+      pcm.samples.length.toLong / pcm.channels)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.AIFF, bos)
+    bos.toByteArray
+  }
+
+  // ------------------------------------------------------- animated GIF
+
+  /** A decoded multi-frame sequence: composited full-canvas RGB frames plus
+    * each frame's display delay (ms). Animated GIF is the one genuinely
+    * multi-frame "video" container the JVM decodes natively, so the video
+    * frame-sampling path can be REAL end-to-end.
+    */
+  final case class FrameSeq(width: Int, height: Int,
+      frames: Array[ImageRgb], delaysMs: Array[Int]) {
+    def durationMs: Long = { var s = 0L; var i = 0
+      while (i < delaysMs.length) { s += delaysMs(i); i += 1 }; s }
+  }
+
+  /** True when the payload is a GIF with more than one frame (i.e. our
+    * "video" modality). Cheap full parse via ImageIO's frame count.
+    */
+  def gifFrameCount(bytes: Array[Byte]): Int = {
+    val in = javax.imageio.ImageIO.createImageInputStream(new java.io.ByteArrayInputStream(bytes))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(in)
+      if (!readers.hasNext) 0
+      else { val r = readers.next(); try { r.setInput(in); r.getNumImages(true) } finally r.dispose() }
+    } finally in.close()
+  }
+
+  /** Decode every frame of a (possibly animated) GIF, compositing partial
+    * frames onto the running canvas at their declared offsets (disposal
+    * "none" semantics — what our encoder and typical web GIFs use) and
+    * reading per-frame delays from the GraphicControlExtension (stored in
+    * centiseconds; 0 is normalized to 100 ms like browsers do).
+    */
+  def decodeGifFrames(bytes: Array[Byte]): FrameSeq = {
+    import javax.imageio.ImageIO
+    val in = ImageIO.createImageInputStream(new java.io.ByteArrayInputStream(bytes))
+    try {
+      val readers = ImageIO.getImageReaders(in)
+      require(readers.hasNext, "no GIF reader")
+      val r = readers.next()
+      try {
+        r.setInput(in)
+        val n = r.getNumImages(true)
+        require(n > 0, "empty GIF")
+        val first = r.read(0)
+        // canvas from the logical screen (stream metadata) when present,
+        // else the first frame's size
+        var cw = first.getWidth; var ch = first.getHeight
+        val sm = r.getStreamMetadata
+        if (sm != null) {
+          val tree = sm.getAsTree("javax_imageio_gif_stream_1.0")
+        val kids = tree.getChildNodes
+          var i = 0
+          while (i < kids.getLength) {
+            val k = kids.item(i)
+            if (k.getNodeName == "LogicalScreenDescriptor") {
+              val at = k.getAttributes
+              cw = at.getNamedItem("logicalScreenWidth").getNodeValue.toInt
+              ch = at.getNamedItem("logicalScreenHeight").getNodeValue.toInt
+            }
+            i += 1
+          }
+        }
+        val canvas = new java.awt.image.BufferedImage(cw, ch,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = canvas.createGraphics()
+        val frames = new Array[ImageRgb](n)
+        val delays = new Array[Int](n)
+        var f = 0
+        while (f < n) {
+          val img = if (f == 0) first else r.read(f)
+          var ox = 0; var oy = 0; var delayCs = 10
+          val md = r.getImageMetadata(f)
+          if (md != null) {
+            val tree = md.getAsTree("javax_imageio_gif_image_1.0")
+            val kids = tree.getChildNodes
+            var i = 0
+            while (i < kids.getLength) {
+              val k = kids.item(i)
+              k.getNodeName match {
+                case "ImageDescriptor" =>
+                  val at = k.getAttributes
+                  ox = at.getNamedItem("imageLeftPosition").getNodeValue.toInt
+                  oy = at.getNamedItem("imageTopPosition").getNodeValue.toInt
+                case "GraphicControlExtension" =>
+                  delayCs = k.getAttributes.getNamedItem("delayTime").getNodeValue.toInt
+                case _ =>
+              }
+              i += 1
+            }
+          }
+          g.drawImage(img, ox, oy, null)
+          val argb = canvas.getRGB(0, 0, cw, ch, null, 0, cw)
+          val rgb = new Array[Byte](cw * ch * 3)
+          var i = 0
+          while (i < argb.length) {
+            val p = argb(i)
+            rgb(i * 3) = ((p >> 16) & 0xff).toByte
+            rgb(i * 3 + 1) = ((p >> 8) & 0xff).toByte
+            rgb(i * 3 + 2) = (p & 0xff).toByte
+            i += 1
+          }
+          frames(f) = ImageRgb(cw, ch, rgb)
+          delays(f) = if (delayCs <= 0) 100 else delayCs * 10
+          f += 1
+        }
+        g.dispose()
+        FrameSeq(cw, ch, frames, delays)
+      } finally r.dispose()
+    } finally in.close()
+  }
+
+  /** Encode an animated GIF (one global delay, in ms — quantized to the
+    * format's centisecond grid) through ImageIO's sequence writer, setting
+    * each frame's GraphicControlExtension delay.
+    */
+  def encodeAnimatedGif(frames: Seq[ImageRgb], delayMs: Int): Array[Byte] = {
+    import javax.imageio.{IIOImage, ImageIO, ImageTypeSpecifier}
+    require(frames.nonEmpty, "need at least one frame")
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(out)
+      val bi0 = toBuffered(frames.head)
+      val typeSpec = ImageTypeSpecifier.createFromRenderedImage(bi0)
+      writer.prepareWriteSequence(null)
+      for (fr <- frames) {
+        val bi = toBuffered(fr)
+        val md = writer.getDefaultImageMetadata(typeSpec, writer.getDefaultWriteParam)
+        val fmt = "javax_imageio_gif_image_1.0"
+        val tree = md.getAsTree(fmt).asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+        val gce = {
+          val kids = tree.getChildNodes
+          var found: javax.imageio.metadata.IIOMetadataNode = null
+          var i = 0
+          while (i < kids.getLength) {
+            if (kids.item(i).getNodeName == "GraphicControlExtension")
+              found = kids.item(i).asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+            i += 1
+          }
+          if (found == null) {
+            found = new javax.imageio.metadata.IIOMetadataNode("GraphicControlExtension")
+            tree.appendChild(found)
+          }
+          found
+        }
+        gce.setAttribute("disposalMethod", "none")
+        gce.setAttribute("userInputFlag", "FALSE")
+        gce.setAttribute("transparentColorFlag", "FALSE")
+        gce.setAttribute("transparentColorIndex", "0")
+        gce.setAttribute("delayTime", math.max(1, delayMs / 10).toString)
+        md.setFromTree(fmt, tree)
+        writer.writeToSequence(new IIOImage(bi, null, md), writer.getDefaultWriteParam)
+      }
+      writer.endWriteSequence()
+    } finally { writer.dispose(); out.close() }
+    bos.toByteArray
+  }
+
+  private def toBuffered(img: ImageRgb): java.awt.image.BufferedImage = {
+    val bi = new java.awt.image.BufferedImage(
+      img.width, img.height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val argb = new Array[Int](img.width * img.height)
+    var i = 0
+    while (i < argb.length) {
+      argb(i) = ((img.rgb(i * 3) & 0xff) << 16) | ((img.rgb(i * 3 + 1) & 0xff) << 8) |
+        (img.rgb(i * 3 + 2) & 0xff)
+      i += 1
+    }
+    bi.setRGB(0, 0, img.width, img.height, argb, 0, img.width)
+    bi
   }
 
   // -------------------------------------------------- feature extraction

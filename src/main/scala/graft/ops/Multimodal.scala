@@ -7,12 +7,13 @@ import org.apache.spark.sql.functions._
   * opaque `binary` columns with typed metadata structs. The Spark-side
   * plumbing — schemas, partition-parallel decode, bounded-memory batch
   * iteration, frame sampling — is real and tested. The codec step is REAL
-  * for the self-contained formats ([[MediaCodec]]: PPM/BMP images, PCM WAV
-  * audio — pure JVM, no external libraries), including perceptual hashing
-  * (dHash) for image near-dup; payloads in formats needing container-absent
-  * libraries (JPEG/H.264) fall back to the deterministic `FakeCodec` stub —
-  * swapping in a real codec there is replacing one pure function inside the
-  * `mapPartitions`.
+  * for every common web image format (JPEG/PNG/GIF/TIFF via the JDK's own
+  * ImageIO plugins; PPM/BMP via hand-rolled pure-JVM decoders) and for
+  * WAV/AIFF audio (RIFF walk resp. javax.sound) — see [[MediaCodec]] —
+  * including perceptual hashing (dHash) for image near-dup. Only payloads
+  * in formats whose codecs the JVM genuinely lacks (H.264-class video)
+  * fall back to the deterministic `FakeCodec` stub — swapping in a real
+  * codec there is replacing one pure function inside the `mapPartitions`.
   */
 object Multimodal {
 
@@ -78,16 +79,22 @@ object Multimodal {
           md.reset()
           val digest = md.digest(bytes).map("%02x".format(_)).mkString
           MediaCodec.sniff(bytes) match {
-            case Some("image/ppm") =>
-              val img = MediaCodec.decodePpm(bytes)
-              MediaMeta(id, "image", bytes.length.toLong, img.width, img.height, 0L, digest)
-            case Some("image/bmp") =>
-              val img = MediaCodec.decodeBmp(bytes)
+            case Some("image/gif") if MediaCodec.gifFrameCount(bytes) > 1 =>
+              // animated GIF = the REAL video modality: canvas dims + summed
+              // frame delays, decoded by the JDK's own GIF plugin
+              val seq = MediaCodec.decodeGifFrames(bytes)
+              MediaMeta(id, "video", bytes.length.toLong, seq.width, seq.height,
+                seq.durationMs, digest)
+            case Some(m) if MediaCodec.isImage(m) =>
+              val img = MediaCodec.decodeImage(bytes)
               MediaMeta(id, "image", bytes.length.toLong, img.width, img.height, 0L, digest)
             case Some("audio/wav") =>
               val pcm = MediaCodec.decodeWav(bytes)
               MediaMeta(id, "audio", bytes.length.toLong, 0, 0, pcm.durationMs, digest)
-            case _ => // container-absent codec: deterministic stub
+            case Some("audio/aiff") =>
+              val pcm = MediaCodec.decodeJavaxAudio(bytes)
+              MediaMeta(id, "audio", bytes.length.toLong, 0, 0, pcm.durationMs, digest)
+            case _ => // container-absent codec (e.g. H.264 video): deterministic stub
               val kind = FakeCodec.sniffKind(bytes)
               val (w, h, dur) = FakeCodec.decodeMeta(bytes)
               MediaMeta(id, kind, bytes.length.toLong, w, h, dur, digest)
@@ -108,8 +115,8 @@ object Multimodal {
       .mapPartitions { it =>
         it.flatMap { case (id, bytes) =>
           MediaCodec.sniff(bytes) match {
-            case Some("image/ppm") => Some((id, MediaCodec.dHash(MediaCodec.decodePpm(bytes))))
-            case Some("image/bmp") => Some((id, MediaCodec.dHash(MediaCodec.decodeBmp(bytes))))
+            case Some(m) if MediaCodec.isImage(m) =>
+              Some((id, MediaCodec.dHash(MediaCodec.decodeImage(bytes))))
             case _ => None
           }
         }
@@ -133,27 +140,51 @@ object Multimodal {
             case Some("audio/wav") =>
               val rms = MediaCodec.rmsWindows(MediaCodec.decodeWav(bytes), windowMs)
               Some((id, rms.length.toLong, if (rms.isEmpty) 0.0 else rms(0)))
+            case Some("audio/aiff") =>
+              val rms = MediaCodec.rmsWindows(MediaCodec.decodeJavaxAudio(bytes), windowMs)
+              Some((id, rms.length.toLong, if (rms.isEmpty) 0.0 else rms(0)))
             case _ => None
           }
         }
       }.toDF("doc_id", "n_windows", "rms")
   }
 
-  /** Frame sampling: one row per sampled frame, `fps`-spaced over the fake
-    * duration — the explode-style fan-out a video pipeline needs, bounded by
-    * maxFrames per doc to keep rows/task predictable.
+  /** Frame sampling: one row per sampled frame, `everyMs`-spaced over the
+    * clip, bounded by `maxFrames` per doc to keep rows/task predictable —
+    * the explode-style fan-out a video pipeline needs. REAL for animated
+    * GIF (the JVM's native multi-frame container): each sample timestamp
+    * picks the frame on screen at that instant and emits its decoded RGB
+    * as a bounded `thumbSize`×`thumbSize` nearest-resize thumbnail.
+    * Container-absent codecs (H.264-class) fall back to the FakeCodec stub.
     */
   def sampleFrames(spark: SparkSession, docsWithMedia: DataFrame,
-      everyMs: Long = 10000L, maxFrames: Int = 4): Dataset[Frame] = {
+      everyMs: Long = 10000L, maxFrames: Int = 4, thumbSize: Int = 16): Dataset[Frame] = {
     import spark.implicits._
     docsWithMedia.select(col("doc_id").cast("long"), col("media"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.flatMap { case (id, bytes) =>
-          val (_, _, dur) = FakeCodec.decodeMeta(bytes)
-          val n = math.min(maxFrames, math.max(1, (dur / everyMs).toInt))
-          (0 until n).iterator.map { f =>
-            Frame(id, f, f * everyMs, FakeCodec.sampleFrame(bytes, f))
+          MediaCodec.sniff(bytes) match {
+            case Some("image/gif") if MediaCodec.gifFrameCount(bytes) > 1 =>
+              val seq = MediaCodec.decodeGifFrames(bytes)
+              val n = math.min(maxFrames.toLong,
+                math.max(1L, (seq.durationMs + everyMs - 1) / everyMs)).toInt
+              (0 until n).iterator.map { f =>
+                val ts = f * everyMs
+                // frame on screen at ts: first frame whose cumulative end > ts
+                var idx = 0; var acc = 0L
+                while (idx < seq.frames.length - 1 && acc + seq.delaysMs(idx) <= ts) {
+                  acc += seq.delaysMs(idx); idx += 1
+                }
+                val thumb = MediaCodec.resizeNearest(seq.frames(idx), thumbSize, thumbSize)
+                Frame(id, f, ts, thumb.rgb)
+              }
+            case _ =>
+              val (_, _, dur) = FakeCodec.decodeMeta(bytes)
+              val n = math.min(maxFrames, math.max(1, (dur / everyMs).toInt))
+              (0 until n).iterator.map { f =>
+                Frame(id, f, f * everyMs, FakeCodec.sampleFrame(bytes, f))
+              }
           }
         }
       }

@@ -68,10 +68,12 @@ object OracleSql {
   /** attrs.meta.opt is present exactly when n_chars % 3 = 0. */
   val searchExists: String =
     "SELECT doc_id FROM documents WHERE n_chars % 3 = 0"
-  /** q_media_meta synthesis contract: every 3rd doc a WAV of
-    * (200 + doc_id % 800) ms, the rest PPMs sized
-    * (16 + doc_id % 16) x (8 + doc_id % 8) — the Spark side REALLY decodes
-    * the generated containers, the oracle just recomputes the arithmetic.
+  /** q_media_meta synthesis contract: every 3rd doc audio of
+    * (200 + doc_id % 800) ms (WAV/AIFF alternating), the rest images sized
+    * (16 + doc_id % 16) x (8 + doc_id % 8) in containers rotating over
+    * PPM/PNG/JPEG/BMP — the Spark side REALLY decodes every container
+    * (ImageIO for PNG/JPEG, javax.sound for AIFF, hand-rolled for the
+    * rest), the oracle just recomputes the arithmetic.
     */
   val mediaMeta: String =
     "SELECT doc_id, " +
@@ -82,7 +84,8 @@ object OracleSql {
       "FROM documents"
 
   /** q_image_dedup synthesis contract: identical class (doc_id % 7) ->
-    * byte-identical PPM -> identical dHash; canonical = min doc_id of the
+    * byte-identical image (container PPM/PNG/JPEG/BMP by cls % 4) ->
+    * identical dHash even under lossy JPEG; canonical = min doc_id of the
     * class. The Spark side earns these rows by really decoding and hashing.
     */
   val imageDedup: String =
@@ -97,6 +100,17 @@ ON d.doc_id % 7 = c.cls"""
   val audioEnergy: String =
     """SELECT doc_id, CAST(ceil((200 + doc_id % 800) / 100.0) AS BIGINT) AS n_windows,
 CAST(100 + doc_id % 900 AS DOUBLE) AS rms FROM documents"""
+
+  /** q_video_frames synthesis contract: an animated GIF of (2 + doc_id % 4)
+    * constant-color 250 ms frames, frame f's red = (doc_id + 40*f) % 256.
+    * Sampling every 250 ms capped at 8 frames lands exactly on each frame,
+    * so the oracle is one row per (doc, frame) of pure arithmetic — but the
+    * Spark side earns it by really walking the GIF frame sequence, parsing
+    * the GraphicControlExtension delays, and decoding the pixels.
+    */
+  val videoFrames: String =
+    """SELECT doc_id, f AS frame_idx, f * 250 AS ts_ms, (doc_id + 40 * f) % 256 AS red
+FROM (SELECT doc_id, unnest(generate_series(CAST(0 AS BIGINT), 1 + doc_id % 4)) AS f FROM documents)"""
 
   /** ip = 10.(doc_id div 256 % 256).(doc_id % 256).7 unless doc_id % 9 = 0
     * (v6, outside the v4 window); [10.0.100.0, 10.1.200.255] therefore holds

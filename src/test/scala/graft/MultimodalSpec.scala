@@ -86,6 +86,108 @@ class MultimodalSpec extends AnyFunSuite {
     assert(ham(hA, MediaCodec.dHash(b)) > 24)
   }
 
+  test("JPEG/PNG/GIF/TIFF decode via the JDK ImageIO plugins") {
+    val img = gradient(17, 9) // 153 pixels -> <=256 distinct colors, GIF palette lossless
+    def ham(x: Long, y: Long): Int = java.lang.Long.bitCount(x ^ y)
+    val hRef = MediaCodec.dHash(img)
+    // lossless formats: bit-exact RGB back out
+    for (fmt <- Seq("png", "gif", "tiff")) {
+      val enc = MediaCodec.encodeJavax(img, fmt)
+      assert(MediaCodec.sniff(enc).contains(s"image/$fmt"), s"sniff $fmt")
+      val dec = MediaCodec.decodeImage(enc)
+      assert(dec.width == 17 && dec.height == 9, fmt)
+      assert(dec.rgb.toSeq == img.rgb.toSeq, s"$fmt roundtrip not lossless")
+    }
+    // ImageIO's own BMP writer emits 24-bit BI_RGB our hand decoder reads
+    val bmp = MediaCodec.encodeJavax(img, "bmp")
+    assert(MediaCodec.sniff(bmp).contains("image/bmp"))
+    assert(MediaCodec.decodeImage(bmp).rgb.toSeq == img.rgb.toSeq)
+    // JPEG is lossy: dimensions exact, pixels close, perceptual hash near
+    val jpg = MediaCodec.encodeJavax(img, "jpg")
+    assert(MediaCodec.sniff(jpg).contains("image/jpeg"))
+    val dj = MediaCodec.decodeImage(jpg)
+    assert(dj.width == 17 && dj.height == 9)
+    assert(ham(hRef, MediaCodec.dHash(dj)) <= 12, "JPEG dHash drifted too far")
+    // determinism: same input -> same encoded bytes -> same decode
+    assert(MediaCodec.encodeJavax(img, "jpg").toSeq == jpg.toSeq)
+  }
+
+  test("AIFF decode via javax.sound matches the PCM source") {
+    val samples = Array.tabulate(4000)(i => (math.sin(i * 0.03) * 9000).toShort)
+    val aiff = MediaCodec.encodeAiff(WavPcm(8000, 1, samples))
+    assert(MediaCodec.sniff(aiff).contains("audio/aiff"))
+    val d = MediaCodec.decodeJavaxAudio(aiff)
+    assert(d.sampleRate == 8000 && d.channels == 1)
+    assert(d.samples.toSeq == samples.toSeq)
+    assert(d.durationMs == 500L)
+  }
+
+  test("animated GIF: encode/decode frame sequence with delays; real frame sampling") {
+    // 4 constant-color frames, 250 ms each
+    def flat(r: Int, g: Int, b: Int): ImageRgb = {
+      val rgb = new Array[Byte](20 * 10 * 3)
+      var i = 0
+      while (i < rgb.length) { rgb(i) = r.toByte; rgb(i+1) = g.toByte; rgb(i+2) = b.toByte; i += 3 }
+      ImageRgb(20, 10, rgb)
+    }
+    val frames = Seq(flat(10, 20, 30), flat(80, 20, 30), flat(150, 20, 30), flat(220, 20, 30))
+    val gif = MediaCodec.encodeAnimatedGif(frames, delayMs = 250)
+    assert(MediaCodec.sniff(gif).contains("image/gif"))
+    assert(MediaCodec.gifFrameCount(gif) == 4)
+    val seq = MediaCodec.decodeGifFrames(gif)
+    assert(seq.width == 20 && seq.height == 10)
+    assert(seq.delaysMs.toSeq == Seq(250, 250, 250, 250) && seq.durationMs == 1000L)
+    for ((f, i) <- seq.frames.zipWithIndex)
+      assert(f.rgb.toSeq == frames(i).rgb.toSeq, s"frame $i not lossless")
+    // single-frame GIF stays an image (not video) in extractMeta
+    val still = MediaCodec.encodeJavax(flat(5, 6, 7), "gif")
+    assert(MediaCodec.gifFrameCount(still) == 1)
+
+    // through Spark: video kind + duration in extractMeta, real sampled thumbs
+    import spark.implicits._
+    val df = Seq((1L, gif), (2L, still)).toDF("doc_id", "media")
+    val meta = Multimodal.extractMeta(spark, df).collect().sortBy(_.doc_id)
+    assert(meta(0).kind == "video" && meta(0).durationMs == 1000L &&
+      meta(0).width == 20 && meta(0).height == 10)
+    assert(meta(1).kind == "image")
+    val sampled = Multimodal.sampleFrames(spark, df.where($"doc_id" === 1L),
+      everyMs = 250L, maxFrames = 8).collect().sortBy(_.frameIdx)
+    assert(sampled.length == 4)
+    for ((fr, i) <- sampled.zipWithIndex) {
+      assert(fr.ts_ms == i * 250L && fr.pixels.length == 16 * 16 * 3)
+      assert((fr.pixels(0) & 0xff) == Seq(10, 80, 150, 220)(i), s"sample $i wrong frame")
+    }
+  }
+
+  test("mixed-format corpus through Spark: ImageIO images + AIFF audio") {
+    import spark.implicits._
+    val rows = (0L until 40L).map { i =>
+      val media = (i % 4) match {
+        case 0 => MediaCodec.encodeJavax(gradient(20 + (i % 5).toInt, 10), "png")
+        case 1 => MediaCodec.encodeJavax(gradient(20 + (i % 5).toInt, 10), "jpg")
+        case 2 => MediaCodec.encodeAiff(WavPcm(8000, 1, new Array[Short]((300 + i.toInt) * 8)))
+        case _ => MediaCodec.encodePpm(gradient(20 + (i % 5).toInt, 10))
+      }
+      (i, media)
+    }
+    val df = rows.toDF("doc_id", "media")
+    val meta = Multimodal.extractMeta(spark, df).collect().sortBy(_.doc_id)
+    meta.foreach { m =>
+      if (m.doc_id % 4 == 2) assert(m.kind == "audio" && m.durationMs == 300 + m.doc_id)
+      else assert(m.kind == "image" && m.width == 20 + (m.doc_id % 5) && m.height == 10)
+    }
+    // every image format lands a dHash row; PNG and PPM of the same gradient collide
+    val hashes = Multimodal.imageHashes(spark, df).as[(Long, Long)].collect().toMap
+    assert(hashes.keySet == (0L until 40L).filter(_ % 4 != 2).toSet)
+    val pngOf = hashes.filter(_._1 % 4 == 0)
+    val ppmOf = hashes.filter(_._1 % 4 == 3)
+    for ((i, h) <- pngOf; (j, g) <- ppmOf if i % 5 == j % 5)
+      assert(h == g, s"lossless PNG($i) vs PPM($j) dHash must match")
+    // AIFF flows through the audio-energy pass
+    val energy = Multimodal.audioEnergy(spark, df).collect()
+    assert(energy.length == 10 && energy.forall(_.getLong(1) > 0))
+  }
+
   test("real decode path through Spark: mixed PPM/WAV corpus, imageHashes") {
     import spark.implicits._
     val rows = (0L until 60L).map { i =>
