@@ -473,7 +473,10 @@ object SparkEntry {
     // decoded dimensions/durations from doc_id arithmetic
     "q_media_meta" -> ((s, d) => {
       val mediaUdf = udf((id: Long) => mediaFor(id)) // synthesis scaffolding, not a hot path
-      val withMedia = docs(s, d).withColumn("media", mediaUdf(col("doc_id")))
+      // repartition: the small documents parquet is one split; fan the
+      // encode+decode out (real corpora bring their own splits)
+      val withMedia = docs(s, d).repartition(s.sparkContext.defaultParallelism)
+        .withColumn("media", mediaUdf(col("doc_id")))
       graft.ops.Multimodal.extractMeta(s, withMedia).toDF()
         .select(col("doc_id"), col("kind"),
           col("width").cast("long").as("width"),
@@ -486,7 +489,8 @@ object SparkEntry {
     // merges clusters and goes red
     "q_image_dedup" -> ((s, d) => {
       val mUdf = udf((id: Long) => imageFor(id))
-      val withMedia = docs(s, d).withColumn("media", mUdf(col("doc_id")))
+      val withMedia = docs(s, d).repartition(s.sparkContext.defaultParallelism)
+        .withColumn("media", mUdf(col("doc_id")))
       val hashes = graft.ops.Multimodal.imageHashes(s, withMedia)
       val canon = hashes.groupBy("dhash").agg(min("doc_id").as("canonical_id"))
       hashes.join(canon, "dhash").select(col("doc_id"), col("canonical_id"))
@@ -495,7 +499,8 @@ object SparkEntry {
     // integer-exact so the oracle is pure doc_id arithmetic
     "q_audio_energy" -> ((s, d) => {
       val mUdf = udf((id: Long) => audioFor(id))
-      val withMedia = docs(s, d).withColumn("media", mUdf(col("doc_id")))
+      val withMedia = docs(s, d).repartition(s.sparkContext.defaultParallelism)
+        .withColumn("media", mUdf(col("doc_id")))
       graft.ops.Multimodal.audioEnergy(s, withMedia, windowMs = 100)
     }),
     // REAL video decode: each doc carries an animated GIF of
@@ -506,7 +511,11 @@ object SparkEntry {
     "q_video_frames" -> ((s, d) => {
       import s.implicits._
       val mUdf = udf((id: Long) => videoFor(id))
-      val withMedia = docs(s, d).withColumn("media", mUdf(col("doc_id")))
+      // the small documents parquet is one split — fan the per-doc GIF
+      // encode+decode out across the cluster (at real corpus sizes the
+      // input's own splits provide this)
+      val withMedia = docs(s, d).repartition(s.sparkContext.defaultParallelism)
+        .withColumn("media", mUdf(col("doc_id")))
       graft.ops.Multimodal.sampleFrames(s, withMedia, everyMs = 250L, maxFrames = 8)
         .map(fr => (fr.doc_id, fr.frameIdx.toLong, fr.ts_ms, (fr.pixels(0) & 0xff).toLong))
         .toDF("doc_id", "frame_idx", "ts_ms", "red")

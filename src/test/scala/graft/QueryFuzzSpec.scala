@@ -61,6 +61,11 @@ class QueryFuzzSpec extends AnyFunSuite {
         !nots.exists(matches(_, toks)) &&
         shoulds.count(matches(_, toks)) >= msm &&
         (musts.nonEmpty || shoulds.nonEmpty)
+    case Query.Fuzzy(_, t, d, false, osa) =>
+      toks.exists(tk => editDist(t, tk.text, osa) <= d)
+    case Query.Regexp(_, p) =>
+      val pat = java.util.regex.Pattern.compile(p)
+      toks.exists(tk => pat.matcher(tk.text).matches())
     case Query.DisjunctionMax(ds, _) => ds.exists(matches(_, toks))
     case Query.Boost(inner, _) => matches(inner, toks)
     case Query.ConstScore(inner, _) => matches(inner, toks)
@@ -69,13 +74,48 @@ class QueryFuzzSpec extends AnyFunSuite {
     case other => throw new IllegalArgumentException(s"fuzz generator produced $other")
   }
 
+  /** Independent edit distance (plain Levenshtein, or OSA when `osa` —
+    * restricted Damerau, transpositions cost 1). Deliberately NOT the
+    * engine's `Searcher.osaDistance`: a textbook DP reimplementation so the
+    * fuzz check stays two-sided.
+    */
+  private def editDist(a: String, b: String, osa: Boolean): Int = {
+    val m = a.length; val n = b.length
+    val d = Array.ofDim[Int](m + 1, n + 1)
+    var i = 0
+    while (i <= m) { d(i)(0) = i; i += 1 }
+    var j = 0
+    while (j <= n) { d(0)(j) = j; j += 1 }
+    i = 1
+    while (i <= m) {
+      j = 1
+      while (j <= n) {
+        val cost = if (a(i - 1) == b(j - 1)) 0 else 1
+        var v = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1), d(i - 1)(j - 1) + cost)
+        if (osa && i > 1 && j > 1 && a(i - 1) == b(j - 2) && a(i - 2) == b(j - 1))
+          v = math.min(v, d(i - 2)(j - 2) + 1)
+        d(i)(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    d(m)(n)
+  }
+
   // ---- generator --------------------------------------------------------
 
   private val commonTerms = Seq("alpha", "beta", "gamma", "delta", "the", "fast")
   private val rareTerms = (0 to 400 by 37).map(i => f"w$i%05d")
   private val prefixes = Seq("alph", "bet", "gam", "w0001", "w0024")
 
-  private def genLeaf(rnd: scala.util.Random): Query = rnd.nextInt(6) match {
+  private val regexPats = Seq(
+    "w000[0-9]{2}",          // 100-term dictionary band
+    "w0001[0-9]",            // 10-term band
+    "alph?a",                // optional char
+    "(alpha|beta|gamma)",    // alternation (no literal prefix to push)
+    "w00.4[0-9]")            // wildcard mid-pattern
+
+  private def genLeaf(rnd: scala.util.Random): Query = rnd.nextInt(8) match {
     case 0 => Query.Term("text", commonTerms(rnd.nextInt(commonTerms.size)))
     case 1 => Query.Term("text", rareTerms(rnd.nextInt(rareTerms.size)))
     case 2 => Query.Prefix("text", prefixes(rnd.nextInt(prefixes.size)))
@@ -93,6 +133,17 @@ class QueryFuzzSpec extends AnyFunSuite {
       if (run.size >= 2 && run.zipWithIndex.forall { case (t, i) => t.position == run.head.position + i })
         Query.Phrase("text", run.map(_.text).toSeq)
       else Query.Term("text", toks(rnd.nextInt(toks.size)).text)
+    case 5 =>
+      // fuzzy around a live term, sometimes mutated off-dictionary; distance
+      // stays 1 so the dictionary expansion is far under the 1024 cap
+      val base = if (rnd.nextBoolean()) commonTerms(rnd.nextInt(commonTerms.size))
+                 else rareTerms(rnd.nextInt(rareTerms.size))
+      val t = if (rnd.nextBoolean() && base.length > 2) {
+        val i = 1 + rnd.nextInt(base.length - 1)
+        base.updated(i, if (base(i) == 'x') 'y' else 'x')
+      } else base
+      Query.Fuzzy("text", t, distance = 1, transpositionCostOne = rnd.nextBoolean())
+    case 6 => Query.Regexp("text", regexPats(rnd.nextInt(regexPats.size)))
     case _ => Query.Term("text", commonTerms(rnd.nextInt(commonTerms.size)))
   }
 
