@@ -367,32 +367,119 @@ object PipelineOps {
     */
   /** IVF coarse-quantizer ANN — the clustering-based scale path (the IVF
     * stage of Jégou et al., "Product Quantization for Nearest Neighbor
-    * Search", TPAMI 2011, without the PQ residual codes): seeded Spark ML
-    * k-means over L2-NORMALIZED vectors (spherical k-means, so centroid L2
-    * distance is monotone with cosine), every vector assigned to its nearest
-    * centroid's inverted list, and a query exact-verifies ONLY the `nprobe`
-    * nearest centroids' lists. At 100 TB: train on a sample, write the
-    * assignment bucketed by `cluster` — the probe becomes a partition-pruned
-    * scan of nprobe/nCentroids of the data; centroids stay driver-tiny.
+    * Search", TPAMI 2011, without the PQ residual codes): spherical k-means
+    * over L2-NORMALIZED vectors (so centroid L2 distance is monotone with
+    * cosine), every vector assigned to its nearest centroid's inverted
+    * list, and a query exact-verifies ONLY the `nprobe` nearest centroids'
+    * lists.
+    *
+    * The coarse quantizer trains DRIVER-SIDE on a bounded, deterministically
+    * drawn sample (seeded Lloyd's) — the standard IVF practice (FAISS trains
+    * its quantizer on a ≤256·k sample in memory): one TakeOrdered sample
+    * job instead of per-iteration cluster jobs, identical at 100 TB because
+    * the sample bound doesn't grow with the corpus. Assignment of the full
+    * table is one broadcast-centroids `mapPartitions` pass (primitive
+    * arrays, no shuffle). At 100 TB: write the assignment bucketed by
+    * `cluster` — the probe becomes a partition-pruned scan of
+    * nprobe/nCentroids of the data; centroids stay driver-tiny.
     * Returns (assignments(vec_id, cluster), centroids).
     */
   def ivfAssignments(embeddings: DataFrame, nCentroids: Int,
-      seed: Long = 20260818L): (DataFrame, Array[Array[Double]]) = {
-    import org.apache.spark.ml.clustering.KMeans
+      seed: Long = 20260818L, maxTrainSample: Int = 16384): (DataFrame, Array[Array[Double]]) = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
     val v = col("embedding").cast("array<double>")
     val norm = sqrt(aggregate(v, lit(0.0), (acc, x) => acc + x * x))
-    val feat = embeddings.select(col("vec_id"),
-      org.apache.spark.ml.functions.array_to_vector(
-        transform(v, x => x / norm)).as("features"))
-    // random init (seeded) over k-means||: skips init's extra passes — with
-    // the exact-verify stage downstream, coarse centroids only steer recall,
-    // and the recall gate (SimilaritySpec) holds at this setting. Training
-    // is once-per-corpus in production (assignments persist bucketed), not
-    // per query.
-    val model = new KMeans().setK(nCentroids).setSeed(seed)
-      .setInitMode("random").setMaxIter(6).fit(feat)
-    val assigned = model.transform(feat).select(col("vec_id"), col("prediction").as("cluster"))
-    (assigned, model.clusterCenters.map(_.toArray))
+    val normed = embeddings.select(col("vec_id").cast("long").as("vec_id"),
+      transform(v, x => x / norm).as("nv"))
+    // deterministic sample: top-maxTrainSample by vector-id hash (TakeOrdered
+    // — per-partition top-k + driver merge, no full shuffle)
+    val sample: Array[Array[Double]] = normed
+      .orderBy(xxhash64(col("vec_id"))).limit(maxTrainSample)
+      .select("nv").as[Seq[Double]].collect().map(_.toArray)
+    val centers = sphericalLloyd(sample, nCentroids, seed, iters = 10)
+    val bc = spark.sparkContext.broadcast(centers)
+    val assigned = normed.as[(Long, Seq[Double])].mapPartitions { it =>
+      val cs = bc.value
+      it.map { case (id, nv) =>
+        val x = nv.toArray
+        var best = 0
+        var bestD = Double.MaxValue
+        var c = 0
+        while (c < cs.length) {
+          val cc = cs(c)
+          var s = 0.0
+          var i = 0
+          while (i < x.length) { val d = cc(i) - x(i); s += d * d; i += 1 }
+          if (s < bestD) { bestD = s; best = c }
+          c += 1
+        }
+        (id, best)
+      }
+    }.toDF("vec_id", "cluster")
+    (assigned, centers)
+  }
+
+  /** Seeded Lloyd's iterations with spherical re-normalization of centroids
+    * (Dhillon & Modha, "Concept Decompositions for Large Sparse Text Data
+    * Using Clustering", ML 2001); empty clusters reseed to a random sample
+    * point. Pure driver compute over the bounded training sample.
+    */
+  private def sphericalLloyd(sample: Array[Array[Double]], k: Int, seed: Long,
+      iters: Int): Array[Array[Double]] = {
+    require(sample.nonEmpty, "empty training sample")
+    val rnd = new scala.util.Random(seed)
+    val n = sample.length
+    val dim = sample(0).length
+    val kk = math.min(k, n)
+    val centers = Array.fill(kk)(sample(rnd.nextInt(n)).clone())
+    val assign = new Array[Int](n)
+    var round = 0
+    while (round < iters) {
+      var i = 0
+      while (i < n) {
+        val x = sample(i)
+        var best = 0
+        var bestD = Double.MaxValue
+        var c = 0
+        while (c < kk) {
+          val cc = centers(c)
+          var s = 0.0
+          var j = 0
+          while (j < dim) { val d = cc(j) - x(j); s += d * d; j += 1 }
+          if (s < bestD) { bestD = s; best = c }
+          c += 1
+        }
+        assign(i) = best
+        i += 1
+      }
+      val sums = Array.ofDim[Double](kk, dim)
+      val cnt = new Array[Int](kk)
+      i = 0
+      while (i < n) {
+        val c = assign(i)
+        cnt(c) += 1
+        val x = sample(i)
+        var j = 0
+        while (j < dim) { sums(c)(j) += x(j); j += 1 }
+        i += 1
+      }
+      var c = 0
+      while (c < kk) {
+        if (cnt(c) == 0) centers(c) = sample(rnd.nextInt(n)).clone()
+        else {
+          var nrm = 0.0
+          var j = 0
+          while (j < dim) { sums(c)(j) /= cnt(c); nrm += sums(c)(j) * sums(c)(j); j += 1 }
+          nrm = math.sqrt(nrm)
+          if (nrm > 0) { j = 0; while (j < dim) { sums(c)(j) /= nrm; j += 1 } }
+          centers(c) = sums(c)
+        }
+        c += 1
+      }
+      round += 1
+    }
+    centers
   }
 
   /** ANN top-k through the IVF lists: rank centroids against the query on
