@@ -36,6 +36,11 @@ object MediaCodec {
       else samples.length.toLong * 1000L / (sampleRate.toLong * channels)
   }
 
+  // ImageIO's default stream cache spills every image stream to a temp FILE
+  // — pure overhead for in-memory payloads and a disk hotspot under 32
+  // concurrent decode tasks. Heap-backed streams instead.
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** Magic-byte sniff: Some(mime) for formats this codec really decodes.
     * JPEG/PNG/GIF/TIFF decode through the JDK's own ImageIO plugins
     * (java.desktop ships them — no external libraries), the rest are the

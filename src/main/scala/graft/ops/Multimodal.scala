@@ -79,12 +79,16 @@ object Multimodal {
           md.reset()
           val digest = md.digest(bytes).map("%02x".format(_)).mkString
           MediaCodec.sniff(bytes) match {
-            case Some("image/gif") if MediaCodec.gifFrameCount(bytes) > 1 =>
-              // animated GIF = the REAL video modality: canvas dims + summed
-              // frame delays, decoded by the JDK's own GIF plugin
+            case Some("image/gif") =>
+              // one parse decides: animated GIF = the REAL video modality
+              // (canvas dims + summed frame delays, decoded by the JDK's own
+              // GIF plugin); single-frame stays an image
               val seq = MediaCodec.decodeGifFrames(bytes)
-              MediaMeta(id, "video", bytes.length.toLong, seq.width, seq.height,
-                seq.durationMs, digest)
+              if (seq.frames.length > 1)
+                MediaMeta(id, "video", bytes.length.toLong, seq.width, seq.height,
+                  seq.durationMs, digest)
+              else
+                MediaMeta(id, "image", bytes.length.toLong, seq.width, seq.height, 0L, digest)
             case Some(m) if MediaCodec.isImage(m) =>
               val img = MediaCodec.decodeImage(bytes)
               MediaMeta(id, "image", bytes.length.toLong, img.width, img.height, 0L, digest)
@@ -165,8 +169,8 @@ object Multimodal {
       .mapPartitions { it =>
         it.flatMap { case (id, bytes) =>
           MediaCodec.sniff(bytes) match {
-            case Some("image/gif") if MediaCodec.gifFrameCount(bytes) > 1 =>
-              val seq = MediaCodec.decodeGifFrames(bytes)
+            case Some("image/gif") =>
+              val seq = MediaCodec.decodeGifFrames(bytes) // one parse: frames + delays
               val n = math.min(maxFrames.toLong,
                 math.max(1L, (seq.durationMs + everyMs - 1) / everyMs)).toInt
               (0 until n).iterator.map { f =>
