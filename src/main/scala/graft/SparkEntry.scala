@@ -33,7 +33,7 @@ object SparkEntry {
       // stale on-disk indexes whose derived columns (attrs/facet/ts) predate
       // the current shape
       val digest = java.security.MessageDigest.getInstance("MD5")
-        .digest((sfDir + "#in3").getBytes("UTF-8")).map("%02x".format(_)).mkString
+        .digest((sfDir + "#in4").getBytes("UTF-8")).map("%02x".format(_)).mkString
       val dir = s"/tmp/graft-index-$digest"
       val existing = graft.index.IndexManifest.read(spark, dir)
       if (existing.exists(_.version != graft.index.IndexManifest.FormatVersion)) {
@@ -58,6 +58,10 @@ object SparkEntry {
               concat(lit(", \"opt\": "), col("n_chars"))).otherwise(lit("")),
             lit("}}")))
           .withColumn("facet", concat(lit("/"), col("source"), lit("/"), col("lang")))
+          // second analyzed text field (multi-field schema): the doc's first
+          // three tokens — oracle-expressible as toks[1:3] in DuckDB
+          .withColumn("title",
+            expr(s"array_join(slice(${graft.ops.PipelineOps.TokensExprSpark}, 1, 3), ' ')"))
           // deterministic ip column: v4 from doc_id octets, every 9th doc v6
           .withColumn("ip", expr(
             "CASE WHEN doc_id % 9 = 0 THEN concat('2001:db8::', lower(hex(doc_id))) " +
@@ -66,6 +70,7 @@ object SparkEntry {
         IndexBuilder.build(spark, in, dir, IndexConfig(
           numPartitions = 4, keyField = "doc_id", textField = "text",
           langField = "lang", tsField = "warc_ts",
+          textFields = Seq("title"),
           longFields = Seq("n_chars", "ts_micros"),
           jsonFields = Seq("attrs"),
           ipFields = Seq("ip"),
@@ -177,6 +182,10 @@ object SparkEntry {
     // typed IP term range inside the engine (v6-mapped 128-bit order)
     "q_search_range_ip" -> ((s, d) => engineMatches(s, d,
       Query.ipRange("ip", Some("10.0.100.0"), Some("10.1.200.255")))),
+    // multi-TEXT-field schema: the title field (first 3 tokens) has its own
+    // postings/norms/stats; cross-field boolean mixes title and body terms
+    "q_search_multifield" -> ((s, d) => engineMatches(s, d,
+      Query.must(Query.Term("title", "spark"), Query.Term("text", "table")))),
     "q_count_matrix" -> ((s, d) => {
       import s.implicits._
       val sr = searcherFor(s, d)
@@ -628,6 +637,7 @@ object SparkEntry {
     "q_search_json_range" -> OracleSql.searchJsonRange,
     "q_search_exists" -> OracleSql.searchExists,
     "q_search_range_ip" -> OracleSql.searchRangeIp,
+    "q_search_multifield" -> OracleSql.searchMultifield,
     "q_search_disjmax" -> OracleSql.searchDisjMax,
     "q_search_msm" -> OracleSql.searchMsm,
     "q_search_boost" -> OracleSql.searchBoost,

@@ -21,6 +21,16 @@ final case class IndexConfig(
     numPartitions: Int,
     keyField: String = "url",
     textField: String = "text",
+    /** EXTRA analyzed text fields beyond [[textField]] — the reference's
+      * multi-TEXT-field schema (e.g. title + body,
+      * `src/schema/schema.rs` add_text_field): each gets its own postings
+      * with positions, its own fieldnorms row and its own BM25 length
+      * statistics, and is queryable by name in any engine query
+      * (`Query.Term("title", ...)`, phrases, boolean mixes across fields).
+      * All text fields share [[textAnalyzer]]; a doc with a null value
+      * simply lacks the field (norm 0, no postings).
+      */
+    textFields: Seq[String] = Nil,
     langField: String = "lang",
     tsField: String = "warc_ts",
     maxDocsPerSegment: Int = 1 << 21,
@@ -100,6 +110,7 @@ final case class IndexConfig(
 final case class InDoc(key: String, text: String, lang: String, ts: java.sql.Timestamp,
     longs: Map[String, Long], jsons: Map[String, String], facets: Map[String, String],
     preToks: Seq[String],
+    texts: Map[String, String] = null,
     ffLongs: Map[String, Long] = null, ffDoubles: Map[String, Double] = null,
     ffStrings: Map[String, String] = null,
     ffLongArrays: Map[String, Seq[Long]] = null,
@@ -189,6 +200,7 @@ object IndexBuilder {
         cfg.preTokenizedField
           .map(f => coalesce(col(f).cast("array<string>"), typedlit(Seq.empty[String])))
           .getOrElse(lit(null).cast("array<string>")).as("preToks"),
+        ffMap(cfg.textFields, "string").as("texts"),
         ffMap(cfg.fastLongFields, "bigint").as("ffLongs"),
         ffMap(cfg.fastDoubleFields, "double").as("ffDoubles"),
         ffMap(cfg.fastStringFields, "string").as("ffStrings"),
@@ -315,6 +327,11 @@ object IndexBuilder {
     val text = new java.util.HashMap[String, Acc]()
     val raw = new java.util.HashMap[(String, String), IntVec]()
     val json = new java.util.HashMap[(String, String), Acc]()
+    // extra analyzed text fields: own postings + own norms + own token totals
+    val extra = new java.util.HashMap[(String, String), Acc]()
+    val extraNorms: Map[String, Array[Byte]] =
+      cfg.textFields.map(f => f -> new Array[Byte](numDocs)).toMap
+    val extraTokens = new scala.collection.mutable.HashMap[String, Long]()
     @inline def accAdd(m: java.util.HashMap[(String, String), Acc], key: (String, String),
         docId: Int, position: Int, storePositions: Boolean): Unit = {
       var acc = m.get(key)
@@ -351,6 +368,17 @@ object IndexBuilder {
       }
       norms(docId) = graft.index.FieldNorms.fieldNormToId(toks.length.toLong)
       totalTokens += toks.length
+      // extra text fields: same analyzer chain, per-field postings + norms
+      if (d.texts != null) d.texts.foreach { case (f, v) =>
+        val ftoks = analyzerChain(v)
+        var j = 0
+        while (j < ftoks.length) {
+          accAdd(extra, (f, ftoks(j).text), docId, ftoks(j).position, cfg.storePositions)
+          j += 1
+        }
+        extraNorms(f)(docId) = graft.index.FieldNorms.fieldNormToId(ftoks.length.toLong)
+        extraTokens(f) = extraTokens.getOrElse(f, 0L) + ftoks.length
+      }
       // raw fields: whole value = one term (RawTokenizer); typed long fields:
       // one order-preserving encoded term per value
       Seq(cfg.keyField -> d.key, cfg.langField -> d.lang).foreach { case (f, v) =>
@@ -420,6 +448,20 @@ object IndexBuilder {
           enc.postings, enc.skip, enc.positions)
       }
     }
+    val extraRows = {
+      import scala.jdk.CollectionConverters._
+      extra.entrySet().asScala.toArray.sortBy(e => (e.getKey._1, e.getKey._2)).iterator.map { e =>
+        val (f, t) = e.getKey
+        val acc = e.getValue
+        val fn = extraNorms(f)
+        val enc = PostingsCodec.encode(
+          acc.docsV.toArray, acc.tfsV.toArray,
+          if (cfg.storePositions) acc.posV.toArray else null,
+          dd => fn(dd), withFreqs = true)
+        postingsBytes += enc.postings.length + enc.skip.length + enc.positions.length
+        PostingRow(segId, f, t, enc.docFreq, enc.totalTf, enc.postings, enc.skip, enc.positions)
+      }
+    }
     val rawRows = {
       import scala.jdk.CollectionConverters._
       raw.entrySet().asScala.toArray.sortBy(e => (e.getKey._1, e.getKey._2)).iterator.map { e =>
@@ -450,15 +492,19 @@ object IndexBuilder {
         d.ffLongArrays, d.ffStringArrays)
     }
     // buffer rows (they must be fully computed before t1 anyway for metrics)
-    val body = (docRows ++ textRows ++ rawRows ++ jsonRows).toArray
+    val body = (docRows ++ textRows ++ extraRows ++ rawRows ++ jsonRows).toArray
     val t1 = System.currentTimeMillis()
     val normsRow = PostingRow(segId, PostingRow.NormsField, cfg.textField,
       numDocs, totalTokens, norms, Array.emptyByteArray, Array.emptyByteArray)
+    val extraNormsRows = cfg.textFields.map { f =>
+      PostingRow(segId, PostingRow.NormsField, f, numDocs, extraTokens.getOrElse(f, 0L),
+        extraNorms(f), Array.emptyByteArray, Array.emptyByteArray)
+    }
     val statsJson = s"buildMillis:${math.max(t1 - t0, 1)},postingsBytes:$postingsBytes,mergeFanIn:1"
     val statsRow = PostingRow(segId, PostingRow.StatsField, "",
       numDocs, totalTokens, statsJson.getBytes(java.nio.charset.StandardCharsets.UTF_8),
       Array.emptyByteArray, Array.emptyByteArray)
-    body.iterator ++ Iterator(normsRow, statsRow)
+    body.iterator ++ Iterator(normsRow) ++ extraNormsRows.iterator ++ Iterator(statsRow)
   }
 
   private def cleanUnfinished(spark: SparkSession, indexDir: String, done: Set[Int],

@@ -68,6 +68,15 @@ object OracleSql {
   /** attrs.meta.opt is present exactly when n_chars % 3 = 0. */
   val searchExists: String =
     "SELECT doc_id FROM documents WHERE n_chars % 3 = 0"
+
+  /** q_search_multifield: the `title` field = the doc's first 3 tokens
+    * (indexed as its OWN text field with its own postings/norms); the engine
+    * runs title:spark AND text:table cross-field, the oracle slices the
+    * token list.
+    */
+  val searchMultifield: String =
+    s"WITH $T SELECT doc_id FROM t " +
+      "WHERE list_contains(toks[1:3], 'spark') AND list_contains(toks, 'table')"
   /** q_media_meta synthesis contract: every 3rd doc audio of
     * (200 + doc_id % 800) ms (WAV/AIFF alternating), the rest images sized
     * (16 + doc_id % 16) x (8 + doc_id % 8) in containers rotating over

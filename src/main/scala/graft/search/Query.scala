@@ -194,7 +194,13 @@ object QueryKernel {
       postingsFor: (String, String) => graft.codec.SegmentPostings,
       val deleted: Array[Int] = Array.emptyIntArray,
       rangeFor: (String, Option[String], Option[String], Boolean, Boolean) =>
-        Array[graft.codec.SegmentPostings] = null) {
+        Array[graft.codec.SegmentPostings] = null,
+      normsByField: Map[String, Array[Byte]] = Map.empty) {
+    /** Fieldnorms for `field`: its own norms row when the field is an
+      * analyzed TEXT field, else the primary text field's norms (json-path
+      * terms score with the document's text norms, the builder's encoding).
+      */
+    def normsOf(field: String): Array[Byte] = normsByField.getOrElse(field, norms)
     def fresh(field: String, term: String): graft.codec.SegmentPostings = postingsFor(field, term)
     /** Fresh cursors for every term of `field` inside the bound range — the
       * segment-local dictionary range walk backing `CRange`.
@@ -213,11 +219,11 @@ object QueryKernel {
     case CTerm(f, t, w) =>
       val p = ctx.fresh(f, t)
       if (p == null) new EmptyScorer
-      else new TermScorer(p, ctx.norms, if (scored) w else null)
+      else new TermScorer(p, ctx.normsOf(f), if (scored) w else null)
     case CPhrase(f, ts, w, slop) =>
       val legs = ts.map(t => ctx.fresh(f, t): graft.codec.PositionedPostings)
       if (legs.exists(_ == null)) new EmptyScorer
-      else new PhraseScorer(legs.toArray, ctx.norms, if (scored) w else null, slop)
+      else new PhraseScorer(legs.toArray, ctx.normsOf(f), if (scored) w else null, slop)
     case CMultiPhrase(f, slots, w, slop) =>
       // each slot = union of its matched terms' cursors; a slot with no
       // term present in this segment kills the phrase (the intersection
@@ -229,7 +235,7 @@ object QueryKernel {
         else new graft.codec.UnionPostings(subs.toArray)
       }
       if (legs.exists(_ == null)) new EmptyScorer
-      else new PhraseScorer(legs.toArray, ctx.norms, if (scored) w else null, slop)
+      else new PhraseScorer(legs.toArray, ctx.normsOf(f), if (scored) w else null, slop)
     case CConst(inner, s) =>
       val in = toScorer(inner, ctx, scored = false)
       in match {
@@ -354,7 +360,7 @@ object QueryKernel {
       case Some(legs) =>
         val scorers = legs.zipWithIndex.map { case (t, i) =>
           val p = ctx.fresh(t.field, t.term)
-          if (p == null) null else new TermScorer(p, ctx.norms, t.weight, 0.0f, i)
+          if (p == null) null else new TermScorer(p, ctx.normsOf(t.field), t.weight, 0.0f, i)
         }.filter(_ != null)
         if (scorers.isEmpty) return
         if (scorers.size == 1) BlockWand.runSingle(scorers.head, topN.threshold, cb)
@@ -380,21 +386,21 @@ object QueryKernel {
     case CTerm(f, t, w) =>
       val p = ctx.fresh(f, t)
       if (p == null || p.seek(doc) != doc) None
-      else Some(w.explain(ctx.norms(doc), p.termFreq)
+      else Some(w.explain(ctx.normsOf(f)(doc), p.termFreq)
         .addContext(s"""Term=(field="$f" term="$t")"""))
-    case CPhrase(_, _, w, _) =>
+    case CPhrase(f, _, w, _) =>
       toScorer(q, ctx, scored = true) match {
         case ps: PhraseScorer if ps.seek(doc) == doc =>
           // phrase_weight.rs:85-99: "Phrase Scorer" wrapping the BM25 detail
           Some(Explanation("Phrase Scorer", ps.score)
-            .addDetail(w.explain(ctx.norms(doc), ps.phraseFreqForTest)))
+            .addDetail(w.explain(ctx.normsOf(f)(doc), ps.phraseFreqForTest)))
         case _ => None
       }
-    case CMultiPhrase(_, _, w, _) =>
+    case CMultiPhrase(f, _, w, _) =>
       toScorer(q, ctx, scored = true) match {
         case ps: PhraseScorer if ps.seek(doc) == doc =>
           Some(Explanation("Phrase Scorer", ps.score)
-            .addDetail(w.explain(ctx.norms(doc), ps.phraseFreqForTest)))
+            .addDetail(w.explain(ctx.normsOf(f)(doc), ps.phraseFreqForTest)))
         case _ => None
       }
     case CBool(must, should, _, _) =>

@@ -80,6 +80,20 @@ final class Searcher(spark: SparkSession, indexDir: String, asOfSeq: Option[Long
   private val allDeleteTerms: Set[(String, String)] =
     deleteTermsBySeg.values.flatten.toSet
   private lazy val bDeletes = spark.sparkContext.broadcast(deleteTermsBySeg)
+  // primary text field name, shipped to kernel tasks so per-field norms
+  // resolution can fall back to it (json paths use the text field's norms)
+  private lazy val bPrimaryField = spark.sparkContext.broadcast(manifest.textField)
+
+  /** Per-text-field token totals (the BM25 average-field-length statistic,
+    * `Bm25Weight::for_terms` avg_fieldnorm): summed from each field's norms
+    * rows in one tiny pruned aggregate, memoized per snapshot. Only
+    * consulted for non-primary fields, so single-text-field workloads never
+    * pay the job.
+    */
+  private lazy val fieldTokenTotals: Map[String, Long] =
+    postingsDF.where(col("field") === PostingRow.NormsField)
+      .groupBy("term").agg(sum("totalTf"))
+      .as[(String, Long)].collect().toMap
 
   /** OR-condition matching a set of (field, term) pairs. */
   private def termsCond(terms: Set[(String, String)]): org.apache.spark.sql.Column =
@@ -247,20 +261,25 @@ final class Searcher(spark: SparkSession, indexDir: String, asOfSeq: Option[Long
   private def planWith(q: Query, dfs: Map[(String, String), Long]): CQuery = {
     val n = manifest.totalDocs
     val totTokens = manifest.totalTokens
+    // each text field's BM25 length stats are its own (multi-field schema);
+    // unknown fields (json paths) share the primary text field's
+    def totFor(f: String): Long =
+      if (f == manifest.textField) totTokens else fieldTokenTotals.getOrElse(f, totTokens)
     def go(q: Query, boost: Float): CQuery = q match {
       case Query.Term(f, t, b) =>
         val df = dfs((f, t))
         if (df == 0) CQuery.CEmpty
-        else CQuery.CTerm(f, t, Bm25.forOneTerm(df, n, totTokens.toFloat / n.toFloat).boostBy(boost * b))
+        else CQuery.CTerm(f, t,
+          Bm25.forOneTerm(df, n, totFor(f).toFloat / n.toFloat).boostBy(boost * b))
       case Query.Phrase(f, ts, slop) =>
         val freqs = ts.map(t => dfs((f, t)))
         if (freqs.contains(0L)) CQuery.CEmpty
-        else CQuery.CPhrase(f, ts, Bm25.forTerms(freqs, n, totTokens).boostBy(boost), slop)
+        else CQuery.CPhrase(f, ts, Bm25.forTerms(freqs, n, totFor(f)).boostBy(boost), slop)
       case Query.MultiPhrase(f, slots, pats, slop) =>
         // weight from the literal patterns' doc freqs — usually 0, giving the
         // constant-idf weight the reference produces (regex_phrase_query.rs:149)
         val freqs = pats.map(p => dfs((f, p)))
-        CQuery.CMultiPhrase(f, slots, Bm25.forTerms(freqs, n, totTokens).boostBy(boost), slop)
+        CQuery.CMultiPhrase(f, slots, Bm25.forTerms(freqs, n, totFor(f)).boostBy(boost), slop)
       case Query.Bool(cs, msm) =>
         val must = cs.collect { case (Occur.Must, c) => go(c, boost) }
         val should = cs.collect { case (Occur.Should, c) => go(c, boost) }
@@ -327,14 +346,15 @@ final class Searcher(spark: SparkSession, indexDir: String, asOfSeq: Option[Long
     val bcq = spark.sparkContext.broadcast(live)
     val bNumDocs = spark.sparkContext.broadcast(numDocsBySeg)
     val bDel = bDeletes
+    val ptf = bPrimaryField
     val allTerms = live.map(_._1).flatMap(CQuery.termsOf).toSet
     val termCond = termsCond(allTerms ++ allDeleteTerms)
-    val normsCond = col("field") === PostingRow.NormsField && col("term") === manifest.textField
+    val normsCond = col("field") === PostingRow.NormsField // all text fields' norms rows (tiny: one row per field per segment)
     val baseCond = termCond || normsCond
     val countCond = rangesCond(live.map(_._1)).map(baseCond || _).getOrElse(baseCond)
     val nShards = queryShardCount(live.size)
     def countShard(seg: Int, shard: Int, it: Iterator[PostingRow]): Iterator[(Int, Long)] = {
-      val ctx = Searcher.makeContext(it, bNumDocs.value, seg, bDel.value)
+      val ctx = Searcher.makeContext(it, bNumDocs.value, seg, bDel.value, ptf.value)
       bcq.value.iterator.zipWithIndex
         .filter { case (_, i) => i % nShards == shard }
         .map { case ((cq, qi), _) => (qi, QueryKernel.count(cq, ctx)) }
@@ -356,14 +376,15 @@ final class Searcher(spark: SparkSession, indexDir: String, asOfSeq: Option[Long
     val kk = k
     val allTerms = live.map(_._1).flatMap(CQuery.termsOf).toSet
     val termCond = termsCond(allTerms ++ allDeleteTerms)
-    val normsCond = col("field") === PostingRow.NormsField && col("term") === manifest.textField
+    val normsCond = col("field") === PostingRow.NormsField // all text fields' norms rows (tiny: one row per field per segment)
     val baseCond = termCond || normsCond
     val rowCond = rangesCond(live.map(_._1)).map(baseCond || _).getOrElse(baseCond)
     val rows = postingsDF.where(rowCond).as[PostingRow]
     val bDel = bDeletes
+    val ptf = bPrimaryField
     val nShards = queryShardCount(live.size)
     def runShard(seg: Int, shard: Int, it: Iterator[PostingRow]): Iterator[(Int, Long, Float)] = {
-      val ctx = Searcher.makeContext(it, bNumDocs.value, seg, bDel.value)
+      val ctx = Searcher.makeContext(it, bNumDocs.value, seg, bDel.value, ptf.value)
       bcq.value.iterator.zipWithIndex
         .filter { case (_, i) => i % nShards == shard }
         .flatMap { case ((cq, qi), _) =>
@@ -525,7 +546,7 @@ final class Searcher(spark: SparkSession, indexDir: String, asOfSeq: Option[Long
     */
   private def kernelRows(cq: CQuery) = {
     val termCond = termsCond(CQuery.termsOf(cq) ++ allDeleteTerms)
-    val normsCond = col("field") === PostingRow.NormsField && col("term") === manifest.textField
+    val normsCond = col("field") === PostingRow.NormsField // all text fields' norms rows (tiny: one row per field per segment)
     val base = termCond || normsCond
     val cond = rangesCond(Seq(cq)).map(base || _).getOrElse(base)
     postingsDF.where(cond).as[PostingRow]
@@ -549,9 +570,10 @@ final class Searcher(spark: SparkSession, indexDir: String, asOfSeq: Option[Long
     val bcq = spark.sparkContext.broadcast(cq)
     val bNumDocs = spark.sparkContext.broadcast(numDocsBySeg)
     val bDel = bDeletes
+    val ptf = bPrimaryField
     val kk = k + offset
     val localTopK = perSegment(kernelRows(cq)) { (seg, it) =>
-        val ctx = Searcher.makeContext(it, bNumDocs.value, seg, bDel.value)
+        val ctx = Searcher.makeContext(it, bNumDocs.value, seg, bDel.value, ptf.value)
         val topN = new TopNComputer(kk)
         QueryKernel.topK(bcq.value, ctx, kk, topN, seg.toLong << 32)
         topN.intoSortedVec().iterator.map { case (score, addr) =>
@@ -610,11 +632,12 @@ final class Searcher(spark: SparkSession, indexDir: String, asOfSeq: Option[Long
     val bcq = spark.sparkContext.broadcast(cq)
     val bNumDocs = spark.sparkContext.broadcast(numDocsBySeg)
     val bDel = bDeletes
+    val ptf = bPrimaryField
     val sc = scored
     if (cq == CQuery.CEmpty)
       return Seq.empty[(Int, Int, Float)].toDF("segment", "docId", "score")
     perSegment(kernelRows(cq)) { (seg, it) =>
-        val ctx = Searcher.makeContext(it, bNumDocs.value, seg, bDel.value)
+        val ctx = Searcher.makeContext(it, bNumDocs.value, seg, bDel.value, ptf.value)
         QueryKernel.allMatches(bcq.value, ctx, sc).map { case (d, s) => (seg, d, s) }
       }.toDF("segment", "docId", "score")
   }
@@ -642,7 +665,7 @@ final class Searcher(spark: SparkSession, indexDir: String, asOfSeq: Option[Long
     val cq = plan(q0)
     if (cq == CQuery.CEmpty) return None
     val rows = kernelRows(cq).where(col("segment") === segment).collect()
-    val ctx = Searcher.makeContext(rows.iterator, numDocsBySeg, segment, deleteTermsBySeg)
+    val ctx = Searcher.makeContext(rows.iterator, numDocsBySeg, segment, deleteTermsBySeg, manifest.textField)
     QueryKernel.explain(cq, ctx, docId)
   }
 
@@ -666,16 +689,17 @@ final class Searcher(spark: SparkSession, indexDir: String, asOfSeq: Option[Long
     val bcq = spark.sparkContext.broadcast(cq)
     val bNumDocs = spark.sparkContext.broadcast(numDocsBySeg)
     val bDel = bDeletes
+    val ptf = bPrimaryField
     val fld = field
     val pfx = prefix
     val facetCond = col("field") === field && col("term").startsWith(prefix)
     val termCond = termsCond(CQuery.termsOf(cq) ++ allDeleteTerms)
-    val normsCond = col("field") === PostingRow.NormsField && col("term") === manifest.textField
+    val normsCond = col("field") === PostingRow.NormsField // all text fields' norms rows (tiny: one row per field per segment)
     val base = termCond || normsCond || facetCond
     val cond = rangesCond(Seq(cq)).map(base || _).getOrElse(base)
     perSegment(postingsDF.where(cond).as[PostingRow]) { (seg, it) =>
         val rows = it.toArray
-        val ctx = Searcher.makeContext(rows.iterator, bNumDocs.value, seg, bDel.value)
+        val ctx = Searcher.makeContext(rows.iterator, bNumDocs.value, seg, bDel.value, ptf.value)
         val matched = new java.util.BitSet(ctx.numDocs)
         QueryKernel.allMatches(bcq.value, ctx, scored = false)
           .foreach { case (d, _) => matched.set(d) }
@@ -719,9 +743,10 @@ final class Searcher(spark: SparkSession, indexDir: String, asOfSeq: Option[Long
       val bcq = spark.sparkContext.broadcast(cq)
       val bNumDocs = spark.sparkContext.broadcast(numDocsBySeg)
       val bDel = bDeletes
+    val ptf = bPrimaryField
       perSegment(kernelRows(cq)) { (seg, it) =>
           Iterator.single(
-            QueryKernel.count(bcq.value, Searcher.makeContext(it, bNumDocs.value, seg, bDel.value)))
+            QueryKernel.count(bcq.value, Searcher.makeContext(it, bNumDocs.value, seg, bDel.value, ptf.value)))
         }.collect().sum
   }
 }
@@ -813,14 +838,21 @@ object Searcher {
     * rows (static — keeps the Searcher instance out of task closures).
     */
   def makeContext(rows: Iterator[PostingRow], numDocsBySeg: Map[Int, Int], seg: Int,
-      deleteTermsBySeg: Map[Int, Seq[(String, String)]] = Map.empty)
+      deleteTermsBySeg: Map[Int, Seq[(String, String)]] = Map.empty,
+      primaryField: String = "text")
       : QueryKernel.SegmentContext = {
     val byKey = new scala.collection.mutable.HashMap[(String, String), PostingRow]()
     val byField = new scala.collection.mutable.HashMap[String, scala.collection.mutable.ArrayBuffer[PostingRow]]()
+    // norms rows are keyed by their field name in `term`; the primary text
+    // field's array doubles as the fallback for fields without own norms
+    // (json paths score with the document's text norms)
+    val normsByField = new scala.collection.mutable.HashMap[String, Array[Byte]]()
     var norms: Array[Byte] = null
     rows.foreach { r =>
-      if (r.field == PostingRow.NormsField) norms = r.postings
-      else {
+      if (r.field == PostingRow.NormsField) {
+        normsByField(r.term) = r.postings
+        if (norms == null || r.term == primaryField) norms = r.postings
+      } else {
         byKey((r.field, r.term)) = r
         if (!r.field.startsWith("__"))
           byField.getOrElseUpdate(r.field, new scala.collection.mutable.ArrayBuffer[PostingRow]()) += r
@@ -871,6 +903,7 @@ object Searcher {
           lo.forall(v => if (loInc) r.term >= v else r.term > v) &&
             hi.forall(v => if (hiInc) r.term <= v else r.term < v)
         }.map(cursor).toArray
-      })
+      },
+      normsByField.toMap)
   }
 }
