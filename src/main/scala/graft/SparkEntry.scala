@@ -186,6 +186,13 @@ object SparkEntry {
     // postings/norms/stats; cross-field boolean mixes title and body terms
     "q_search_multifield" -> ((s, d) => engineMatches(s, d,
       Query.must(Query.Term("title", "spark"), Query.Term("text", "table")))),
+    // multi-default-field parser: the unfielded leg fans out SHOULD over
+    // (title, text) — the reference's `(title:toto text:toto)` shape
+    // (query_parser.rs compute_logical_ast_from_leaf_lenient); fielded leg
+    // stays pinned to its field
+    "q_parser_multifield" -> ((s, d) => engineMatches(s, d,
+      new graft.search.QueryParser("text", defaultFields = Seq("title", "text"),
+        conjunctionByDefault = true).parse("title:spark table"))),
     "q_count_matrix" -> ((s, d) => {
       import s.implicits._
       val sr = searcherFor(s, d)
@@ -638,6 +645,7 @@ object SparkEntry {
     "q_search_exists" -> OracleSql.searchExists,
     "q_search_range_ip" -> OracleSql.searchRangeIp,
     "q_search_multifield" -> OracleSql.searchMultifield,
+    "q_parser_multifield" -> OracleSql.parserMultifield,
     "q_search_disjmax" -> OracleSql.searchDisjMax,
     "q_search_msm" -> OracleSql.searchMsm,
     "q_search_boost" -> OracleSql.searchBoost,

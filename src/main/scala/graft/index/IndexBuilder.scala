@@ -31,6 +31,13 @@ final case class IndexConfig(
       * simply lacks the field (norm 0, no postings).
       */
     textFields: Seq[String] = Nil,
+    /** Per-field analyzer overrides for [[textFields]] entries (the
+      * reference's per-field `TextOptions.set_tokenizer`): fields absent
+      * here analyze with [[textAnalyzer]]. Recorded in the manifest so the
+      * query parser can analyze each field with its own chain
+      * (`QueryParser(fieldAnalyzers = manifest.textFieldAnalyzers)`).
+      */
+    textFieldAnalyzers: Map[String, String] = Map.empty,
     langField: String = "lang",
     tsField: String = "warc_ts",
     maxDocsPerSegment: Int = 1 << 21,
@@ -155,6 +162,8 @@ object IndexBuilder {
         s"resume with different numPartitions (${p.numPartitions} != ${cfg.numPartitions}) would re-map docIds")
       require(p.textAnalyzer == cfg.textAnalyzer,
         s"resume with different analyzer ('${p.textAnalyzer}' != '${cfg.textAnalyzer}') would mix term spaces")
+      require(p.textFields == cfg.textFields && p.textFieldAnalyzers == cfg.textFieldAnalyzers,
+        "resume with different textFields / per-field analyzers would mix term spaces")
     }
 
     // clean partial output of segments that never made it into the manifest
@@ -284,7 +293,9 @@ object IndexBuilder {
         cfg.fastStringFields.map(FastField(_, "string")) ++
         cfg.fastLongArrayFields.map(FastField(_, "longs")) ++
         cfg.fastStringArrayFields.map(FastField(_, "strings")),
-      textAnalyzer = cfg.textAnalyzer)
+      textAnalyzer = cfg.textAnalyzer,
+      textFields = cfg.textFields,
+      textFieldAnalyzers = cfg.textFieldAnalyzers)
     IndexManifest.write(spark, indexDir, manifest)
     manifest
   }
@@ -347,6 +358,9 @@ object IndexBuilder {
     var docId = 0
     val preTokenized = cfg.preTokenizedField.isDefined
     val analyzerChain = Analyzer.chain(cfg.textAnalyzer)
+    val extraChains: Map[String, String => scala.collection.mutable.ArrayBuffer[graft.analysis.Token]] =
+      cfg.textFields.map(f =>
+        f -> Analyzer.chain(cfg.textFieldAnalyzers.getOrElse(f, cfg.textAnalyzer))).toMap
     docs.foreach { d =>
       val toks: scala.collection.Seq[graft.analysis.Token] =
         if (preTokenized)
@@ -368,9 +382,9 @@ object IndexBuilder {
       }
       norms(docId) = graft.index.FieldNorms.fieldNormToId(toks.length.toLong)
       totalTokens += toks.length
-      // extra text fields: same analyzer chain, per-field postings + norms
+      // extra text fields: per-field analyzer chain, per-field postings + norms
       if (d.texts != null) d.texts.foreach { case (f, v) =>
-        val ftoks = analyzerChain(v)
+        val ftoks = extraChains(f)(v)
         var j = 0
         while (j < ftoks.length) {
           accAdd(extra, (f, ftoks(j).text), docId, ftoks(j).position, cfg.storePositions)

@@ -124,7 +124,13 @@ final case class IndexManifest(
     /** Named analyzer of the text field (TokenizerManager registration);
       * the query parser must analyze with the same chain.
       */
-    textAnalyzer: String = "default") {
+    textAnalyzer: String = "default",
+    /** Extra analyzed text fields (multi-field schema) and any per-field
+      * analyzer overrides — `QueryParser(fieldAnalyzers =
+      * manifest.textFieldAnalyzers)` keeps query-side analysis in step.
+      */
+    textFields: Seq[String] = Nil,
+    textFieldAnalyzers: Map[String, String] = Map.empty) {
   def totalDocs: Long = segments.map(_.numDocs.toLong).sum
   def totalTokens: Long = segments.map(_.totalTokens).sum
   def segmentIds: Seq[Int] = segments.map(_.segment)

@@ -77,6 +77,14 @@ object OracleSql {
   val searchMultifield: String =
     s"WITH $T SELECT doc_id FROM t " +
       "WHERE list_contains(toks[1:3], 'spark') AND list_contains(toks, 'table')"
+  /** q_parser_multifield: `title:spark table` parsed with default fields
+    * (title, text) — the fielded leg stays on title, the unfielded leg fans
+    * out SHOULD over both fields (title OR body containment).
+    */
+  val parserMultifield: String =
+    s"WITH $T SELECT doc_id FROM t " +
+      "WHERE list_contains(toks[1:3], 'spark') AND " +
+      "(list_contains(toks[1:3], 'table') OR list_contains(toks, 'table'))"
   /** q_media_meta synthesis contract: every 3rd doc audio of
     * (200 + doc_id % 800) ms (WAV/AIFF alternating), the rest images sized
     * (16 + doc_id % 16) x (8 + doc_id % 8) in containers rotating over

@@ -73,11 +73,32 @@ final class QueryParser(
       * the reference resolves the field's registered tokenizer the same way
       * (query_parser.rs `compute_logical_ast_for_leaf`).
       */
-    analyzer: String = "default") {
+    analyzer: String = "default",
+    /** Multiple default fields (`QueryParser::for_index(index, vec![title,
+      * text])`): an UNFIELDED leaf compiles once per default field and the
+      * copies combine as SHOULD clauses, each under its own field boost
+      * (query_parser.rs `compute_path_triplets_for_literal` +
+      * `compute_logical_ast_from_leaf_lenient`). Empty = just
+      * `defaultField`.
+      */
+    defaultFields: Seq[String] = Nil,
+    /** Per-field analyzer overrides (the reference's per-field
+      * `TextOptions.set_tokenizer`): literals addressing these fields are
+      * analyzed with the named chain instead of [[analyzer]] — read them
+      * from `manifest.textFieldAnalyzers`.
+      */
+    fieldAnalyzers: Map[String, String] = Map.empty) {
+
+  private val effectiveDefaults: Seq[String] =
+    if (defaultFields.nonEmpty) defaultFields else Seq(defaultField)
 
   import graft.index.JsonTerms
 
   private val analyzeTerms: String => Seq[String] = Analyzer.chainTerms(analyzer)
+  private val fieldChains: Map[String, String => Seq[String]] =
+    fieldAnalyzers.map { case (f, a) => f -> Analyzer.chainTerms(a) }
+  private def analyzeFor(field: String): String => Seq[String] =
+    fieldChains.getOrElse(field, analyzeTerms)
 
   private def utcMicros(iso: String): Long = {
     val i = java.time.Instant.parse(iso)
@@ -144,7 +165,7 @@ final class QueryParser(
     case None =>
       if (rawFields.contains(field)) Query.Term(field, text)
       else {
-        val terms = analyzeTerms(text)
+        val terms = analyzeFor(field)(text)
         if (terms.isEmpty) Query.Nothing
         else if (terms.length == 1) Query.Term(field, terms(0))
         else Query.Phrase(field, terms.toSeq)
@@ -244,12 +265,11 @@ final class QueryParser(
       // optional field prefix
       val save = pos
       val fieldOpt = tryField()
-      val field = fieldOpt.getOrElse(defaultField)
       // the reference tolerates spaces after an explicit field's colon
       // ("title: >a", query_grammar.rs:1305)
       if (fieldOpt.isDefined) skipWs()
       if (eof) { pos = save; require(false, "dangling field"); }
-      peek match {
+      def leaf(field: String): Query = peek match {
         case '"' | '\'' => withFieldBoost(field, parseQuoted(field))
         case '[' | '{' => withFieldBoost(field, parseRange(field))
         case '>' | '<' => withFieldBoost(field, parseCmpRange(field))
@@ -266,6 +286,22 @@ final class QueryParser(
         case _ =>
           if (wordAhead("IN") && fieldOpt.isDefined) withFieldBoost(field, parseSet(field))
           else withFieldBoost(field, parseWord(field))
+      }
+      fieldOpt match {
+        case Some(f) => leaf(f)
+        case None if effectiveDefaults.size == 1 => leaf(effectiveDefaults.head)
+        case None =>
+          // unfielded leaf over several default fields: one copy per field,
+          // SHOULD-combined (compute_logical_ast_from_leaf_lenient)
+          val start = pos
+          val parts = effectiveDefaults.map { f => pos = start; leaf(f) }
+          if (parts.contains(Query.All)) Query.All
+          else {
+            val live = parts.filter(_ != Query.Nothing)
+            if (live.isEmpty) Query.Nothing
+            else if (live.size == 1) live.head
+            else Query.Bool(live.map(Occur.Should -> _))
+          }
       }
     }
 
@@ -305,7 +341,7 @@ final class QueryParser(
         // `"big bad wo"*` — phrase-prefix (query_parser.rs "prefix operator")
         pos += 1
         val terms =
-          if (rawFields.contains(field)) Seq(text) else analyzeTerms(text)
+          if (rawFields.contains(field)) Seq(text) else analyzeFor(field)(text)
         require(terms.length >= 2,
           "phrase-prefix requires at least two terms (PhrasePrefixRequiresAtLeastTwoTerms)")
         return Query.PhrasePrefix(field, terms)
@@ -318,7 +354,7 @@ final class QueryParser(
             case ts => Query.Phrase(jf, ts.map(JsonTerms.str(path, _)), slop)
           }
         case None =>
-          val terms = if (rawFields.contains(field)) Seq(text) else analyzeTerms(text)
+          val terms = if (rawFields.contains(field)) Seq(text) else analyzeFor(field)(text)
           terms match {
             case Seq() => Query.Nothing
             case Seq(t) => Query.Term(field, t)
@@ -391,7 +427,7 @@ final class QueryParser(
     }
 
     private def norm(field: String, v: String): String =
-      if (rawFields.contains(field)) v else analyzeTerms(v).headOption.getOrElse(v)
+      if (rawFields.contains(field)) v else analyzeFor(field)(v).headOption.getOrElse(v)
 
     def rangeBound(): Option[String] = {
       skipWs()

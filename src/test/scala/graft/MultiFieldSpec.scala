@@ -108,6 +108,32 @@ class MultiFieldSpec extends AnyFunSuite {
       Query.must(Query.Term("title", "ttl1"), Query.Term("text", "alpha")), N)
       .map(_.url).toSet == want)
   }
+  test("per-field analyzers: title stems with en_stem while body stays default") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft-mfa").toString
+    val src = Seq(
+      ("u1", new java.sql.Timestamp(0L), "the running dogs", "Running Dogs Daily", "en"),
+      ("u2", new java.sql.Timestamp(0L), "a sleeping cat", "Sleeping Cats Weekly", "en"))
+      .toDF("url", "warc_ts", "text", "title", "lang")
+    IndexBuilder.build(spark, src, d, IndexConfig(numPartitions = 1,
+      textFields = Seq("title"), textFieldAnalyzers = Map("title" -> "en_stem")))
+    val s = new Searcher(spark, d)
+    assert(s.manifest.textFields == Seq("title") &&
+      s.manifest.textFieldAnalyzers == Map("title" -> "en_stem"))
+    // index side: title terms are stemmed, body terms are not
+    assert(s.count(Query.Term("title", "run")) == 1L)
+    assert(s.count(Query.Term("title", "running")) == 0L)
+    assert(s.count(Query.Term("text", "running")) == 1L)
+    assert(s.count(Query.Term("text", "run")) == 0L)
+    // parser side: fieldAnalyzers analyzes each field with its own chain,
+    // so the same literal matches through both fields' morphologies
+    val p = new QueryParser("text", defaultFields = Seq("title", "text"),
+      fieldAnalyzers = s.manifest.textFieldAnalyzers)
+    assert(s.count(p.parse("title:runs")) == 1L)  // runs -> run (stemmed field)
+    assert(s.count(p.parse("text:runs")) == 0L)   // body chain keeps 'runs'
+    assert(s.count(p.parse("running")) == 1L)     // title copy stems, body copy matches verbatim
+    assert(s.count(p.parse("cats")) == 1L)        // only the stemmed title copy hits
+  }
 }
 
 object MultiFieldSpec {

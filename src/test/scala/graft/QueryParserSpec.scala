@@ -10,6 +10,34 @@ class QueryParserSpec extends AnyFunSuite {
     assert(p.parse("alpha") == Query.Term("text", "alpha"))
     assert(p.parse("Alpha") == Query.Term("text", "alpha")) // analyzed
   }
+  test("multiple default fields: unfielded leaves fan out as SHOULD") {
+    // query_parser.rs test_parse_query_to_ast: "toto" with defaults
+    // [title, text] -> (title:toto text:toto); fielded leaves don't fan out
+    val mp = new QueryParser("text", defaultFields = Seq("title", "text"))
+    assert(mp.parse("toto") == Query.Bool(Seq(
+      Occur.Should -> Query.Term("title", "toto"),
+      Occur.Should -> Query.Term("text", "toto"))))
+    assert(mp.parse("title:toto") == Query.Term("title", "toto"))
+    assert(mp.parse("\"alpha beta\"") == Query.Bool(Seq(
+      Occur.Should -> Query.Phrase("title", Seq("alpha", "beta")),
+      Occur.Should -> Query.Phrase("text", Seq("alpha", "beta")))))
+    // per-field boost applies inside each SHOULD copy (field_boost)
+    val bp = new QueryParser("text", defaultFields = Seq("title", "text"),
+      fieldBoosts = Map("title" -> 2.0f))
+    assert(bp.parse("toto") == Query.Bool(Seq(
+      Occur.Should -> Query.Boost(Query.Term("title", "toto"), 2.0f),
+      Occur.Should -> Query.Term("text", "toto"))))
+    // boolean structure composes per leaf
+    assert(mp.parse("+toto -titi") == Query.Bool(Seq(
+      Occur.Must -> Query.Bool(Seq(
+        Occur.Should -> Query.Term("title", "toto"),
+        Occur.Should -> Query.Term("text", "toto"))),
+      Occur.MustNot -> Query.Bool(Seq(
+        Occur.Should -> Query.Term("title", "titi"),
+        Occur.Should -> Query.Term("text", "titi"))))))
+    // unfielded * stays AllQuery
+    assert(mp.parse("*") == Query.All)
+  }
   test("occur prefixes") {
     assert(p.parse("+alpha -beta gamma") == Query.Bool(Seq(
       Occur.Must -> Query.Term("text", "alpha"),
