@@ -285,6 +285,21 @@ object SparkEntry {
     }),
     "q_strat_sample" -> ((s, d) => PipelineOps.stratifiedSample(docs(s, d), "lang",
       Map("en" -> 0.5, "de" -> 0.25, "fr" -> 0.1)).select(col("doc_id"), col("lang"))),
+    // per-domain capping over a deterministic synthetic url (97 hosts);
+    // Spark extracts the host back out of the url by regex, the oracle
+    // constructs it arithmetically
+    "q_domain_cap" -> ((s, d) => PipelineOps.domainCap(
+      docs(s, d).withColumn("url", expr(
+        "concat('https://h', cast(doc_id % 97 as int), '.example/p', doc_id)")), 5)),
+    // PII scrubbing over text with deterministically planted email/IP
+    // suffixes; the oracle builds the redacted string constructively
+    // (no regex), so the regex path is independently checked
+    "q_pii_redact" -> ((s, d) => PipelineOps.piiRedact(
+      docs(s, d).withColumn("pii_text", expr(
+        "concat(text, " +
+        "case when doc_id % 3 != 0 then concat(' contact user', doc_id, '@example.com') else '' end, " +
+        "case when doc_id % 2 = 0 then concat(' from 10.', cast(doc_id % 256 as int), '.0.', cast(doc_id % 100 as int)) else '' end)")),
+      textCol = "pii_text")),
     "q_simhash" -> ((s, d) => PipelineOps.simHash(docs(s, d))),
 
     // --- similarity
@@ -669,6 +684,8 @@ object SparkEntry {
     "q_repetition" -> OracleSql.repetition,
     "q_contamination" -> OracleSql.contamination(3),
     "q_strat_sample" -> OracleSql.stratifiedSample,
+    "q_domain_cap" -> OracleSql.domainCap,
+    "q_pii_redact" -> OracleSql.piiRedact,
     "q_simhash" -> OracleSql.simhash,
     "q_cosine_topk" -> OracleSql.cosineTopK(0L, 10),
     "q_embed_neardup" -> OracleSql.embeddingNearDup(0.35),

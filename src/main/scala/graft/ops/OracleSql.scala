@@ -303,6 +303,30 @@ GROUP BY d.doc_id, b.bench_id HAVING count(*) >= $minShared"""
 WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000
   < (CASE WHEN lang = 'en' THEN 0.5 WHEN lang = 'de' THEN 0.25 WHEN lang = 'fr' THEN 0.1 ELSE 0.0 END) * 10000"""
 
+  /** q_domain_cap: 97 synthetic hosts (doc_id % 97), keep 5 docs per host
+    * by doc_id order. The Spark side regex-extracts the host from the url;
+    * here the host is rebuilt arithmetically.
+    */
+  val domainCap: String =
+    """WITH r AS (SELECT doc_id,
+  'h' || (doc_id % 97)::VARCHAR || '.example' AS host,
+  row_number() OVER (PARTITION BY doc_id % 97 ORDER BY doc_id) AS host_rank
+FROM documents)
+SELECT doc_id, host, host_rank::BIGINT AS host_rank FROM r WHERE host_rank <= 5"""
+
+  /** q_pii_redact synthesis contract: an email suffix is planted when
+    * doc_id % 3 != 0 and an IPv4 suffix when doc_id % 2 = 0; the Spark side
+    * redacts by regex, this oracle CONSTRUCTS the expected redacted string
+    * (no regex), so the regex match boundaries are independently checked.
+    */
+  val piiRedact: String =
+    """SELECT doc_id,
+  text || (CASE WHEN doc_id % 3 != 0 THEN ' contact <EMAIL>' ELSE '' END)
+       || (CASE WHEN doc_id % 2 = 0 THEN ' from <IP>' ELSE '' END) AS clean_text,
+  (CASE WHEN doc_id % 3 != 0 THEN 1 ELSE 0 END)::BIGINT AS n_emails,
+  (CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_ips
+FROM documents"""
+
   /** Dedup resolution: transitive closure over the minhash near-dup pairs
     * (recursive reachability — the independent formulation of what the Spark
     * side computes with large-star/small-star), canonical = min doc_id per

@@ -609,6 +609,45 @@ object PipelineOps {
     docs.where(bucket < frac * 10000.0)
   }
 
+  /** Per-domain frequency capping — the URL-level curation step that stops
+    * a handful of giant hosts from dominating the mixture (the C4 /
+    * RefinedWeb "limit pages per domain" rule): keep at most `cap` docs per
+    * host, deterministically (lowest doc_id first). One shuffle on host;
+    * per-host state is a running rank (nothing materializes per group), and
+    * AQE's skew split keeps a mega-host from pinning one task.
+    */
+  def domainCap(docs: DataFrame, cap: Int): DataFrame = {
+    val host = regexp_extract(col("url"), "^[a-z]+://([^/]+)", 1)
+    docs.withColumn("host", host)
+      .withColumn("host_rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("host")).orderBy(col("doc_id"))))
+      .where(col("host_rank") <= cap)
+      .select(col("doc_id"), col("host"), col("host_rank").cast("long").as("host_rank"))
+  }
+
+  /** Email pattern for [[piiRedact]] — conservative common-dialect regex
+    * (no backreferences, no lookaround) so an RE2-family engine agrees with
+    * java.util.regex on every match.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  /** Dotted-quad IPv4 pattern for [[piiRedact]]. */
+  val Ipv4Re = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+
+  /** PII scrubbing — replace emails and dotted-quad IPs in `textCol` with
+    * placeholder tags and count the hits (the redaction pass a corpus
+    * release review requires). Pure per-row regexp map: no shuffle, no UDF,
+    * stays in whole-stage codegen.
+    */
+  def piiRedact(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(col("doc_id"),
+      regexp_replace(regexp_replace(col(textCol), EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>").as("clean_text"),
+      size(regexp_extract_all(col(textCol), lit(EmailRe), lit(0)))
+        .cast("long").as("n_emails"),
+      size(regexp_extract_all(col(textCol), lit(Ipv4Re), lit(0)))
+        .cast("long").as("n_ips"))
+
   // --------------------------------------------- dedup cluster resolution
 
   /** Connected components over an undirected pair graph — the alternating

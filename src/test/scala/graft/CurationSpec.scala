@@ -53,4 +53,36 @@ class CurationSpec extends AnyFunSuite {
     val none = PipelineOps.stratifiedSample(docs, "lang", Map("fr" -> 1.0))
     assert(none.count() == 0L)
   }
+
+  test("domainCap: keeps the cap lowest doc_ids per host, small hosts whole") {
+    val docs = ((0L until 30L).map(i => (i, s"https://h${i % 3}.example/p$i")) :+
+      (100L, "https://rare.example/only")).toDF("doc_id", "url")
+    val kept = PipelineOps.domainCap(docs, 4)
+      .select("doc_id", "host", "host_rank").as[(Long, String, Long)].collect()
+    // each of h0/h1/h2 has 10 docs -> capped at its 4 smallest doc_ids
+    val byHost = kept.groupBy(_._2)
+    assert(byHost("h0.example").map(_._1).sorted.toSeq == Seq(0L, 3L, 6L, 9L))
+    assert(byHost("h1.example").map(_._1).sorted.toSeq == Seq(1L, 4L, 7L, 10L))
+    assert(byHost("h2.example").map(_._1).sorted.toSeq == Seq(2L, 5L, 8L, 11L))
+    // under-cap host survives untouched, rank 1
+    assert(byHost("rare.example").toSeq == Seq((100L, "rare.example", 1L)))
+    // ranks are 1..cap within each host
+    assert(kept.forall(r => r._3 >= 1L && r._3 <= 4L))
+  }
+
+  test("piiRedact: emails and IPs replaced and counted; clean text untouched") {
+    val docs = Seq(
+      (1L, "write to alice@example.com or bob.smith+x@sub.domain.org today"),
+      (2L, "server at 10.0.42.7 and fallback 192.168.1.250 responded"),
+      (3L, "no personal data in this row at all"),
+      (4L, "mixed: carol@corp.io from 172.16.0.9")
+    ).toDF("doc_id", "text")
+    val r = PipelineOps.piiRedact(docs)
+      .select("doc_id", "clean_text", "n_emails", "n_ips")
+      .as[(Long, String, Long, Long)].collect().map(x => x._1 -> x).toMap
+    assert(r(1L)._2 == "write to <EMAIL> or <EMAIL> today" && r(1L)._3 == 2 && r(1L)._4 == 0)
+    assert(r(2L)._2 == "server at <IP> and fallback <IP> responded" && r(2L)._3 == 0 && r(2L)._4 == 2)
+    assert(r(3L)._2 == "no personal data in this row at all" && r(3L)._3 == 0 && r(3L)._4 == 0)
+    assert(r(4L)._2 == "mixed: <EMAIL> from <IP>" && r(4L)._3 == 1 && r(4L)._4 == 1)
+  }
 }
