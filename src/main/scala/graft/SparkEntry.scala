@@ -300,6 +300,23 @@ object SparkEntry {
         "case when doc_id % 3 != 0 then concat(' contact user', doc_id, '@example.com') else '' end, " +
         "case when doc_id % 2 = 0 then concat(' from 10.', cast(doc_id % 256 as int), '.0.', cast(doc_id % 100 as int)) else '' end)")),
       textCol = "pii_text")),
+    // corpus-wide paragraph (fixed token window) dedup — CCNet line rule
+    "q_para_dedup" -> ((s, d) => PipelineOps.paragraphDedup(docs(s, d))),
+    // URL canonicalization + exact dedup over a deterministically messy
+    // synthetic url (k = doc_id % 120 drives every decoration); the oracle
+    // constructs the canonical form arithmetically, so the parse/normalize
+    // path is independently checked
+    "q_url_dedup" -> ((s, d) => PipelineOps.urlDedup(
+      docs(s, d).withColumn("k", expr("doc_id % 120")).withColumn("url", expr(
+        "concat(case when k % 2 = 0 then 'HTTP' else 'https' end, '://', " +
+        "'WWW.Host', k % 7, '.Example.COM', " +
+        "case when k % 4 = 0 then ':80' when k % 4 = 1 then ':8080' else '' end, " +
+        "'/Dir/p', k % 10, " +
+        "case when k % 3 = 0 then '/' else '' end, " +
+        "case cast(k % 5 as int) when 0 then '?utm_source=feed&x=1' " +
+        "when 1 then '?x=1&utm_campaign=c' when 2 then '?gclid=abc' " +
+        "when 3 then '?x=1&y=2' else '' end, " +
+        "case when doc_id % 11 = 0 then '#Sec2' else '' end)")))),
     "q_simhash" -> ((s, d) => PipelineOps.simHash(docs(s, d))),
 
     // --- similarity
@@ -686,6 +703,8 @@ object SparkEntry {
     "q_strat_sample" -> OracleSql.stratifiedSample,
     "q_domain_cap" -> OracleSql.domainCap,
     "q_pii_redact" -> OracleSql.piiRedact,
+    "q_para_dedup" -> OracleSql.paragraphDedup,
+    "q_url_dedup" -> OracleSql.urlDedup,
     "q_simhash" -> OracleSql.simhash,
     "q_cosine_topk" -> OracleSql.cosineTopK(0L, 10),
     "q_embed_neardup" -> OracleSql.embeddingNearDup(0.35),

@@ -327,6 +327,44 @@ SELECT doc_id, host, host_rank::BIGINT AS host_rank FROM r WHERE host_rank <= 5"
   (CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_ips
 FROM documents"""
 
+  /** q_para_dedup: corpus-wide first-occurrence paragraph dedup over the
+    * shared fixed-window segmentation. Independent formulation: a windowed
+    * row_number picks first occurrences (the Spark side uses
+    * groupBy-min-struct + join), reassembly via ordered string_agg.
+    */
+  val paragraphDedup: String =
+    s"""WITH $T,
+w AS (SELECT doc_id, $ParasExprDuck AS paras FROM t),
+p AS (SELECT doc_id, unnest(paras) AS para, unnest(range(1, len(paras)+1)) AS pos FROM w),
+p2 AS (SELECT * FROM p WHERE para <> ''),
+r AS (SELECT doc_id, pos, para,
+  row_number() OVER (PARTITION BY para ORDER BY doc_id, pos) AS rk FROM p2)
+SELECT doc_id, count(*)::BIGINT AS n_paras,
+  sum(CASE WHEN rk = 1 THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+  coalesce(string_agg(CASE WHEN rk = 1 THEN para END, ' ' ORDER BY pos), '') AS clean_text
+FROM r GROUP BY doc_id"""
+
+  /** q_url_dedup synthesis contract (k = doc_id % 120): scheme HTTP/https by
+    * k%2, host WWW.Host<k%7>.Example.COM, port :80 when k%4=0 (even k, so
+    * scheme http → stripped) / :8080 when k%4=1 (kept), path /Dir/p<k%10>,
+    * trailing slash when k%3=0, query variants by k%5 (trackers at 0,1,2),
+    * fragment when doc_id%11=0 (doc-level on purpose: stripping must erase
+    * it from the group key). The Spark side parses and normalizes the messy
+    * string; this oracle CONSTRUCTS the canonical form arithmetically.
+    */
+  val urlDedup: String =
+    """WITH k AS (SELECT doc_id, doc_id % 120 AS k FROM documents),
+c AS (SELECT doc_id,
+  (CASE WHEN k % 2 = 0 THEN 'http' ELSE 'https' END)
+  || '://www.host' || (k % 7)::VARCHAR || '.example.com'
+  || (CASE WHEN k % 4 = 1 THEN ':8080' ELSE '' END)
+  || '/Dir/p' || (k % 10)::VARCHAR
+  || (CASE WHEN k % 5 IN (0, 1) THEN '?x=1' WHEN k % 5 = 3 THEN '?x=1&y=2' ELSE '' END)
+  AS canonical_url
+FROM k)
+SELECT min(doc_id) AS doc_id, canonical_url, count(*)::BIGINT AS n_dupes
+FROM c GROUP BY canonical_url"""
+
   /** Dedup resolution: transitive closure over the minhash near-dup pairs
     * (recursive reachability — the independent formulation of what the Spark
     * side computes with large-star/small-star), canonical = min doc_id per

@@ -648,6 +648,87 @@ object PipelineOps {
       size(regexp_extract_all(col(textCol), lit(Ipv4Re), lit(0)))
         .cast("long").as("n_ips"))
 
+  /** Paragraph segmentation for [[paragraphDedup]]: non-overlapping
+    * `ParaWindow`-token windows of the analyzed token array (the corpus
+    * text carries no newline structure, so the segmentation is the
+    * normalized fixed-window form of CCNet's "paragraph" unit). Spark and
+    * DuckDB fragments produce identical string lists.
+    */
+  val ParaWindow = 8
+  val ParasExprSpark: String =
+    s"transform(sequence(1, greatest(cast(ceil(size(toks)/${ParaWindow}.0) as int), 1)), " +
+      s"i -> concat_ws(' ', slice(toks, (i-1)*$ParaWindow+1, $ParaWindow)))"
+  val ParasExprDuck: String =
+    s"[array_to_string(toks[(i-1)*$ParaWindow+1:(i-1)*$ParaWindow+$ParaWindow], ' ') " +
+      s"for i in range(1, greatest(cast(ceil(len(toks)/${ParaWindow}.0) as int), 1) + 1)]"
+
+  /** Corpus-wide paragraph-level exact dedup — the CCNet / RefinedWeb
+    * line-dedup rule: a paragraph (fixed token window here) survives only
+    * at its first occurrence corpus-wide (lowest doc_id, then position);
+    * every later copy is dropped and the doc text reassembled from the
+    * surviving windows. Returns (doc_id, n_paras, n_kept, clean_text).
+    *
+    * 100 TB shape: first-occurrence is `groupBy(para).agg(min(struct(doc,
+    * pos)))` — map-side partial aggregation collapses a boilerplate
+    * paragraph repeated 100M times to one row per task before the shuffle
+    * (a windowed row_number would sort the whole hot key in one task);
+    * the join back on para is AQE-skew-splittable; reassembly is one
+    * groupBy(doc_id).
+    */
+  def paragraphDedup(docs: DataFrame): DataFrame = {
+    val paras = withTokens(docs)
+      .select(col("doc_id"), posexplode(expr(ParasExprSpark)).as(Seq("pos", "para")))
+      .where(col("para") =!= "")
+    val first = paras.groupBy("para")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("first"))
+    paras.join(first, "para")
+      .withColumn("is_first",
+        col("doc_id") === col("first.doc_id") && col("pos") === col("first.pos"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_paras"),
+        sum(when(col("is_first"), 1L).otherwise(0L)).as("n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(when(col("is_first"), struct(col("pos"), col("para"))))),
+          s => s.getField("para"))).as("clean_text"))
+  }
+
+  /** URL canonicalization — the dedup key every web pipeline derives before
+    * exact URL dedup. Rules (each a pure codegen regexp/string map, no UDF):
+    * lowercase scheme and host (path/query case preserved), strip the
+    * fragment, strip default ports (http:80, https:443), strip trailing
+    * slashes from the path, and drop tracking query params
+    * (utm_*, fbclid, gclid, ref), removing the `?` when the query empties.
+    */
+  def urlNormalize(docs: DataFrame, urlCol: String = "url"): DataFrame = {
+    val noFrag = regexp_replace(col(urlCol), "#.*$", "")
+    val scheme = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val host = lower(regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)", 1))
+    val port = regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://[^/:?#]+:([0-9]+)", 1)
+    val portKept = when(port === "", lit(""))
+      .when(scheme === "http" && port === "80", lit(""))
+      .when(scheme === "https" && port === "443", lit(""))
+      .otherwise(concat(lit(":"), port))
+    val path = regexp_replace(
+      regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)", 1), "/+$", "")
+    val query = regexp_extract(noFrag, "\\?(.*)$", 1)
+    val cleanQ = array_join(filter(split(query, "&"),
+      kv => !kv.rlike("(?i)^(utm_[a-z0-9_]+|fbclid|gclid|ref)=") && kv =!= lit("")), "&")
+    docs.withColumn("canonical_url",
+      concat(scheme, lit("://"), host, portKept, path,
+        when(cleanQ === "", lit("")).otherwise(concat(lit("?"), cleanQ))))
+  }
+
+  /** Exact URL dedup over the canonical form: one row per canonical URL,
+    * keeping the lowest doc_id and the duplicate count. groupBy(min, count)
+    * rather than a window — map-side partial aggregation makes a hot URL
+    * (a crawl that refetched one page a million times) collapse per task
+    * instead of sorting in one reducer.
+    */
+  def urlDedup(docs: DataFrame, urlCol: String = "url"): DataFrame =
+    urlNormalize(docs, urlCol).groupBy("canonical_url")
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_dupes"))
+      .select(col("doc_id"), col("canonical_url"), col("n_dupes"))
+
   // --------------------------------------------- dedup cluster resolution
 
   /** Connected components over an undirected pair graph — the alternating

@@ -70,6 +70,53 @@ class CurationSpec extends AnyFunSuite {
     assert(kept.forall(r => r._3 >= 1L && r._3 <= 4L))
   }
 
+  test("paragraphDedup: corpus-wide first occurrence survives, copies drop") {
+    def toks(prefix: String, n: Int) = (1 to n).map(i => s"$prefix$i").mkString(" ")
+    val A = toks("a", 8); val B = toks("b", 8); val C = toks("c", 8)
+    val D = toks("d", 8); val E = toks("e", 8); val tail = toks("t", 4)
+    val docs = Seq(
+      (1L, s"$A $B"),       // both windows first occurrences
+      (2L, s"$A $C"),       // A is a corpus-wide copy, C is new
+      (3L, A),              // everything already seen -> empty clean text
+      (4L, s"$D $D"),       // within-doc copy: first instance survives
+      (5L, s"$E $tail")     // short tail window is its own paragraph
+    ).toDF("doc_id", "text")
+    val r = PipelineOps.paragraphDedup(docs)
+      .select("doc_id", "n_paras", "n_kept", "clean_text")
+      .as[(Long, Long, Long, String)].collect().map(x => x._1 -> x).toMap
+    assert(r(1L) == ((1L, 2L, 2L, s"$A $B")))
+    assert(r(2L) == ((2L, 2L, 1L, C)))
+    assert(r(3L) == ((3L, 1L, 0L, "")))
+    assert(r(4L) == ((4L, 2L, 1L, D)))
+    assert(r(5L) == ((5L, 2L, 2L, s"$E $tail")))
+  }
+
+  test("urlNormalize: scheme/host case, ports, trackers, fragments, slashes") {
+    val urls = Seq(
+      (1L, "HTTP://WWW.Example.COM:80/A/B/?utm_source=x&q=1#frag"),
+      (2L, "https://Site.org:443/path"),
+      (3L, "https://site.org:8080/path/"),
+      (4L, "http://a.b/?gclid=z"),
+      (5L, "https://x.y/p?a=1&ref=tw&b=2"),
+      (6L, "https://x.y/p?a=1&b=2")
+    ).toDF("doc_id", "url")
+    val c = PipelineOps.urlNormalize(urls)
+      .select("doc_id", "canonical_url").as[(Long, String)].collect().toMap
+    assert(c(1L) == "http://www.example.com/A/B?q=1") // case kept in path only
+    assert(c(2L) == "https://site.org/path")          // default port stripped
+    assert(c(3L) == "https://site.org:8080/path")     // non-default port kept
+    assert(c(4L) == "http://a.b")                     // query + root slash gone
+    assert(c(5L) == "https://x.y/p?a=1&b=2")          // mid-query tracker out
+    assert(c(6L) == "https://x.y/p?a=1&b=2")
+
+    val dd = PipelineOps.urlDedup(urls)
+      .select("doc_id", "canonical_url", "n_dupes")
+      .as[(Long, String, Long)].collect()
+    val xy = dd.filter(_._2 == "https://x.y/p?a=1&b=2")
+    assert(xy.toSeq == Seq((5L, "https://x.y/p?a=1&b=2", 2L))) // lowest id kept
+    assert(dd.length == 5)
+  }
+
   test("piiRedact: emails and IPs replaced and counted; clean text untouched") {
     val docs = Seq(
       (1L, "write to alice@example.com or bob.smith+x@sub.domain.org today"),
