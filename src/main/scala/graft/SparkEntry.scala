@@ -317,6 +317,25 @@ object SparkEntry {
         "when 1 then '?x=1&utm_campaign=c' when 2 then '?gclid=abc' " +
         "when 3 then '?x=1&y=2' else '' end, " +
         "case when doc_id % 11 = 0 then '#Sec2' else '' end)")))),
+    // HTML -> text extraction over deterministically messy synthetic markup
+    // (script/style/comment/entity arms keyed on doc_id); the oracle
+    // constructs the expected extraction arithmetically from the same
+    // contract, so the regex strip/decode/collapse chain is independently
+    // checked (see OracleSql.htmlExtract)
+    "q_html_extract" -> ((s, d) => PipelineOps.htmlExtract(
+      docs(s, d).withColumn("html_text", expr(
+        "concat('<!DOCTYPE html><html><HEAD profile=\"x\"><TITLE>Doc ', doc_id, " +
+        "'</TITLE><style type=\"text/css\">p { margin: 0; }</style></head><body>', " +
+        "case when doc_id % 3 = 0 then '<script>var x = 1 < 2 && true; " +
+        "document.write(\"<b>boiler</b>\");</script>' else '' end, " +
+        "'<!-- nav comment --><div class=\"nav\">Home &amp; " +
+        "<a href=\"/about?a=1&amp;b=2\">About</a>&nbsp;|&nbsp;Links</div><p>', " +
+        "text, '</p>', " +
+        "case when doc_id % 5 = 0 then '<pre>&lt;tag&gt; &quot;q&quot; &#39;s&#39;</pre>' else '' end, " +
+        "'</body></html>')")))
+      .select("doc_id", "extracted_text")),
+    // corpus-trained unigram-LM surprise (CCNet head/middle/tail signal)
+    "q_lm_surprise" -> ((s, d) => PipelineOps.lmSurprise(docs(s, d))),
     "q_simhash" -> ((s, d) => PipelineOps.simHash(docs(s, d))),
 
     // --- similarity
@@ -705,6 +724,8 @@ object SparkEntry {
     "q_pii_redact" -> OracleSql.piiRedact,
     "q_para_dedup" -> OracleSql.paragraphDedup,
     "q_url_dedup" -> OracleSql.urlDedup,
+    "q_html_extract" -> OracleSql.htmlExtract,
+    "q_lm_surprise" -> OracleSql.lmSurprise,
     "q_simhash" -> OracleSql.simhash,
     "q_cosine_topk" -> OracleSql.cosineTopK(0L, 10),
     "q_embed_neardup" -> OracleSql.embeddingNearDup(0.35),

@@ -365,6 +365,39 @@ FROM k)
 SELECT min(doc_id) AS doc_id, canonical_url, count(*)::BIGINT AS n_dupes
 FROM c GROUP BY canonical_url"""
 
+  /** q_html_extract synthesis contract: the Spark side wraps `text` in
+    * deterministically messy markup — DOCTYPE/head/title, a style element,
+    * a script element when doc_id%3=0 (content includes a bare `<` and an
+    * embedded `<b>` tag), a comment, a nav div with `&amp;`/`&nbsp;` and an
+    * attribute-entity link, and a `<pre>` of double-escaped entities when
+    * doc_id%5=0 — then runs `PipelineOps.htmlExtract`. This oracle
+    * CONSTRUCTS the expected extraction arithmetically (no regexes), so the
+    * whole strip/decode/collapse chain is checked independently.
+    */
+  val htmlExtract: String =
+    """SELECT doc_id,
+  'Doc ' || doc_id::VARCHAR || ' Home & About | Links ' || text ||
+  (CASE WHEN doc_id % 5 = 0 THEN ' <tag> "q" ''s''' ELSE '' END) AS extracted_text
+FROM documents"""
+
+  /** q_lm_surprise: independent DuckDB formulation of the unigram-LM
+    * surprise score — integer arithmetic end to end (floor-log2 via
+    * length(bin(x))-1), so no float summation order can flip a digit.
+    */
+  val lmSurprise: String =
+    s"""WITH $T,
+p AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+lm AS (SELECT tok, count(*) AS cnt FROM p GROUP BY tok),
+tot AS (SELECT sum(cnt)::BIGINT AS lm_total FROM lm),
+s AS (SELECT doc_id, length(bin((lm_total // cnt)::BIGINT)) - 1 AS bits
+      FROM p JOIN lm USING (tok) CROSS JOIN tot),
+a AS (SELECT doc_id, count(*)::BIGINT AS n_toks, sum(bits)::BIGINT AS sum_bits
+      FROM s GROUP BY doc_id),
+m AS (SELECT doc_id, n_toks, sum_bits,
+      ((sum_bits * 1000) // n_toks)::BIGINT AS mean_millibits FROM a)
+SELECT doc_id, n_toks, sum_bits, mean_millibits, $LmBucketExpr AS lm_bucket
+FROM m"""
+
   /** Dedup resolution: transitive closure over the minhash near-dup pairs
     * (recursive reachability — the independent formulation of what the Spark
     * side computes with large-star/small-star), canonical = min doc_id per

@@ -729,6 +729,78 @@ object PipelineOps {
       .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_dupes"))
       .select(col("doc_id"), col("canonical_url"), col("n_dupes"))
 
+  /** HTML → text extraction — the first pass of every web-corpus pipeline
+    * (the `html:binary` → `text` step of the input contract). A pure
+    * per-row regexp chain, no shuffle, no UDF, stays in whole-stage
+    * codegen; order matters:
+    *
+    *  1. `<script>`/`<style>` elements removed WITH their content (the
+    *     content is code, not text — and it may contain `<`/`>` that must
+    *     not confuse the tag stripper);
+    *  2. comments `<!-- -->` removed (dotall: comments span lines);
+    *  3. every remaining tag becomes a space (block boundaries must not
+    *     glue words together);
+    *  4. the common named/numeric entities decode — `&amp;` LAST, so
+    *     double-escaped text like `&amp;lt;` correctly yields literal
+    *     `&lt;` rather than `<`;
+    *  5. whitespace collapses to single spaces, ends trimmed.
+    *
+    * Conservative regex dialect (no backreferences/lookaround). Entities
+    * outside the fixed set (rare numerics, exotic names) pass through —
+    * the documented tradeoff for keeping the pass inside codegen.
+    */
+  def htmlExtract(docs: DataFrame, htmlCol: String = "html_text"): DataFrame = {
+    val noScript = regexp_replace(col(htmlCol),
+      "(?is)<script\\b[^>]*>.*?</script\\s*>", " ")
+    val noStyle = regexp_replace(noScript,
+      "(?is)<style\\b[^>]*>.*?</style\\s*>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "(?s)<[^>]*>", " ")
+    val entities = Seq(
+      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&apos;" -> "'", "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+    val decoded = entities.foldLeft(noTags) { case (c, (pat, rep)) =>
+      regexp_replace(c, pat, rep)
+    }
+    docs.withColumn("extracted_text",
+      trim(regexp_replace(decoded, "\\s+", " ")))
+  }
+
+  /** Unigram-LM surprise score — the CCNet quality signal (Wenzek et al.
+    * 2020): score each document by how surprising its tokens are under a
+    * corpus-level unigram language model, then bucket head/middle/tail.
+    * Integer-exact so both engines agree bit-for-bit: per-token surprise is
+    * `floor(log2(total_tokens / cnt(tok)))` computed as
+    * `length(bin(total div cnt)) - 1` (no floating-point log anywhere), and
+    * the per-doc mean is fixed-point millibits `(sum * 1000) div n_toks`.
+    *
+    * 100 TB shape: the LM is ONE `groupBy(tok)` with map-side combine (hot
+    * tokens collapse per task before the shuffle). The score join is
+    * broadcast when the vocabulary is bounded (`broadcastLm=true`, the
+    * CCNet case: the LM is trained on a fixed reference corpus, not the
+    * full crawl); for an unbounded crawl vocabulary set it false — the
+    * equi-join on `tok` shuffles both sides and AQE splits the hot-token
+    * skew. The scalar total rides a one-row broadcast cross join.
+    */
+  val LmBucketExpr: String =
+    "CASE WHEN mean_millibits <= 7000 THEN 'head' " +
+      "WHEN mean_millibits <= 9000 THEN 'middle' ELSE 'tail' END"
+
+  def lmSurprise(docs: DataFrame, broadcastLm: Boolean = true): DataFrame = {
+    val toks = withTokens(docs).select(col("doc_id"), explode(col("toks")).as("tok"))
+    val lm = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val total = lm.agg(sum("cnt").as("lm_total"))
+    val scored = toks
+      .join(if (broadcastLm) broadcast(lm) else lm, "tok")
+      .crossJoin(broadcast(total))
+      .withColumn("bits", (length(bin(expr("lm_total div cnt"))) - 1).cast("long"))
+    scored.groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_toks"), sum("bits").as("sum_bits"))
+      .select(col("doc_id"), col("n_toks"), col("sum_bits"),
+        expr("(sum_bits * 1000) div n_toks").as("mean_millibits"))
+      .withColumn("lm_bucket", expr(LmBucketExpr))
+  }
+
   // --------------------------------------------- dedup cluster resolution
 
   /** Connected components over an undirected pair graph — the alternating

@@ -117,6 +117,64 @@ class CurationSpec extends AnyFunSuite {
     assert(dd.length == 5)
   }
 
+  test("htmlExtract: scripts/styles/comments out, tags to spaces, entities decode") {
+    val docs = Seq(
+      (1L, "<html><head><title>T</title><style>p{a:1}</style></head><body>" +
+        "<p>Hello <b>world</b></p><script>if (a<b) { x(\"</p>\"); }</script>" +
+        "<div>A &amp; B&nbsp;C</div><!-- hidden --></body></html>"),
+      (2L, "no markup at all"),
+      (3L, "&amp;lt; stays escaped; &#39;q&#39;"),
+      (4L, "a  <br/>\n b\tc"),
+      (5L, "<SCRIPT SRC='x'>var y;</SCRIPT >tail")
+    ).toDF("doc_id", "html_text")
+    val r = PipelineOps.htmlExtract(docs)
+      .select("doc_id", "extracted_text").as[(Long, String)].collect().toMap
+    assert(r(1L) == "T Hello world A & B C")   // script content (incl. </p>) gone
+    assert(r(2L) == "no markup at all")
+    assert(r(3L) == "&lt; stays escaped; 'q'") // double-escape decodes ONE level
+    assert(r(4L) == "a b c")                   // whitespace + void tag collapse
+    assert(r(5L) == "tail")                    // case-insensitive, space before >
+  }
+
+  test("lmSurprise: integer floor-log2 surprise matches an independent model") {
+    // corpus mixing hot tokens and unique tails so all three buckets appear
+    val docs = Seq(
+      1L -> "a a a a",
+      2L -> "a b b c",
+      3L -> (1 to 300).map(i => s"u$i").mkString(" "),
+      4L -> (1 to 1100).map(i => s"v$i").mkString(" "),
+      5L -> ("a " * 40 + "b " * 24).trim,
+      6L -> "a a a w1 w2 w3 w4 w5"
+    ).toDF("doc_id", "text")
+    // independent model: plain Scala counts + bit arithmetic (no SQL bin())
+    val toks = Seq(
+      1L -> Seq.fill(4)("a"),
+      2L -> Seq("a", "b", "b", "c"),
+      3L -> (1 to 300).map(i => s"u$i"),
+      4L -> (1 to 1100).map(i => s"v$i"),
+      5L -> (Seq.fill(40)("a") ++ Seq.fill(24)("b")),
+      6L -> (Seq.fill(3)("a") ++ (1 to 5).map(i => s"w$i")))
+    val cnt = toks.flatMap(_._2).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val total = cnt.values.sum
+    def bits(t: String): Long = 63L - java.lang.Long.numberOfLeadingZeros(total / cnt(t))
+    val expected = toks.map { case (id, ts) =>
+      val sum = ts.map(bits).sum
+      val mean = sum * 1000 / ts.size
+      val bucket = if (mean <= 7000) "head" else if (mean <= 9000) "middle" else "tail"
+      (id, ts.size.toLong, sum, mean, bucket)
+    }.toSet
+    val got = PipelineOps.lmSurprise(docs)
+      .select("doc_id", "n_toks", "sum_bits", "mean_millibits", "lm_bucket")
+      .as[(Long, Long, Long, Long, String)].collect().toSet
+    assert(got == expected)
+    assert(got.map(_._5) == Set("head", "middle", "tail")) // all buckets exercised
+    // non-broadcast (shuffle-join) path is result-identical
+    val got2 = PipelineOps.lmSurprise(docs, broadcastLm = false)
+      .select("doc_id", "n_toks", "sum_bits", "mean_millibits", "lm_bucket")
+      .as[(Long, Long, Long, Long, String)].collect().toSet
+    assert(got2 == expected)
+  }
+
   test("piiRedact: emails and IPs replaced and counted; clean text untouched") {
     val docs = Seq(
       (1L, "write to alice@example.com or bob.smith+x@sub.domain.org today"),
