@@ -49,6 +49,20 @@ object ExplainProbe {
     println("==== stratified sample (filter pushed onto the scan) ====")
     graft.ops.PipelineOps.stratifiedSample(docsDf, "lang",
       Map("en" -> 0.5, "de" -> 0.25)).explain("formatted")
+
+    println("==== html extraction + url normalize (single codegen map, no shuffle) ====")
+    graft.ops.PipelineOps.htmlExtract(
+      docsDf.withColumn("html_text", concat(lit("<p>"), col("text"), lit("</p>"))))
+      .select("doc_id", "extracted_text").explain("formatted")
+    graft.ops.PipelineOps.urlNormalize(
+      docsDf.withColumn("url", concat(lit("https://h.example/p"), col("doc_id"))))
+      .select("doc_id", "canonical_url").explain("formatted")
+
+    println("==== unigram-LM surprise (LM side BroadcastExchange; one agg pair) ====")
+    graft.ops.PipelineOps.lmSurprise(docsDf).explain("formatted")
+
+    println("==== paragraph dedup (groupBy-min first-occurrence, map-side combinable) ====")
+    graft.ops.PipelineOps.paragraphDedup(docsDf).explain("formatted")
     spark.stop()
   }
 }
