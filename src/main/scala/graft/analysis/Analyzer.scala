@@ -51,8 +51,15 @@ object Analyzer extends Serializable {
   def lowercase(s: String): String = {
     var i = 0
     var ascii = true
-    while (ascii && i < s.length) { if (s.charAt(i) >= 128) ascii = false; i += 1 }
-    if (ascii) {
+    var hasUpper = false
+    while (ascii && i < s.length) {
+      val c = s.charAt(i)
+      if (c >= 128) ascii = false
+      else if (c >= 'A' && c <= 'Z') hasUpper = true
+      i += 1
+    }
+    if (ascii && !hasUpper) s // already-lowercase ASCII: no copy (web hot path)
+    else if (ascii) {
       val out = new Array[Char](s.length)
       i = 0
       while (i < s.length) {
@@ -116,6 +123,52 @@ object Analyzer extends Serializable {
       i += 1
     }
     out
+  }
+
+  /** Allocation-free walk of the default chain (simple → remove_long(40) →
+    * lowercase): calls `f(term, position)` per emitted token and returns the
+    * emitted count. Bit-identical semantics to [[tokenize]] — positions are
+    * assigned to every alphanumeric run (a dropped over-long token still
+    * consumes its position, as RemoveLongFilter runs after the tokenizer) —
+    * but no Token objects, no buffers, and no string copy for
+    * already-lowercase ASCII runs. This is the index-build hot path: at
+    * ~110 tokens/doc the materializing chain allocates ~10 KB of garbage
+    * per document, which at 32 concurrent build tasks turns into the
+    * memory-bandwidth bottleneck the 4N scaling leg pays for.
+    */
+  def foreachTerm(text: String, longLimit: Int = DefaultLongTokenLimit)(
+      f: (String, Int) => Unit): Int = {
+    var i = 0
+    var pos = -1
+    var kept = 0
+    val n = text.length
+    while (i < n) {
+      val cp = text.codePointAt(i)
+      if (isAlphanumeric(cp)) {
+        val start = i
+        var j = i
+        var bytes = 0
+        var asciiLower = true
+        while (j < n && {
+          val c = text.codePointAt(j)
+          if (isAlphanumeric(c)) {
+            bytes += (if (c < 0x80) 1 else if (c < 0x800) 2 else if (c < 0x10000) 3 else 4)
+            if (c >= 128 || (c >= 'A' && c <= 'Z')) asciiLower = false
+            true
+          } else false
+        }) j += Character.charCount(text.codePointAt(j))
+        pos += 1
+        if (bytes < longLimit) {
+          val term =
+            if (asciiLower) text.substring(start, j)
+            else lowercase(text.substring(start, j))
+          f(term, pos)
+          kept += 1
+        }
+        i = j
+      } else i += Character.charCount(cp)
+    }
+    kept
   }
 
   /** Term list only (analyzer output order). */

@@ -361,27 +361,38 @@ object IndexBuilder {
     val extraChains: Map[String, String => scala.collection.mutable.ArrayBuffer[graft.analysis.Token]] =
       cfg.textFields.map(f =>
         f -> Analyzer.chain(cfg.textFieldAnalyzers.getOrElse(f, cfg.textAnalyzer))).toMap
+    // default-chain docs take the allocation-free foreachTerm walk (no Token
+    // objects / buffers — the build stage is memory-bandwidth-bound at 4N);
+    // named analyzers and pre-tokenized input keep the materializing chain
+    val fastDefault = !preTokenized && cfg.textAnalyzer == "default"
     docs.foreach { d =>
-      val toks: scala.collection.Seq[graft.analysis.Token] =
-        if (preTokenized)
-          d.preToks.iterator.zipWithIndex
-            .map { case (t, i) => graft.analysis.Token(t, i, 0, 0) }.toIndexedSeq
-        else analyzerChain(d.text)
-      var i = 0
-      while (i < toks.length) {
-        val t = toks(i)
-        var acc = text.get(t.text)
-        if (acc == null) { acc = Acc(new IntVec(), new IntVec(), new IntVec()); text.put(t.text, acc) }
+      @inline def addTextTerm(term: String, position: Int): Unit = {
+        var acc = text.get(term)
+        if (acc == null) { acc = Acc(new IntVec(), new IntVec(), new IntVec()); text.put(term, acc) }
         if (acc.lastDoc != docId) {
           acc.docsV += docId
           acc.tfsV += 1
           acc.lastDoc = docId
         } else acc.tfsV.incrLast()
-        if (cfg.storePositions) acc.posV += t.position
-        i += 1
+        if (cfg.storePositions) acc.posV += position
       }
-      norms(docId) = graft.index.FieldNorms.fieldNormToId(toks.length.toLong)
-      totalTokens += toks.length
+      val nKept: Int =
+        if (fastDefault) Analyzer.foreachTerm(d.text)(addTextTerm)
+        else {
+          val toks: scala.collection.Seq[graft.analysis.Token] =
+            if (preTokenized)
+              d.preToks.iterator.zipWithIndex
+                .map { case (t, i) => graft.analysis.Token(t, i, 0, 0) }.toIndexedSeq
+            else analyzerChain(d.text)
+          var i = 0
+          while (i < toks.length) {
+            addTextTerm(toks(i).text, toks(i).position)
+            i += 1
+          }
+          toks.length
+        }
+      norms(docId) = graft.index.FieldNorms.fieldNormToId(nKept.toLong)
+      totalTokens += nKept
       // extra text fields: per-field analyzer chain, per-field postings + norms
       if (d.texts != null) d.texts.foreach { case (f, v) =>
         val ftoks = extraChains(f)(v)

@@ -49,4 +49,30 @@ class AuxAnalyzerSpec extends AnyFunSuite {
     assert(stopped.map(_.text).toSeq == Seq("good", "beats", "λ42", "beam"))
     assert(stopped.map(_.position).toSeq == Seq(0, 3, 4, 5))
   }
+
+  test("foreachTerm (build hot path) is bit-identical to the default chain") {
+    def viaForeach(s: String): (Seq[(String, Int)], Int) = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, Int)]
+      val kept = Analyzer.foreachTerm(s)((t, p) => out += ((t, p)))
+      (out.toSeq, kept)
+    }
+    def viaChain(s: String): (Seq[(String, Int)], Int) = {
+      val toks = Analyzer.tokenize(s)
+      (toks.map(t => (t.text, t.position)).toSeq, toks.length)
+    }
+    val fixed = Seq(
+      "", "   ", "hello world", "Hello WORLD MixedCase",
+      "a" * 39, "a" * 40, "b " + "c" * 39 + " d" + "e" * 40, // remove_long edges
+      "über Straße ΛΌΓΟΣ λόγος", "日本語 テスト 42",
+      "x" + "é" * 20, "y" + "é" * 19,              // utf-8 byte-length edges
+      "tab\tnl\npunct,.;!?", "num123mix ABC123def",
+      "😀 emoji 𝒜math", "end.")
+    fixed.foreach { s => assert(viaForeach(s) == viaChain(s), s"mismatch on: $s") }
+    val rnd = new scala.util.Random(20260819)
+    val alphabet = "abAB12 \t.é世😀Α"
+    (1 to 300).foreach { _ =>
+      val s = Seq.fill(rnd.nextInt(120))(alphabet(rnd.nextInt(alphabet.length))).mkString
+      assert(viaForeach(s) == viaChain(s), s"mismatch on fuzz: $s")
+    }
+  }
 }
