@@ -108,4 +108,28 @@ class StreamingSpec extends AnyFunSuite {
       assert(c1 <= expected)
     } finally query.stop()
   }
+
+  test("streaming exact dedup: first occurrence per fingerprint survives batches") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[WebDoc]
+    def doc(url: String, secs: Long, text: String): WebDoc =
+      WebDoc(url, new java.sql.Timestamp(1700000000000L + secs * 1000L),
+        Array.emptyByteArray, text, "en")
+    val q = graft.streaming.StreamingDedup.exactDedup(mem.toDF(), horizon = "10 minutes")
+      .select("url")
+      .writeStream.format("memory").queryName("sdedup").outputMode("append").start()
+    try {
+      // within-batch dup (u1/u2 same analyzed tokens — case/punct differ) + a fresh doc
+      mem.addData(doc("u1", 0, "x y z"), doc("u2", 1, "X, y z!"), doc("u3", 2, "a b"))
+      q.processAllAvailable()
+      val b1 = spark.table("sdedup").as[String].collect().toSet
+      assert(b1.size == 2 && b1.contains("u3") && (b1.contains("u1") || b1.contains("u2")))
+      // cross-batch dup within the horizon dropped; fresh text emitted
+      mem.addData(doc("u4", 3, "x y z"), doc("u5", 4, "fresh text"))
+      q.processAllAvailable()
+      val b2 = spark.table("sdedup").as[String].collect().toSet
+      assert(b2 == b1 + "u5")
+    } finally q.stop()
+  }
 }
