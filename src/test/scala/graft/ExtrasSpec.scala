@@ -132,4 +132,44 @@ class StreamingSpec extends AnyFunSuite {
       assert(b2 == b1 + "u5")
     } finally q.stop()
   }
+
+  test("streaming sessionize: gap closes, event-time timeout flushes, late events merge") {
+    import spark.implicits._
+    import graft.streaming.{SessionEvent, StreamingSessionize}
+    implicit val sq = spark.sqlContext
+    val t0 = 1700000000000L
+    val min = 60000L
+    def ev(id: Long, user: Long, offMin: Long) =
+      SessionEvent(id, new java.sql.Timestamp(t0 + offMin * min), user)
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[SessionEvent]
+    val q = StreamingSessionize.sessions(mem.toDS())
+      .writeStream.format("memory").queryName("ssess").outputMode("append").start()
+    try {
+      // batch A: u1 one running session (3 events out of order), u2 one event
+      mem.addData(ev(1, 1, 0), ev(3, 1, 20), ev(2, 1, 10), ev(10, 2, 0))
+      q.processAllAvailable()
+      assert(spark.table("ssess").count() == 0) // nothing closed yet
+      // batch B: u1 gap of 40 min > 30 closes session 1; u2 extends
+      mem.addData(ev(4, 1, 60), ev(11, 2, 25))
+      q.processAllAvailable()
+      val afterB = spark.table("ssess")
+        .as[(Long, java.sql.Timestamp, java.sql.Timestamp, Long)].collect().toSet
+      assert(afterB == Set((1L, new java.sql.Timestamp(t0),
+        new java.sql.Timestamp(t0 + 20 * min), 3L)))
+      // batches C+D: far-future watermark pusher, then timeout pass
+      mem.addData(ev(90, 99, 600))
+      q.processAllAvailable()
+      mem.addData(ev(91, 99, 601))
+      q.processAllAvailable()
+      val closed = spark.table("ssess")
+        .as[(Long, java.sql.Timestamp, java.sql.Timestamp, Long)].collect()
+        .filter(_._1 != 99L).toSet
+      assert(closed == Set(
+        (1L, new java.sql.Timestamp(t0), new java.sql.Timestamp(t0 + 20 * min), 3L),
+        (1L, new java.sql.Timestamp(t0 + 60 * min), new java.sql.Timestamp(t0 + 60 * min), 1L),
+        (2L, new java.sql.Timestamp(t0), new java.sql.Timestamp(t0 + 25 * min), 2L)))
+      // per-user session counts match the batch q_sessionize rule applied by hand
+      assert(closed.groupBy(_._1).view.mapValues(_.size).toMap == Map(1L -> 2, 2L -> 1))
+    } finally q.stop()
+  }
 }
