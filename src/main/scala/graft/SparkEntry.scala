@@ -33,7 +33,7 @@ object SparkEntry {
       // stale on-disk indexes whose derived columns (attrs/facet/ts) predate
       // the current shape
       val digest = java.security.MessageDigest.getInstance("MD5")
-        .digest((sfDir + "#in4").getBytes("UTF-8")).map("%02x".format(_)).mkString
+        .digest((sfDir + "#in5").getBytes("UTF-8")).map("%02x".format(_)).mkString
       val dir = s"/tmp/graft-index-$digest"
       val existing = graft.index.IndexManifest.read(spark, dir)
       if (existing.exists(_.version != graft.index.IndexManifest.FormatVersion)) {
@@ -62,6 +62,9 @@ object SparkEntry {
           // three tokens — oracle-expressible as toks[1:3] in DuckDB
           .withColumn("title",
             expr(s"array_join(slice(${graft.ops.PipelineOps.TokensExprSpark}, 1, 3), ' ')"))
+          // 4-byte content digest as an indexed BYTES field (the reference's
+          // indexed Bytes field type) — oracle recomputes md5 in DuckDB
+          .withColumn("dig", expr("unhex(substr(md5(cast(text as binary)), 1, 8))"))
           // deterministic ip column: v4 from doc_id octets, every 9th doc v6
           .withColumn("ip", expr(
             "CASE WHEN doc_id % 9 = 0 THEN concat('2001:db8::', lower(hex(doc_id))) " +
@@ -74,6 +77,7 @@ object SparkEntry {
           longFields = Seq("n_chars", "ts_micros"),
           jsonFields = Seq("attrs"),
           ipFields = Seq("ip"),
+          bytesFields = Seq("dig"),
           facetFields = Seq("facet"),
           fastLongFields = Seq("n_chars"),
           fastStringFields = Seq("source")))
@@ -182,6 +186,12 @@ object SparkEntry {
     // typed IP term range inside the engine (v6-mapped 128-bit order)
     "q_search_range_ip" -> ((s, d) => engineMatches(s, d,
       Query.ipRange("ip", Some("10.0.100.0"), Some("10.1.200.255")))),
+    // typed bytes field: md5-prefix digest range inside a boolean query
+    // (digest < 0x30000000 AND text:spark)
+    "q_search_bytes" -> ((s, d) => engineMatches(s, d,
+      Query.must(Query.Term("text", "spark"),
+        Query.bytesRange("dig", None, Some(Array[Byte](0x30, 0, 0, 0)),
+          hiInclusive = false)))),
     // multi-TEXT-field schema: the title field (first 3 tokens) has its own
     // postings/norms/stats; cross-field boolean mixes title and body terms
     "q_search_multifield" -> ((s, d) => engineMatches(s, d,
@@ -695,6 +705,7 @@ object SparkEntry {
     "q_search_json_range" -> OracleSql.searchJsonRange,
     "q_search_exists" -> OracleSql.searchExists,
     "q_search_range_ip" -> OracleSql.searchRangeIp,
+    "q_search_bytes" -> OracleSql.searchBytes,
     "q_search_multifield" -> OracleSql.searchMultifield,
     "q_parser_multifield" -> OracleSql.parserMultifield,
     "q_search_disjmax" -> OracleSql.searchDisjMax,

@@ -56,6 +56,14 @@ final case class IndexConfig(
       * the dictionary inside boolean engine queries.
       */
     ipFields: Seq[String] = Nil,
+    /** Binary columns indexed as TYPED terms: each byte-array value becomes
+      * exactly one term — the bytes themselves, hex-printed so lexicographic
+      * term order equals unsigned byte order (the reference's indexed Bytes
+      * field, `src/schema/bytes_options.rs`, `src/schema/field_type.rs:241`)
+      * — so `Query.bytesTerm`/`bytesRange` work inside boolean engine
+      * queries (digest / fingerprint lookups without a join back to source).
+      */
+    bytesFields: Seq[String] = Nil,
     /** JSON columns indexed as dynamic fields: every leaf becomes a
       * path-prefixed term (`JsonTerms` layout — string tokens analyzed with
       * positions, numbers/bools typed) so `path:value` queries and numeric
@@ -122,7 +130,11 @@ final case class InDoc(key: String, text: String, lang: String, ts: java.sql.Tim
     ffStrings: Map[String, String] = null,
     ffLongArrays: Map[String, Seq[Long]] = null,
     ffStringArrays: Map[String, Seq[String]] = null,
-    ips: Map[String, String] = null)
+    ips: Map[String, String] = null,
+    /** bytes-field values pre-encoded to hex terms by Catalyst (`lower(hex)`
+      * stays in codegen; the hex string IS the term — `TypedTerms.encodeBytes`).
+      */
+    bytesHex: Map[String, String] = null)
 
 object IndexBuilder {
 
@@ -215,7 +227,12 @@ object IndexBuilder {
         ffMap(cfg.fastStringFields, "string").as("ffStrings"),
         ffMap(cfg.fastLongArrayFields, "array<bigint>").as("ffLongArrays"),
         ffMap(cfg.fastStringArrayFields, "array<string>").as("ffStringArrays"),
-        ffMap(cfg.ipFields, "string").as("ips"))
+        ffMap(cfg.ipFields, "string").as("ips"),
+        (if (cfg.bytesFields.isEmpty) lit(null).cast("map<string,string>")
+         else map_filter(
+           map(cfg.bytesFields.flatMap(f =>
+             Seq(lit(f), lower(hex(col(f).cast("binary"))))): _*),
+           (_, v) => v.isNotNull)).as("bytesHex"))
       .as[InDoc]
 
     val parted = in
@@ -429,6 +446,13 @@ object IndexBuilder {
           if (vec == null) { vec = new IntVec(); raw.put(key, vec) }
           vec += docId
         }
+      }
+      // bytes fields: the value's hex IS the term (encoded Catalyst-side)
+      if (d.bytesHex != null) d.bytesHex.foreach { case (f, enc) =>
+        val key = (f, enc)
+        var vec = raw.get(key)
+        if (vec == null) { vec = new IntVec(); raw.put(key, vec) }
+        vec += docId
       }
       // facet fields: each path emits itself + every ancestor, deduped per
       // doc (multi-valued paths share ancestors)

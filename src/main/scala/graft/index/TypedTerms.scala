@@ -77,6 +77,30 @@ object TypedTerms {
     }
     sb.toString
   }
+  /** Bytes fields index the raw byte array as one term
+    * (`src/schema/bytes_options.rs`, `src/schema/field_type.rs:241` — an
+    * indexed Bytes field's value IS its term). Fixed two-hex-chars-per-byte
+    * printing keeps lexicographic term order == unsigned byte-array order
+    * for any value lengths, so exact match AND dictionary range scans work
+    * in the same string term space as every other typed field.
+    */
+  def encodeBytes(b: Array[Byte]): String = {
+    val sb = new java.lang.StringBuilder(b.length * 2)
+    var i = 0
+    while (i < b.length) {
+      val x = b(i) & 0xff
+      sb.append(Character.forDigit(x >> 4, 16)).append(Character.forDigit(x & 0xf, 16))
+      i += 1
+    }
+    sb.toString
+  }
+  def decodeBytes(t: String): Array[Byte] = {
+    val b = new Array[Byte](t.length / 2)
+    var i = 0
+    while (i < b.length) { b(i) = Integer.parseInt(t.substring(2 * i, 2 * i + 2), 16).toByte; i += 1 }
+    b
+  }
+
   def decodeIp(t: String): String = {
     val b = new Array[Byte](16)
     var i = 0

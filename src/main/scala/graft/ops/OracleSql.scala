@@ -154,6 +154,14 @@ FROM (SELECT doc_id, unnest(generate_series(CAST(0 AS BIGINT), 1 + doc_id % 4)) 
       "CASE WHEN list_contains(toks,'table') THEN 2.0 ELSE 0.0 END)::DOUBLE AS score " +
       "FROM t WHERE list_contains(toks,'spark') OR list_contains(toks,'table')"
 
+  /** Typed bytes range inside a boolean query: the engine indexes
+    * unhex(substr(md5(text),1,8)) as a 4-byte bytes-field term; hex-string
+    * order == unsigned byte order, so the oracle compares the hex prefix.
+    */
+  val searchBytes: String =
+    s"WITH $T SELECT t.doc_id FROM t JOIN documents d ON t.doc_id = d.doc_id " +
+      "WHERE list_contains(t.toks, 'spark') AND substr(md5(d.text), 1, 8) < '30000000'"
+
   /** Typed numeric range inside a boolean query: token match AND value range. */
   val searchRangeNumeric: String =
     s"WITH $T SELECT t.doc_id FROM t JOIN documents d ON t.doc_id = d.doc_id " +

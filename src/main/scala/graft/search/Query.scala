@@ -90,6 +90,19 @@ object Query {
     TypedRange(field, lo.map(TypedTerms.encodeIp), hi.map(TypedTerms.encodeIp),
       loInclusive, hiInclusive)
 
+  /** Exact-value / range queries over a typed bytes field
+    * (`IndexConfig.bytesFields`; the reference indexes a Bytes field's byte
+    * array as its term, `src/schema/bytes_options.rs` — ranges compare in
+    * unsigned byte-array order, the same order `Term`'s byte serialization
+    * gives the reference's dictionary).
+    */
+  def bytesTerm(field: String, v: Array[Byte], boost: Float = 1.0f): Term =
+    Term(field, TypedTerms.encodeBytes(v), boost)
+  def bytesRange(field: String, lo: Option[Array[Byte]], hi: Option[Array[Byte]],
+      loInclusive: Boolean = true, hiInclusive: Boolean = true): TypedRange =
+    TypedRange(field, lo.map(TypedTerms.encodeBytes), hi.map(TypedTerms.encodeBytes),
+      loInclusive, hiInclusive)
+
   /** ExistsQuery on a regular indexed field (`src/query/exists_query.rs`,
     * parser syntax `field:*` — query_grammar.rs:319-362): matches docs
     * carrying ANY term in `field`, as an unbounded segment dictionary walk

@@ -165,4 +165,61 @@ class TypedRangeSpec extends AnyFunSuite {
     // junk rows indexed nothing: doc 0 matches no ip query at all
     assert(!engineIds(Query.ipRange("ip", Some("::"), None)).contains(0L))
   }
+
+  test("bytes field: exact term + unsigned-order ranges, survives merge") {
+    import spark.implicits._
+    // encoding: lexicographic hex order == unsigned byte order, incl. the
+    // sign-bit corner (0x7f < 0x80) and prefix-extension (ab < ab00)
+    val vals = Seq(Array[Byte](), Array[Byte](0), Array[Byte](0, 1),
+      Array[Byte](0x7f), Array[Byte](0x7f, -1), Array[Byte](-128),
+      Array[Byte](-1), Array[Byte](-1, 0))
+    val enc = vals.map(TypedTerms.encodeBytes)
+    assert(enc == enc.sorted)
+    vals.foreach(v => assert(
+      java.util.Arrays.equals(TypedTerms.decodeBytes(TypedTerms.encodeBytes(v)), v)))
+
+    val n = 300
+    val dir = java.nio.file.Files.createTempDirectory("graft-bytes").toString
+    val idOf: String => Long = _.takeRight(8).toLong
+    // 2-byte big-endian digest column: unsigned order == doc_id order, and
+    // high bytes >= 0x80 exercise signed-byte pitfalls
+    def digOf(i: Long): Array[Byte] =
+      Array[Byte]((((i * 37) % 256) - 128).toByte, (i % 256).toByte)
+    val src = WebCorpus.generate(spark, n.toLong, 3).toDF()
+      .withColumn("dig", udf((u: String) => digOf(idOf(u))).apply(col("url")))
+    IndexBuilder.build(spark, src, dir,
+      IndexConfig(numPartitions = 4, bytesFields = Seq("dig")))
+
+    import scala.math.Ordering.Implicits._
+    def key(b: Array[Byte]): IndexedSeq[Int] = b.map(_ & 0xff).toIndexedSeq
+    def oracle(lo: Array[Byte], hi: Array[Byte], hiInc: Boolean): Set[Long] =
+      (0L until n.toLong).filter { i =>
+        val k = key(digOf(i))
+        k >= key(lo) && (if (hiInc) k <= key(hi) else k < key(hi))
+      }.toSet
+    def engineIds(q: Query): Set[Long] = {
+      val s = new Searcher(spark, dir)
+      s.allMatches(q, scored = false).join(s.docmapDF, Seq("segment", "docId"))
+        .select("url").as[String].collect().map(idOf).toSet
+    }
+    def checkAll(): Unit = {
+      // exact term: digOf has period 256, so doc 50's digest is unique in
+      // [0, 300) (50 + 256 >= n)
+      assert(engineIds(Query.bytesTerm("dig", digOf(50))) == Set(50L))
+      // range crossing the signed-byte boundary (0x70.. to 0x90..)
+      val (lo, hi) = (Array[Byte](0x70, 0), Array[Byte](-112, -1))
+      assert(engineIds(Query.bytesRange("dig", Some(lo), Some(hi))) ==
+        oracle(lo, hi, hiInc = true))
+      // exclusive upper + inside a boolean MUST with a scored text term
+      assert(engineIds(Query.bytesRange("dig", Some(lo), Some(hi),
+        hiInclusive = false)) == oracle(lo, hi, hiInc = false))
+      val withTok = engineIds(Query.must(Query.Term("text", "alpha"),
+        Query.bytesRange("dig", Some(lo), Some(hi))))
+      assert(withTok.subsetOf(oracle(lo, hi, hiInc = true)) && withTok.nonEmpty)
+    }
+    checkAll()
+    SegmentMerger.mergeUntilStable(spark, dir,
+      SegmentMerger.LogMergePolicy(minNumSegments = 2, maxFanIn = 4))
+    checkAll()
+  }
 }
