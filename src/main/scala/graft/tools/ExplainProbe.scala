@@ -26,6 +26,15 @@ object ExplainProbe {
       .groupBy("field", "term").agg(sum("docFreq"))
       .explain("formatted")
 
+    println("==== typed bytes dictionary range scan (q_search_bytes path) ====")
+    // the engine's TypedRange rides the same pruned scan: the sorted hex
+    // term space makes byte-array ranges plain string comparisons the
+    // Parquet reader can evaluate from row-group stats
+    spark.read.parquet(s"$indexDir/postings")
+      .where(col("field") === "dig" && col("term") >= "10000000" && col("term") < "30000000")
+      .select("segment", "term", "docFreq")
+      .explain("formatted")
+
     println("==== docmap fetch (doc-store join) ====")
     searcher.docmapDF.where(col("segment") === 0 && col("docId") === 5).explain("formatted")
 
