@@ -248,16 +248,34 @@ object AggRequest {
     case _ => Double.NaN
   }
 
+  /** Empty buckets (zero-count grid fill / padded parents) carry null metric
+    * columns; render them the way the reference's accumulators start out
+    * (`metric/stats.rs`): sums and counts at 0, min/max/avg absent (null).
+    */
+  private def zeroIfNull(v: Any, zero: JValue): JValue =
+    if (v == null) zero else jval(v)
+
   private def metricJson(name: String, m: Metric, row: Map[String, Any]): JValue = m.kind match {
-    case "avg" | "min" | "max" | "sum" =>
+    case "avg" | "min" | "max" =>
       JObject(List("value" -> jval(row.getOrElse(s"${name}_${m.kind}", null))))
-    case "value_count" => JObject(List("value" -> jval(row.getOrElse(s"${name}_count", null))))
-    case "cardinality" => JObject(List("value" -> jval(row.getOrElse(s"${name}_cardinality", null))))
+    case "sum" =>
+      JObject(List("value" -> zeroIfNull(row.getOrElse(s"${name}_sum", null), JDouble(0.0))))
+    case "value_count" =>
+      JObject(List("value" -> zeroIfNull(row.getOrElse(s"${name}_count", null), JInt(0))))
+    case "cardinality" =>
+      JObject(List("value" -> zeroIfNull(row.getOrElse(s"${name}_cardinality", null), JInt(0))))
     case "stats" | "extended_stats" =>
       val base = List("count", "min", "max", "avg", "sum")
       val ext = if (m.kind == "extended_stats")
         List("sum_of_squares", "variance", "std_deviation") else Nil
-      JObject((base ++ ext).map(k => k -> jval(row.getOrElse(s"${name}_$k", null))))
+      JObject((base ++ ext).map { k =>
+        val v = row.getOrElse(s"${name}_$k", null)
+        k -> (k match {
+          case "count" => zeroIfNull(v, JInt(0))
+          case "sum" | "sum_of_squares" => zeroIfNull(v, JDouble(0.0))
+          case _ => jval(v)
+        })
+      })
     case "percentiles" =>
       JObject(List("values" -> JObject(
         m.percents.toList.map(p =>
@@ -295,7 +313,12 @@ object AggRequest {
         }
       case _: Histogram | _: DateHistogram =>
         buckets.sortBy { case (k, _) => numOf(k) }
-      case _ => buckets // range: frame order is the request order already
+      case ra: RangeAgg =>
+        // request order: joins above a nested range level may reorder the
+        // frame, so re-derive the definition order from the node itself
+        val ord = rangeDefs(ra).map(rangeLabel).zipWithIndex.toMap
+        buckets.sortBy { case (k, _) => ord.getOrElse(if (k == null) "" else k.toString, Int.MaxValue) }
+      case _ => buckets
     }
   }
 
@@ -304,13 +327,21 @@ object AggRequest {
       case m: Metric =>
         metricJson(name, m, rows.headOption.getOrElse(Map.empty))
       case th: TopHits =>
-        JObject(List("hits" -> JArray(rows.toList.map(r =>
+        // padding rows (zero-count grid buckets, empty parents) carry a null
+        // rank — an empty bucket has an empty hits array, not a null hit;
+        // joins above this level may reorder, so sort by rank explicitly
+        val hits = rows.filter(_.get(s"${name}_rank").exists(_ != null))
+          .sortBy(r => numOf(r(s"${name}_rank")))
+        JObject(List("hits" -> JArray(hits.toList.map(r =>
           JObject((s"${name}_rank" :: th.source.toList).flatMap(f =>
             r.get(f).map(v => f -> jval(v))))))))
       case FilterAgg(_, subs) =>
         val row = rows.headOption.getOrElse(Map.empty)
-        JObject(("doc_count" -> jval(row.getOrElse("doc_count", 0L))) ::
-          subNodesJson(subs, name, rows))
+        // with a deeper bucket sub the filter's own count was renamed to
+        // `<name>_doc_count` by withSubs; padding rows leave it null → 0
+        val dc = row.get(s"${name}_doc_count").orElse(row.get("doc_count"))
+          .flatMap(Option(_)).getOrElse(0L)
+        JObject(("doc_count" -> jval(dc)) :: subNodesJson(subs, name, rows))
       case bucketNode =>
         val subs = bucketNode match {
           case Terms(_, _, _, s, _, _) => s
@@ -320,19 +351,21 @@ object AggRequest {
           case _ => Map.empty[String, Node]
         }
         val keyName = s"${name}_key"
-        val hasDeeper = subs.values.exists(n => !n.isInstanceOf[Metric])
-        // group rows by this level's key, preserving frame encounter order
+        // group rows by this level's key, preserving frame encounter order.
+        // A null key is always a padding row (an empty parent bucket's
+        // right-join fill): terms drops docs without the field, histogram /
+        // range filter null values plan-side, so no genuine bucket keys null.
         val order = scala.collection.mutable.LinkedHashMap.empty[Any, Vector[Map[String, Any]]]
         rows.foreach { r =>
           val k = r.getOrElse(keyName, null)
-          if (k != null || !hasDeeper)
+          if (k != null)
             order(k) = order.getOrElse(k, Vector.empty) :+ r
         }
         val buckets = bucketSort(bucketNode, name, order.toSeq)
         JObject(List("buckets" -> JArray(buckets.toList.map { case (k, subRows) =>
           val row = subRows.head
           val docCount = row.get(s"${name}_doc_count").orElse(row.get("doc_count"))
-            .getOrElse(0L)
+            .flatMap(Option(_)).getOrElse(0L)
           val keyFields: List[(String, JValue)] = k match {
             case t: java.sql.Timestamp =>
               List("key" -> JInt(BigInt(t.getTime)),
@@ -391,12 +424,15 @@ object AggRequest {
         aggregateAt(df, groupCols, metricColumns(name, m), sortKeys = groupCols.map(_._1)),
         Seq(name -> m))
     case Terms(field, size, minDocCount, subs, missing, order) =>
-      // ES `missing`: null keys fall into the given bucket value
+      // ES `missing`: null keys fall into the given bucket value; without it
+      // docs lacking the field contribute NO bucket (`term_agg.rs` only
+      // collects docs carrying a term; `term_missing_agg.rs` is the opt-in)
+      val src = if (missing.isDefined) df else df.where(col(field).isNotNull)
       val keyCol = missing.map(mv => coalesce(col(field), lit(mv))).getOrElse(col(field))
       val keyName = s"${name}_key"
       val keyed = (keyName, keyCol)
       val path = groupCols :+ keyed
-      val inner = withSubs(df, path, subs)
+      val inner = withSubs(src, name, path, subs)
       val orderCols = termsOrder(order, keyName, subs)
       val hasDeeper = subs.values.exists(n => !n.isInstanceOf[Metric] && !n.isInstanceOf[TopHits]) ||
         subs.values.exists(_.isInstanceOf[TopHits])
@@ -412,7 +448,7 @@ object AggRequest {
         // and keep the leaf rows of surviving buckets via a semi join on the
         // path keys. A sub-agg order target needs that metric computed at
         // THIS level, so it rides along in the ranking frame.
-        val levelCounts = aggregateAt(df, path, orderMetricCols(order, subs), Nil)
+        val levelCounts = aggregateAt(src, path, orderMetricCols(order, subs), Nil)
           .where(col("doc_count") >= minDocCount)
         val limited =
           if (groupCols.isEmpty) levelCounts.orderBy(orderCols: _*).limit(size)
@@ -435,24 +471,15 @@ object AggRequest {
       val ms = (unix_micros(col(field).cast("timestamp")) / lit(1000L)).cast("double")
       histogramAt(df, name, groupCols, subs, ms, intervalMs.toDouble, offsetMs.toDouble,
         eb, hb, minDocCount, k => timestamp_millis(k.cast("long")))
-    case RangeAgg(field, ranges0, subs, _) =>
+    case ra @ RangeAgg(field, _, subs, _) =>
       val c = col(field).cast("double")
-      // implicit open-ended buckets before the first `to` and after the last
-      // `from` (range.rs: "*-x" / "x-*"), kept even when empty
-      val withImplicit =
-        (if (ranges0.headOption.exists(_.from.isDefined))
-          Seq(RangeSpec(None, None, ranges0.head.from)) else Nil) ++
-          ranges0 ++
-          (if (ranges0.lastOption.exists(_.to.isDefined))
-            Seq(RangeSpec(None, ranges0.last.to, None)) else Nil)
-      def label(r: RangeSpec): String =
-        r.key.getOrElse(s"${r.from.map(fmtF64).getOrElse("*")}-${r.to.map(fmtF64).getOrElse("*")}")
+      val withImplicit = rangeDefs(ra)
       val keyName = s"${name}_key"
       val key = withImplicit.foldLeft(lit(null).cast("string")) { case (acc, r) =>
         val cond = (r.from.map(c >= _).getOrElse(lit(true))) && (r.to.map(c < _).getOrElse(lit(true)))
-        when(cond, lit(label(r))).otherwise(acc)
+        when(cond, lit(rangeLabel(r))).otherwise(acc)
       }.as(keyName)
-      val out = withSubs(df.where(c.isNotNull), groupCols :+ ((keyName, key)), subs)
+      val out = withSubs(df.where(c.isNotNull), name, groupCols :+ ((keyName, key)), subs)
       // bucket-definition frame: request order, custom keys, from/to columns
       import org.apache.spark.sql.Row
       import org.apache.spark.sql.types._
@@ -461,7 +488,7 @@ object AggRequest {
         StructField(s"${name}_to", DoubleType), StructField("__ord", IntegerType, nullable = false)))
       val defRows: java.util.List[Row] = new java.util.ArrayList[Row]()
       withImplicit.zipWithIndex.foreach { case (r, i) =>
-        defRows.add(Row(label(r), r.from.orNull, r.to.orNull, i))
+        defRows.add(Row(rangeLabel(r), r.from.orNull, r.to.orNull, i))
       }
       val defs = df.sparkSession.createDataFrame(defRows, schema)
       val parents = groupCols.map(_._1)
@@ -473,7 +500,7 @@ object AggRequest {
         .orderBy(parents.map(col) :+ col("__ord"): _*)
         .drop("__ord")
     case FilterAgg(pred, subs) =>
-      withSubs(df.where(expr(pred)), groupCols, subs)
+      withSubs(df.where(expr(pred)), name, groupCols, subs)
   }
 
   /** Rust `{}` float formatting for range bucket labels ("0", "0.1", not
@@ -481,6 +508,20 @@ object AggRequest {
     */
   private def fmtF64(d: Double): String =
     if (d == math.rint(d) && math.abs(d) < 1e15) d.toLong.toString else d.toString
+
+  /** The requested ranges plus the implicit open-ended buckets before the
+    * first `to` and after the last `from` (range.rs: "*-x" / "x-*"), kept
+    * even when empty — this IS the bucket order of the response.
+    */
+  private def rangeDefs(ra: RangeAgg): Seq[RangeSpec] =
+    (if (ra.ranges.headOption.exists(_.from.isDefined))
+      Seq(RangeSpec(None, None, ra.ranges.head.from)) else Nil) ++
+      ra.ranges ++
+      (if (ra.ranges.lastOption.exists(_.to.isDefined))
+        Seq(RangeSpec(None, ra.ranges.last.to, None)) else Nil)
+
+  private def rangeLabel(r: RangeSpec): String =
+    r.key.getOrElse(s"${r.from.map(fmtF64).getOrElse("*")}-${r.to.map(fmtF64).getOrElse("*")}")
 
   /** Shared histogram machinery (numeric + date): absolute grid keyed by
     * `floor((v - offset)/interval)*interval + offset`; `hard_bounds` clips
@@ -504,10 +545,16 @@ object AggRequest {
     }
     val keyName = s"${name}_key"
     val rows = filtered.where(value.isNotNull)
-    val out = withSubs(rows, groupCols :+ ((keyName, keyOf(value).as(keyName))), subs)
+    val out = withSubs(rows, name, groupCols :+ ((keyName, keyOf(value).as(keyName))), subs)
     val parents = groupCols.map(_._1)
+    // with a deeper bucket sub, THIS level's count was renamed by withSubs
+    // (plain doc_count is then the leaf's) — min_doc_count filters the
+    // histogram's own bucket counts
+    val levelCount =
+      if (out.columns.contains(s"${name}_doc_count")) col(s"${name}_doc_count")
+      else col("doc_count")
     val result =
-      if (minDocCount > 0) out.where(col("doc_count") >= minDocCount)
+      if (minDocCount > 0) out.where(levelCount >= minDocCount)
       else {
         val withVal = rows.select(
           groupCols.map { case (n, c) => c.as(n) } :+ keyOf(value).as("__k"): _*)
@@ -526,8 +573,10 @@ object AggRequest {
           case None => span1
         }
         val grid = span2
+          // hard_bounds can clip the span empty (lo > hi): no buckets, not a
+          // descending `sequence`
           .withColumn("__n", round((col("__hi") - col("__lo")) / interval).cast("long"))
-          .where(col("__n").isNotNull)
+          .where(col("__n") >= 0)
           .select(parents.map(col) ++ Seq(col("__lo"),
             explode(sequence(lit(0L), col("__n"))).as("__i")): _*)
           // re-derive the grid index so the key is the SAME `k*interval +
@@ -598,12 +647,17 @@ object AggRequest {
   /** Flattened-tree semantics: output rows are the DEEPEST level's rows
     * (leaf buckets, or top_hits rows); every shallower level's metrics and
     * doc_count are joined onto them by the bucket-path prefix (named
-    * `<levelName>_doc_count` to keep the leaf's own `doc_count` column).
-    * One bucket sub-aggregation per level — siblings express as separate
-    * root aggs (the output is a rectangle, not a tree).
+    * `<ownerName>_doc_count` to keep the leaf's own `doc_count` column).
+    * The join keeps THIS level's buckets even when the deeper level has no
+    * rows for them (right outer): a parent bucket whose sub-agg is empty
+    * renders with an empty `buckets` array, as the reference does, instead
+    * of silently vanishing; its padding rows carry a null deeper key, which
+    * the renderer drops at the deeper level. One bucket sub-aggregation per
+    * level — siblings express as separate root aggs (the output is a
+    * rectangle, not a tree).
     */
-  private def withSubs(df: DataFrame, groupCols: List[(String, Column)],
-      subs: Map[String, Node]): DataFrame = {
+  private def withSubs(df: DataFrame, ownerName: String,
+      groupCols: List[(String, Column)], subs: Map[String, Node]): DataFrame = {
     val metricSubs = subs.collect { case (n, m: Metric) => (n, m) }.toSeq.sortBy(_._1)
     val topHitsSubs = subs.collect { case (n, t: TopHits) => (n, t) }.toSeq.sortBy(_._1)
     val bucketSubs = (subs -- metricSubs.map(_._1) -- topHitsSubs.map(_._1)).toSeq.sortBy(_._1)
@@ -622,11 +676,13 @@ object AggRequest {
       case (Some((subName, subNode)), None) =>
         val deeper = compileOne(df, subName, subNode, groupCols)
         // this level's doc_count (and metrics, if any) always join onto the
-        // leaf rows — renderJson rebuilds the bucket tree from them
-        val levelName = groupCols.lastOption.map(_._1.stripSuffix("_key")).getOrElse("root")
-        val hereR = here.withColumnRenamed("doc_count", s"${levelName}_doc_count")
+        // leaf rows — renderJson rebuilds the bucket tree from them. The
+        // rename is keyed by the OWNING aggregation's name (a FilterAgg adds
+        // no group column, so deriving it from groupCols would collide with
+        // the parent level's own rename).
+        val hereR = here.withColumnRenamed("doc_count", s"${ownerName}_doc_count")
         if (groupCols.isEmpty) deeper.crossJoin(broadcast(hereR))
-        else deeper.join(hereR, groupCols.map(_._1), "left")
+        else deeper.join(hereR, groupCols.map(_._1), "right_outer")
       case (None, Some((thName, th))) =>
         val hits = topHitsRows(df, groupCols, thName, th)
         // bucket doc_count (+ sibling metrics) ride along on every hit row
