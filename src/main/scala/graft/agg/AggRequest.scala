@@ -35,9 +35,18 @@ object AggRequest {
     * `name.metric` for multi-value metrics), paired with ascending?.
     * None = the ES default (_count desc, key asc tiebreak).
     */
+  /** `show_term_doc_count_error` adds `doc_count_error_upper_bound` to the
+    * JSON result — always 0 here: the reference bounds the error introduced
+    * by its per-segment `segment_size` cutoff (`term_agg.rs:85-96`), while
+    * this engine aggregates exact global counts before any cutoff, so
+    * `segment_size`/`shard_size` are accepted and ignored.
+    * `sum_other_doc_count` (docs in buckets beyond `size`) is always emitted
+    * in the JSON result, like the reference's `BucketResult::Terms`.
+    */
   final case class Terms(field: String, size: Int, minDocCount: Long,
       subs: Map[String, Node], missing: Option[String] = None,
-      order: Option[(String, Boolean)] = None) extends Node
+      order: Option[(String, Boolean)] = None,
+      showDocCountError: Boolean = false) extends Node
   /** Histogram options match `bucket/histogram/histogram.rs:91-145`:
     * absolute grid `[offset + k*interval, offset + (k+1)*interval)`; by
     * default every bucket between the data min and max is returned
@@ -67,8 +76,15 @@ object AggRequest {
   final case class RangeAgg(field: String, ranges: Seq[RangeSpec],
       subs: Map[String, Node], keyed: Boolean = false) extends Node
   final case class FilterAgg(predicate: String, subs: Map[String, Node]) extends Node
+  /** `missing` substitutes the given value for docs lacking the field, for
+    * EVERY metric kind (the reference's `metric/average.rs:24-29` — each
+    * metric request carries `missing: Option<f64>`; accepted as a number or
+    * a numeric string, as serde does). `sigma` is the extended_stats
+    * deviation-bounds width (`extended_stats.rs:39-44`, default 2.0).
+    */
   final case class Metric(kind: String, field: String, percents: Seq[Double],
-      sketch: Boolean = false) extends Node
+      sketch: Boolean = false, missing: Option[Double] = None,
+      sigma: Option[Double] = None) extends Node
 
   import org.json4s._
   import org.json4s.jackson.JsonMethods
@@ -158,7 +174,11 @@ object AggRequest {
           case _ => Seq(1.0, 5.0, 25.0, 50.0, 75.0, 95.0, 99.0) // ES defaults
         }
         val sk = (body \ "sketch") match { case JBool(b) => b; case _ => false }
-        Metric(k, str(body, "field").getOrElse(""), pcts, sk)
+        val miss = num(body, "missing")
+          .orElse(str(body, "missing").flatMap(s => scala.util.Try(s.toDouble).toOption))
+        val sig = num(body, "sigma")
+          .orElse(str(body, "sigma").flatMap(s => scala.util.Try(s.toDouble).toOption))
+        Metric(k, str(body, "field").getOrElse(""), pcts, sk, missing = miss, sigma = sig)
     }.getOrElse {
       if ((spec \ "terms") != JNothing) {
         val b = spec \ "terms"
@@ -168,7 +188,10 @@ object AggRequest {
         }
         Terms(str(b, "field").get, num(b, "size").map(_.toInt).getOrElse(10),
           num(b, "min_doc_count").map(_.toLong).getOrElse(1L), subs,
-          missing = str(b, "missing"), order = order)
+          missing = str(b, "missing"), order = order,
+          showDocCountError = (b \ "show_term_doc_count_error") match {
+            case JBool(v) => v; case _ => false
+          })
       } else if ((spec \ "histogram") != JNothing) {
         val b = spec \ "histogram"
         Histogram(str(b, "field").get, num(b, "interval").get,
@@ -199,7 +222,9 @@ object AggRequest {
   }
 
   /** Compile one named agg tree over `df`. Returns name -> flattened bucket
-    * DataFrame (bucket key columns along the path + metric columns + doc_count).
+    * DataFrame (bucket key columns along the path + metric columns +
+    * doc_count). Columns with a `__` prefix are renderer internals (the
+    * per-parent `sum_other_doc_count` base) — select what you need.
     */
   def compile(df: DataFrame, aggs: Map[String, Node]): Map[String, DataFrame] =
     aggs.map { case (name, node) => name -> compileOne(df, name, node, Nil) }
@@ -240,6 +265,11 @@ object AggRequest {
     case other => JString(other.toString)
   }
 
+  private def numOfAny(a: Any): Option[Double] = a match {
+    case n: Number => Some(n.doubleValue())
+    case _ => None
+  }
+
   private def numOf(a: Any): Double = a match {
     case null => Double.NaN
     case n: Number => n.doubleValue()
@@ -264,18 +294,45 @@ object AggRequest {
       JObject(List("value" -> zeroIfNull(row.getOrElse(s"${name}_count", null), JInt(0))))
     case "cardinality" =>
       JObject(List("value" -> zeroIfNull(row.getOrElse(s"${name}_cardinality", null), JInt(0))))
-    case "stats" | "extended_stats" =>
-      val base = List("count", "min", "max", "avg", "sum")
-      val ext = if (m.kind == "extended_stats")
-        List("sum_of_squares", "variance", "std_deviation") else Nil
-      JObject((base ++ ext).map { k =>
+    case "stats" =>
+      JObject(List("count", "min", "max", "avg", "sum").map { k =>
         val v = row.getOrElse(s"${name}_$k", null)
         k -> (k match {
           case "count" => zeroIfNull(v, JInt(0))
-          case "sum" | "sum_of_squares" => zeroIfNull(v, JDouble(0.0))
+          case "sum" => zeroIfNull(v, JDouble(0.0))
           case _ => jval(v)
         })
       })
+    case "extended_stats" =>
+      // ExtendedStats (extended_stats.rs:66-98): count/sum always present,
+      // min/max/avg/sum_of_squares null when count == 0, variance family
+      // null when count <= 1; *_population aliases the population value;
+      // std_deviation_bounds = avg ± sigma·std (default sigma 2.0), null
+      // whenever the variance is
+      def d(k: String): Any = row.getOrElse(s"${name}_$k", null)
+      val varv = d("variance"); val vars = d("variance_sampling")
+      val sd = d("std_deviation"); val sds = d("std_deviation_sampling")
+      val bounds: JValue = (numOfAny(d("avg")), numOfAny(sd), numOfAny(sds)) match {
+        case (Some(mean), Some(dev), Some(devs)) =>
+          val sig = m.sigma.getOrElse(2.0)
+          JObject(List(
+            "upper" -> JDouble(mean + dev * sig), "lower" -> JDouble(mean - dev * sig),
+            "upper_sampling" -> JDouble(mean + devs * sig),
+            "lower_sampling" -> JDouble(mean - devs * sig),
+            "upper_population" -> JDouble(mean + dev * sig),
+            "lower_population" -> JDouble(mean - dev * sig)))
+        case _ => JNull
+      }
+      JObject(List(
+        "count" -> zeroIfNull(d("count"), JInt(0)),
+        "min" -> jval(d("min")), "max" -> jval(d("max")), "avg" -> jval(d("avg")),
+        "sum" -> zeroIfNull(d("sum"), JDouble(0.0)),
+        "sum_of_squares" -> jval(d("sum_of_squares")),
+        "variance" -> jval(varv), "variance_population" -> jval(varv),
+        "variance_sampling" -> jval(vars),
+        "std_deviation" -> jval(sd), "std_deviation_population" -> jval(sd),
+        "std_deviation_sampling" -> jval(sds),
+        "std_deviation_bounds" -> bounds))
     case "percentiles" =>
       JObject(List("values" -> JObject(
         m.percents.toList.map(p =>
@@ -344,7 +401,7 @@ object AggRequest {
         JObject(("doc_count" -> jval(dc)) :: subNodesJson(subs, name, rows))
       case bucketNode =>
         val subs = bucketNode match {
-          case Terms(_, _, _, s, _, _) => s
+          case t: Terms => t.subs
           case Histogram(_, _, _, s, _, _, _) => s
           case DateHistogram(_, _, _, s, _, _, _) => s
           case RangeAgg(_, _, s, _) => s
@@ -362,10 +419,12 @@ object AggRequest {
             order(k) = order.getOrElse(k, Vector.empty) :+ r
         }
         val buckets = bucketSort(bucketNode, name, order.toSeq)
-        JObject(List("buckets" -> JArray(buckets.toList.map { case (k, subRows) =>
-          val row = subRows.head
-          val docCount = row.get(s"${name}_doc_count").orElse(row.get("doc_count"))
+        def levelDocCount(row: Map[String, Any]): Any =
+          row.get(s"${name}_doc_count").orElse(row.get("doc_count"))
             .flatMap(Option(_)).getOrElse(0L)
+        val bucketsJson = JArray(buckets.toList.map { case (k, subRows) =>
+          val row = subRows.head
+          val docCount = levelDocCount(row)
           val keyFields: List[(String, JValue)] = k match {
             case t: java.sql.Timestamp =>
               List("key" -> JInt(BigInt(t.getTime)),
@@ -378,7 +437,29 @@ object AggRequest {
           }
           JObject(keyFields ++ fromTo ++ List("doc_count" -> jval(docCount)) ++
             subNodesJson(subs, name, subRows))
-        })))
+        })
+        // terms results carry `sum_other_doc_count` (BucketResult::Terms,
+        // agg_result.rs:152-158): docs in buckets that passed min_doc_count
+        // but fell beyond `size`. `doc_count_error_upper_bound` is opt-in and
+        // always 0 — counts here are exact global counts (no segment_size
+        // cutoff before the merge).
+        val termsExtra: List[(String, JValue)] = bucketNode match {
+          case t: Terms =>
+            val bgTotal = rows.iterator
+              .map(_.getOrElse(s"__${name}_bg_total", null))
+              .collectFirst { case l: Long => l; case i: Int => i.toLong }
+              .getOrElse(0L)
+            val kept = buckets.iterator.map { case (_, rs) =>
+              levelDocCount(rs.head) match {
+                case l: Long => l; case i: Int => i.toLong; case _ => 0L
+              }
+            }.sum
+            ("sum_other_doc_count" -> JInt(BigInt(math.max(0L, bgTotal - kept)))) ::
+              (if (t.showDocCountError)
+                List("doc_count_error_upper_bound" -> JInt(BigInt(0))) else Nil)
+          case _ => Nil
+        }
+        JObject(("buckets" -> bucketsJson) :: termsExtra)
     }
 
   private def subNodesJson(subs: Map[String, Node], parentName: String,
@@ -387,34 +468,55 @@ object AggRequest {
       subName -> renderNode(subNode, subName, subRows)
     }
 
-  private def metricColumns(name: String, m: Metric): Seq[Column] = m.kind match {
-    case "avg" => Seq(avg(m.field).as(s"${name}_avg"))
-    case "min" => Seq(min(m.field).as(s"${name}_min"))
-    case "max" => Seq(max(m.field).as(s"${name}_max"))
-    case "sum" => Seq(sum(m.field).as(s"${name}_sum"))
-    case "value_count" => Seq(count(col(m.field)).as(s"${name}_count"))
-    case "stats" => Seq(
-      count(col(m.field)).as(s"${name}_count"), min(m.field).as(s"${name}_min"),
-      max(m.field).as(s"${name}_max"), avg(m.field).as(s"${name}_avg"),
-      sum(m.field).as(s"${name}_sum"))
-    case "extended_stats" => Seq(
-      // ES extended_stats: stats + sum_of_squares + population variance/std
-      // (extended_stats.rs in the reference aggregation module)
-      count(col(m.field)).as(s"${name}_count"), min(m.field).as(s"${name}_min"),
-      max(m.field).as(s"${name}_max"), avg(m.field).as(s"${name}_avg"),
-      sum(m.field).as(s"${name}_sum"),
-      sum(col(m.field) * col(m.field)).as(s"${name}_sum_of_squares"),
-      var_pop(m.field).as(s"${name}_variance"),
-      stddev_pop(m.field).as(s"${name}_std_deviation"))
-    case "percentiles" if m.sketch =>
-      // the reference's sketch family (DDSketch, percentiles.rs:217-227);
-      // one array-valued aggregate, split into per-percent columns
-      val arr = DDSketch.percentilesAgg(col(m.field), m.percents).as(s"__${name}_pcts")
-      Seq(arr) // split post-agg in aggregateAt via percentColumns
-    case "percentiles" => m.percents.map(p =>
-      expr(s"percentile(${m.field}, ${p / 100.0})").as(s"${name}_p${p.toInt}"))
-    case "cardinality" => Seq(approx_count_distinct(m.field).as(s"${name}_cardinality"))
-    case other => throw new IllegalArgumentException(s"metric $other")
+  private def metricColumns(name: String, m: Metric): Seq[Column] = {
+    // `missing` fills nulls with an f64 (the reference coerces the column to
+    // f64 when substituting); without it the raw column keeps its own type
+    val c: Column = m.missing match {
+      case Some(mv) => coalesce(col(m.field).cast("double"), lit(mv))
+      case None => col(m.field)
+    }
+    m.kind match {
+      case "avg" => Seq(avg(c).as(s"${name}_avg"))
+      case "min" => Seq(min(c).as(s"${name}_min"))
+      case "max" => Seq(max(c).as(s"${name}_max"))
+      case "sum" => Seq(sum(c).as(s"${name}_sum"))
+      case "value_count" => Seq(count(c).as(s"${name}_count"))
+      case "stats" => Seq(
+        count(c).as(s"${name}_count"), min(c).as(s"${name}_min"),
+        max(c).as(s"${name}_max"), avg(c).as(s"${name}_avg"),
+        sum(c).as(s"${name}_sum"))
+      case "extended_stats" =>
+        // extended_stats.rs: stats + sum_of_squares + population AND sampling
+        // variance/std — variance is None for count <= 1 (finalize at
+        // :251-257), so the Spark aggregates are gated on the count; the
+        // sigma-width deviation bounds derive from these in the renderer
+        val cnt = count(c)
+        val vp = when(cnt > 1, var_pop(c))
+        val vs = when(cnt > 1, var_samp(c))
+        Seq(
+          cnt.as(s"${name}_count"), min(c).as(s"${name}_min"),
+          max(c).as(s"${name}_max"), avg(c).as(s"${name}_avg"),
+          sum(c).as(s"${name}_sum"),
+          sum(c * c).as(s"${name}_sum_of_squares"),
+          vp.as(s"${name}_variance"),
+          vs.as(s"${name}_variance_sampling"),
+          sqrt(vp).as(s"${name}_std_deviation"),
+          sqrt(vs).as(s"${name}_std_deviation_sampling"))
+      case "percentiles" if m.sketch =>
+        // the reference's sketch family (DDSketch, percentiles.rs:217-227);
+        // one array-valued aggregate, split into per-percent columns
+        val arr = DDSketch.percentilesAgg(c, m.percents).as(s"__${name}_pcts")
+        Seq(arr) // split post-agg in aggregateAt via percentColumns
+      case "percentiles" => m.percents.map { p =>
+        val e = m.missing match {
+          case Some(mv) => s"coalesce(cast(${m.field} as double), $mv)"
+          case None => m.field
+        }
+        expr(s"percentile($e, ${p / 100.0})").as(s"${name}_p${p.toInt}")
+      }
+      case "cardinality" => Seq(approx_count_distinct(c).as(s"${name}_cardinality"))
+      case other => throw new IllegalArgumentException(s"metric $other")
+    }
   }
 
   private def compileOne(df: DataFrame, name: String, node: Node,
@@ -423,7 +525,7 @@ object AggRequest {
       expandSketch(
         aggregateAt(df, groupCols, metricColumns(name, m), sortKeys = groupCols.map(_._1)),
         Seq(name -> m))
-    case Terms(field, size, minDocCount, subs, missing, order) =>
+    case Terms(field, size, minDocCount, subs, missing, order, _) =>
       // ES `missing`: null keys fall into the given bucket value; without it
       // docs lacking the field contribute NO bucket (`term_agg.rs` only
       // collects docs carrying a term; `term_missing_agg.rs` is the opt-in)
@@ -434,13 +536,36 @@ object AggRequest {
       val path = groupCols :+ keyed
       val inner = withSubs(src, name, path, subs)
       val orderCols = termsOrder(order, keyName, subs)
+      // `sum_other_doc_count` base: docs in buckets passing min_doc_count at
+      // this level, per parent path; the renderer subtracts the kept buckets
+      // (`cut_off_buckets`, term_agg.rs:1166-1181, sums the truncated tail —
+      // total minus kept is the same number, computed without materializing
+      // the tail). With min_doc_count <= 1 every bucketed doc counts, so a
+      // plain scan-count avoids the per-bucket pre-aggregate.
+      val totName = s"__${name}_bg_total"
+      def attachTotal(out: DataFrame): DataFrame = {
+        val totals: DataFrame =
+          if (minDocCount <= 1L) {
+            if (groupCols.isEmpty) src.agg(count(lit(1)).as(totName))
+            else src.groupBy(groupCols.map { case (n, c) => c.as(n) }: _*)
+              .agg(count(lit(1)).as(totName))
+          } else {
+            val perBucket = aggregateAt(src, path, Nil, Nil)
+              .where(col("doc_count") >= minDocCount)
+            if (groupCols.isEmpty) perBucket.agg(sum(col("doc_count")).as(totName))
+            else perBucket.groupBy(groupCols.map(g => col(g._1)): _*)
+              .agg(sum(col("doc_count")).as(totName))
+          }
+        if (groupCols.isEmpty) out.crossJoin(broadcast(totals))
+        else out.join(totals, groupCols.map(_._1), "left")
+      }
       val hasDeeper = subs.values.exists(n => !n.isInstanceOf[Metric] && !n.isInstanceOf[TopHits]) ||
         subs.values.exists(_.isInstanceOf[TopHits])
       if (!hasDeeper && groupCols.isEmpty) {
         // flat terms: doc_count in `inner` is this level's count, and the
         // metric leaves are present, so a sub-agg order target sorts directly
-        inner.where(col("doc_count") >= minDocCount)
-          .orderBy(orderCols: _*).limit(size)
+        attachTotal(inner.where(col("doc_count") >= minDocCount)
+          .orderBy(orderCols: _*).limit(size))
       } else {
         // `size` applies PER PARENT BUCKET and min_doc_count to THIS level's
         // counts (term_agg.rs:202-240): rank this level's buckets inside
@@ -459,7 +584,8 @@ object AggRequest {
             levelCounts.withColumn("__rn", row_number().over(w))
               .where(col("__rn") <= size).drop("__rn")
           }
-        inner.join(limited.select(path.map(c => col(c._1)): _*), path.map(_._1), "left_semi")
+        attachTotal(
+          inner.join(limited.select(path.map(c => col(c._1)): _*), path.map(_._1), "left_semi"))
       }
     case Histogram(field, interval, offset, subs, extendedBounds, hardBounds, minDocCount) =>
       histogramAt(df, name, groupCols, subs, col(field).cast("double"),
@@ -613,7 +739,7 @@ object AggRequest {
       case Array(b) => (b, None)
     }
     subs.get(base) match {
-      case Some(Metric(kind, _, _, sketch)) =>
+      case Some(Metric(kind, _, _, sketch, _, _)) =>
         require(!(kind == "percentiles" && sketch),
           s"order target '$target': ordering by sketch percentiles is unsupported")
         val leaf = leafOpt

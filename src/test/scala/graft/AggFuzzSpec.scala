@@ -83,10 +83,11 @@ class AggFuzzSpec extends AnyFunSuite {
     }
 
   private def nodeReq(n: Node): JObject = n match {
-    case Terms(f, size, mdc, subs, missing, order) =>
+    case Terms(f, size, mdc, subs, missing, order, showErr) =>
       JObject(("terms" -> JObject(List(
         "field" -> JString(f), "size" -> JInt(size), "min_doc_count" -> JInt(mdc)) ++
         missing.map(m => "missing" -> JString(m)).toList ++
+        (if (showErr) List("show_term_doc_count_error" -> JBool(true)) else Nil) ++
         order.map { case (t, asc) =>
           "order" -> JObject(List(t -> JString(if (asc) "asc" else "desc")))
         }.toList)) :: subsReq(subs))
@@ -112,8 +113,10 @@ class AggFuzzSpec extends AnyFunSuite {
     case FilterAgg(pred, subs) =>
       JObject(("filter" -> JObject(List("query_string" -> JString(pred)))) ::
         subsReq(subs))
-    case Metric(kind, f, pcts, _) =>
+    case Metric(kind, f, pcts, _, missing, sigma) =>
       val body = List("field" -> JString(f)) ++
+        missing.map(mv => "missing" -> JDouble(mv)).toList ++
+        sigma.map(s => "sigma" -> JDouble(s)).toList ++
         (if (kind == "percentiles")
           List("percents" -> JArray(pcts.toList.map(p => JInt(p.toInt)))) else Nil)
       JObject(List(kind -> JObject(body)))
@@ -143,8 +146,16 @@ class AggFuzzSpec extends AnyFunSuite {
     sorted(lo) + (pos - lo) * (sorted(hi) - sorted(lo))
   }
 
+  /** `missing` substitutes the value for docs lacking the field — every doc
+    * then contributes (the reference's per-metric `missing: Option<f64>`).
+    */
+  private def metricVals(m: Metric, ds: Seq[D]): Seq[Double] = m.missing match {
+    case Some(mv) => ds.map(d => numField(d, m.field).getOrElse(mv))
+    case None => ds.flatMap(numField(_, m.field))
+  }
+
   private def metricEval(m: Metric, ds: Seq[D]): JValue = {
-    val vals = ds.flatMap(numField(_, m.field))
+    val vals = metricVals(m, ds)
     def opt[A](f: => A): Option[Double] =
       if (vals.isEmpty) None else Some(f.asInstanceOf[Number].doubleValue)
     m.kind match {
@@ -158,15 +169,33 @@ class AggFuzzSpec extends AnyFunSuite {
         "max" -> jnum(opt(vals.max)), "avg" -> jnum(opt(vals.sum / vals.size)),
         "sum" -> JDouble(vals.sum)))
       case "extended_stats" =>
+        // extended_stats.rs finalize: variance family None for count <= 1,
+        // sum_of_squares None for count == 0, bounds = avg ± sigma·std
         val mean = if (vals.isEmpty) 0.0 else vals.sum / vals.size
-        val varp = opt(vals.map(x => (x - mean) * (x - mean)).sum / vals.size)
+        val m2 = vals.map(x => (x - mean) * (x - mean)).sum
+        val varp = if (vals.size > 1) Some(m2 / vals.size) else None
+        val vars = if (vals.size > 1) Some(m2 / (vals.size - 1)) else None
+        val sd = varp.map(math.sqrt); val sds = vars.map(math.sqrt)
+        val sig = m.sigma.getOrElse(2.0)
+        val bounds: JValue = (sd, sds) match {
+          case (Some(d), Some(ds)) => JObject(List(
+            "upper" -> JDouble(mean + d * sig), "lower" -> JDouble(mean - d * sig),
+            "upper_sampling" -> JDouble(mean + ds * sig),
+            "lower_sampling" -> JDouble(mean - ds * sig),
+            "upper_population" -> JDouble(mean + d * sig),
+            "lower_population" -> JDouble(mean - d * sig)))
+          case _ => JNull
+        }
         JObject(List(
           "count" -> JInt(vals.size), "min" -> jnum(opt(vals.min)),
           "max" -> jnum(opt(vals.max)), "avg" -> jnum(opt(vals.sum / vals.size)),
           "sum" -> JDouble(vals.sum),
-          "sum_of_squares" -> JDouble(vals.map(x => x * x).sum),
-          "variance" -> jnum(varp),
-          "std_deviation" -> jnum(varp.map(math.sqrt))))
+          "sum_of_squares" -> jnum(opt(vals.map(x => x * x).sum)),
+          "variance" -> jnum(varp), "variance_population" -> jnum(varp),
+          "variance_sampling" -> jnum(vars),
+          "std_deviation" -> jnum(sd), "std_deviation_population" -> jnum(sd),
+          "std_deviation_sampling" -> jnum(sds),
+          "std_deviation_bounds" -> bounds))
       case "percentiles" =>
         val sorted = vals.sorted.toIndexedSeq
         JObject(List("values" -> JObject(m.percents.toList.map(p =>
@@ -184,7 +213,7 @@ class AggFuzzSpec extends AnyFunSuite {
       case Array(b) => (b, None)
     }
     val m = subs(base).asInstanceOf[Metric]
-    val vals = ds.flatMap(numField(_, m.field))
+    val vals = metricVals(m, ds)
     val leaf = leafOpt.getOrElse(m.kind match {
       case "value_count" => "count"
       case k => k
@@ -256,10 +285,15 @@ class AggFuzzSpec extends AnyFunSuite {
       case Some(("_count", true)) => selected.sortBy { case (k, b) => (b.size, k) }
       case _ => selected.sortBy { case (k, b) => (-b.size, k) }
     }
+    // sum_other_doc_count: docs in buckets past min_doc_count that fell
+    // beyond `size` (reference cut_off_buckets); error bound is exact-0
+    val sumOther = counted.map(_._2.size.toLong).sum - selected.map(_._2.size.toLong).sum
     JObject(List("buckets" -> JArray(presented.toList.map { case (k, b) =>
       JObject(List("key" -> JString(k), "doc_count" -> JInt(b.size)) ++
         subsEval(t.subs, b))
-    })))
+    }), "sum_other_doc_count" -> JInt(BigInt(sumOther))) ++
+      (if (t.showDocCountError)
+        List("doc_count_error_upper_bound" -> JInt(0)) else Nil))
   }
 
   /** Spark's `round(double)` (BigDecimal HALF_UP), which differs from
@@ -439,7 +473,11 @@ class AggFuzzSpec extends AnyFunSuite {
         "extended_stats", "percentiles"))
       val field = pick(Seq("v", "n"))
       (name(), Metric(kind, field,
-        if (kind == "percentiles") Seq(25.0, 50.0, 95.0) else Nil))
+        if (kind == "percentiles") Seq(25.0, 50.0, 95.0) else Nil,
+        missing = if (field == "v" && rng.nextInt(4) == 0)
+          Some((rng.nextInt(21) - 10).toDouble) else None,
+        sigma = if (kind == "extended_stats" && rng.nextInt(3) == 0)
+          Some(pick(Seq(1.0, 2.5, 3.0))) else None))
     }
 
     def pick[A](xs: Seq[A]): A = xs(rng.nextInt(xs.size))
@@ -473,7 +511,8 @@ class AggFuzzSpec extends AnyFunSuite {
           Terms(pick(Seq("cat", "cat", "grp")), 1 + rng.nextInt(4),
             rng.nextInt(3).toLong, subs,
             missing = if (rng.nextInt(4) == 0) Some("(none)") else None,
-            order = orderFor(metrics))
+            order = orderFor(metrics),
+            showDocCountError = rng.nextInt(4) == 0)
         case "hist" =>
           val mdc = if (rng.nextInt(3) == 0) 1L + rng.nextInt(2) else 0L
           val eb = if (mdc == 0 && rng.nextInt(3) == 0)

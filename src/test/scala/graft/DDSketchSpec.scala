@@ -91,7 +91,9 @@ class DDSketchSpec extends AnyFunSuite {
       """{"by_g": {"terms": {"field": "g", "size": 10},
         |  "aggs": {"lat": {"percentiles": {"field": "v", "percents": [50, 90], "sketch": true}}}}}"""
         .stripMargin)("by_g")
-    assert(out.columns.toSet == Set("by_g_key", "doc_count", "lat_p50", "lat_p90"))
+    // `__`-prefixed columns are renderer internals (sum_other_doc_count base)
+    assert(out.columns.filterNot(_.startsWith("__")).toSet ==
+      Set("by_g_key", "doc_count", "lat_p50", "lat_p90"))
     assert(out.count() == 3)
     val g0 = out.where(col("by_g_key") === 0).head()
     val exactG0 = data.zipWithIndex.filter(_._2 % 3 == 0).map(_._1).sorted
