@@ -223,11 +223,15 @@ object AggRequest {
 
   /** Compile one named agg tree over `df`. Returns name -> flattened bucket
     * DataFrame (bucket key columns along the path + metric columns +
-    * doc_count). Columns with a `__` prefix are renderer internals (the
-    * per-parent `sum_other_doc_count` base) — select what you need.
+    * doc_count). With `withTotals` each terms level also carries a
+    * `__<name>_bg_total` internal column — the per-parent
+    * `sum_other_doc_count` base the JSON renderer subtracts from; it costs
+    * one extra aggregate per terms level, so the flattened-frame path
+    * (which never renders sum_other) skips it by default.
     */
-  def compile(df: DataFrame, aggs: Map[String, Node]): Map[String, DataFrame] =
-    aggs.map { case (name, node) => name -> compileOne(df, name, node, Nil) }
+  def compile(df: DataFrame, aggs: Map[String, Node],
+      withTotals: Boolean = false): Map[String, DataFrame] =
+    aggs.map { case (name, node) => name -> compileOne(df, name, node, Nil, withTotals) }
 
   def run(df: DataFrame, json: String): Map[String, DataFrame] = compile(df, parse(json))
 
@@ -242,7 +246,7 @@ object AggRequest {
     */
   def runJson(df: DataFrame, json: String): String = {
     val aggs = parse(json)
-    val frames = compile(df, aggs)
+    val frames = compile(df, aggs, withTotals = true)
     val out = JObject(aggs.toList.sortBy(_._1).map { case (name, node) =>
       val rows: Seq[Map[String, Any]] = frames(name).collect().toSeq.map { r =>
         r.schema.fieldNames.zipWithIndex.map { case (f, i) => f -> r.get(i) }.toMap
@@ -520,7 +524,7 @@ object AggRequest {
   }
 
   private def compileOne(df: DataFrame, name: String, node: Node,
-      groupCols: List[(String, Column)]): DataFrame = node match {
+      groupCols: List[(String, Column)], withTotals: Boolean): DataFrame = node match {
     case m: Metric =>
       expandSketch(
         aggregateAt(df, groupCols, metricColumns(name, m), sortKeys = groupCols.map(_._1)),
@@ -534,7 +538,7 @@ object AggRequest {
       val keyName = s"${name}_key"
       val keyed = (keyName, keyCol)
       val path = groupCols :+ keyed
-      val inner = withSubs(src, name, path, subs)
+      val inner = withSubs(src, name, path, subs, withTotals)
       val orderCols = termsOrder(order, keyName, subs)
       // `sum_other_doc_count` base: docs in buckets passing min_doc_count at
       // this level, per parent path; the renderer subtracts the kept buckets
@@ -543,7 +547,7 @@ object AggRequest {
       // the tail). With min_doc_count <= 1 every bucketed doc counts, so a
       // plain scan-count avoids the per-bucket pre-aggregate.
       val totName = s"__${name}_bg_total"
-      def attachTotal(out: DataFrame): DataFrame = {
+      def attachTotal(out: DataFrame): DataFrame = if (!withTotals) out else {
         val totals: DataFrame =
           if (minDocCount <= 1L) {
             if (groupCols.isEmpty) src.agg(count(lit(1)).as(totName))
@@ -589,14 +593,14 @@ object AggRequest {
       }
     case Histogram(field, interval, offset, subs, extendedBounds, hardBounds, minDocCount) =>
       histogramAt(df, name, groupCols, subs, col(field).cast("double"),
-        interval, offset, extendedBounds, hardBounds, minDocCount, identity)
+        interval, offset, extendedBounds, hardBounds, minDocCount, identity, withTotals)
     case DateHistogram(field, intervalMs, offsetMs, subs, eb, hb, minDocCount) =>
       // the reference lowers date_histogram onto the numeric histogram over
       // epoch milliseconds (date_histogram.rs); the key renders back as a
       // millisecond-precision timestamp
       val ms = (unix_micros(col(field).cast("timestamp")) / lit(1000L)).cast("double")
       histogramAt(df, name, groupCols, subs, ms, intervalMs.toDouble, offsetMs.toDouble,
-        eb, hb, minDocCount, k => timestamp_millis(k.cast("long")))
+        eb, hb, minDocCount, k => timestamp_millis(k.cast("long")), withTotals)
     case ra @ RangeAgg(field, _, subs, _) =>
       val c = col(field).cast("double")
       val withImplicit = rangeDefs(ra)
@@ -605,7 +609,8 @@ object AggRequest {
         val cond = (r.from.map(c >= _).getOrElse(lit(true))) && (r.to.map(c < _).getOrElse(lit(true)))
         when(cond, lit(rangeLabel(r))).otherwise(acc)
       }.as(keyName)
-      val out = withSubs(df.where(c.isNotNull), name, groupCols :+ ((keyName, key)), subs)
+      val out = withSubs(df.where(c.isNotNull), name, groupCols :+ ((keyName, key)), subs,
+        withTotals)
       // bucket-definition frame: request order, custom keys, from/to columns
       import org.apache.spark.sql.Row
       import org.apache.spark.sql.types._
@@ -626,7 +631,7 @@ object AggRequest {
         .orderBy(parents.map(col) :+ col("__ord"): _*)
         .drop("__ord")
     case FilterAgg(pred, subs) =>
-      withSubs(df.where(expr(pred)), name, groupCols, subs)
+      withSubs(df.where(expr(pred)), name, groupCols, subs, withTotals)
   }
 
   /** Rust `{}` float formatting for range bucket labels ("0", "0.1", not
@@ -661,7 +666,7 @@ object AggRequest {
   private def histogramAt(df: DataFrame, name: String, groupCols: List[(String, Column)],
       subs: Map[String, Node], value: Column, interval: Double, offset: Double,
       extendedBounds: Option[(Double, Double)], hardBounds: Option[(Double, Double)],
-      minDocCount: Long, toKey: Column => Column): DataFrame = {
+      minDocCount: Long, toKey: Column => Column, withTotals: Boolean): DataFrame = {
     require(minDocCount == 0 || extendedBounds.isEmpty,
       "extended_bounds cannot be combined with min_doc_count > 0 (histogram.rs)")
     def keyOf(c: Column): Column = floor((c - offset) / interval) * interval + offset
@@ -671,7 +676,8 @@ object AggRequest {
     }
     val keyName = s"${name}_key"
     val rows = filtered.where(value.isNotNull)
-    val out = withSubs(rows, name, groupCols :+ ((keyName, keyOf(value).as(keyName))), subs)
+    val out = withSubs(rows, name, groupCols :+ ((keyName, keyOf(value).as(keyName))), subs,
+      withTotals)
     val parents = groupCols.map(_._1)
     // with a deeper bucket sub, THIS level's count was renamed by withSubs
     // (plain doc_count is then the leaf's) — min_doc_count filters the
@@ -783,7 +789,8 @@ object AggRequest {
     * rectangle, not a tree).
     */
   private def withSubs(df: DataFrame, ownerName: String,
-      groupCols: List[(String, Column)], subs: Map[String, Node]): DataFrame = {
+      groupCols: List[(String, Column)], subs: Map[String, Node],
+      withTotals: Boolean): DataFrame = {
     val metricSubs = subs.collect { case (n, m: Metric) => (n, m) }.toSeq.sortBy(_._1)
     val topHitsSubs = subs.collect { case (n, t: TopHits) => (n, t) }.toSeq.sortBy(_._1)
     val bucketSubs = (subs -- metricSubs.map(_._1) -- topHitsSubs.map(_._1)).toSeq.sortBy(_._1)
@@ -800,7 +807,7 @@ object AggRequest {
     (bucketSubs.headOption, topHitsSubs.headOption) match {
       case (None, None) => here
       case (Some((subName, subNode)), None) =>
-        val deeper = compileOne(df, subName, subNode, groupCols)
+        val deeper = compileOne(df, subName, subNode, groupCols, withTotals)
         // this level's doc_count (and metrics, if any) always join onto the
         // leaf rows — renderJson rebuilds the bucket tree from them. The
         // rename is keyed by the OWNING aggregation's name (a FilterAgg adds
