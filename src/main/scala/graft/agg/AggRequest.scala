@@ -54,11 +54,15 @@ object AggRequest {
     * `hard_bounds` clips the value range (closed interval),
     * `extended_bounds` widens the materialized grid.
     */
+  /** `keyed` renders the JSON buckets as a map keyed by the bucket label
+    * (`BucketEntries::HashMap`, agg_result.rs:187-201; map key =
+    * `key.to_string()`, the Rust `{}` float format for numeric keys).
+    */
   final case class Histogram(field: String, interval: Double, offset: Double,
       subs: Map[String, Node],
       extendedBounds: Option[(Double, Double)] = None,
       hardBounds: Option[(Double, Double)] = None,
-      minDocCount: Long = 0L) extends Node
+      minDocCount: Long = 0L, keyed: Boolean = false) extends Node
   /** `date_histogram` is the same grid over epoch milliseconds
     * (`bucket/histogram/date_histogram.rs:34-120`): fixed_interval/offset
     * are duration strings (ms/s/m/h/d), bounds are ms timestamps; the
@@ -68,7 +72,7 @@ object AggRequest {
       subs: Map[String, Node],
       extendedBounds: Option[(Double, Double)] = None,
       hardBounds: Option[(Double, Double)] = None,
-      minDocCount: Long = 0L) extends Node
+      minDocCount: Long = 0L, keyed: Boolean = false) extends Node
   /** One requested range bucket (`bucket/range.rs:91-97`): optional custom
     * key, half-open [from, to).
     */
@@ -198,7 +202,8 @@ object AggRequest {
           num(b, "offset").getOrElse(0.0), subs,
           extendedBounds = bounds(b \ "extended_bounds"),
           hardBounds = bounds(b \ "hard_bounds"),
-          minDocCount = num(b, "min_doc_count").map(_.toLong).getOrElse(0L))
+          minDocCount = num(b, "min_doc_count").map(_.toLong).getOrElse(0L),
+          keyed = (b \ "keyed") match { case JBool(v) => v; case _ => false })
       } else if ((spec \ "date_histogram") != JNothing) {
         val b = spec \ "date_histogram"
         val iv = str(b, "fixed_interval").orElse(str(b, "calendar_interval")).getOrElse("1d")
@@ -206,7 +211,8 @@ object AggRequest {
           str(b, "offset").map(durationMs).getOrElse(0L), subs,
           extendedBounds = bounds(b \ "extended_bounds"),
           hardBounds = bounds(b \ "hard_bounds"),
-          minDocCount = num(b, "min_doc_count").map(_.toLong).getOrElse(0L))
+          minDocCount = num(b, "min_doc_count").map(_.toLong).getOrElse(0L),
+          keyed = (b \ "keyed") match { case JBool(v) => v; case _ => false })
       } else if ((spec \ "range") != JNothing) {
         val b = spec \ "range"
         val ranges = (b \ "ranges") match {
@@ -404,12 +410,12 @@ object AggRequest {
           .flatMap(Option(_)).getOrElse(0L)
         JObject(("doc_count" -> jval(dc)) :: subNodesJson(subs, name, rows))
       case bucketNode =>
-        val subs = bucketNode match {
-          case t: Terms => t.subs
-          case Histogram(_, _, _, s, _, _, _) => s
-          case DateHistogram(_, _, _, s, _, _, _) => s
-          case RangeAgg(_, _, s, _) => s
-          case _ => Map.empty[String, Node]
+        val (subs, keyed) = bucketNode match {
+          case t: Terms => (t.subs, false)
+          case h: Histogram => (h.subs, h.keyed)
+          case dh: DateHistogram => (dh.subs, dh.keyed)
+          case ra: RangeAgg => (ra.subs, ra.keyed)
+          case _ => (Map.empty[String, Node], false)
         }
         val keyName = s"${name}_key"
         // group rows by this level's key, preserving frame encounter order.
@@ -426,7 +432,7 @@ object AggRequest {
         def levelDocCount(row: Map[String, Any]): Any =
           row.get(s"${name}_doc_count").orElse(row.get("doc_count"))
             .flatMap(Option(_)).getOrElse(0L)
-        val bucketsJson = JArray(buckets.toList.map { case (k, subRows) =>
+        val bucketObjs: List[(Any, JObject)] = buckets.toList.map { case (k, subRows) =>
           val row = subRows.head
           val docCount = levelDocCount(row)
           val keyFields: List[(String, JValue)] = k match {
@@ -439,9 +445,23 @@ object AggRequest {
           val fromTo = List(s"${name}_from" -> "from", s"${name}_to" -> "to").flatMap {
             case (colN, out) => row.get(colN).filter(_ != null).map(v => out -> jval(v))
           }
-          JObject(keyFields ++ fromTo ++ List("doc_count" -> jval(docCount)) ++
+          k -> JObject(keyFields ++ fromTo ++ List("doc_count" -> jval(docCount)) ++
             subNodesJson(subs, name, subRows))
-        })
+        }
+        // keyed=true: buckets as a map keyed by the bucket label — the range
+        // key string, or the Rust `{}` float format of a numeric key (date
+        // histogram keys are their epoch-ms value, intermediate_agg_result
+        // .rs:484-492 `key.to_string()`)
+        val bucketsJson: JValue =
+          if (!keyed) JArray(bucketObjs.map(_._2))
+          else JObject(bucketObjs.map { case (k, obj) =>
+            (k match {
+              case t: java.sql.Timestamp => fmtF64(t.getTime.toDouble)
+              case n: Number => fmtF64(n.doubleValue)
+              case s: String => s
+              case other => String.valueOf(other)
+            }) -> (obj: JValue)
+          })
         // terms results carry `sum_other_doc_count` (BucketResult::Terms,
         // agg_result.rs:152-158): docs in buckets that passed min_doc_count
         // but fell beyond `size`. `doc_count_error_upper_bound` is opt-in and
@@ -591,10 +611,10 @@ object AggRequest {
         attachTotal(
           inner.join(limited.select(path.map(c => col(c._1)): _*), path.map(_._1), "left_semi"))
       }
-    case Histogram(field, interval, offset, subs, extendedBounds, hardBounds, minDocCount) =>
+    case Histogram(field, interval, offset, subs, extendedBounds, hardBounds, minDocCount, _) =>
       histogramAt(df, name, groupCols, subs, col(field).cast("double"),
         interval, offset, extendedBounds, hardBounds, minDocCount, identity, withTotals)
-    case DateHistogram(field, intervalMs, offsetMs, subs, eb, hb, minDocCount) =>
+    case DateHistogram(field, intervalMs, offsetMs, subs, eb, hb, minDocCount, _) =>
       // the reference lowers date_histogram onto the numeric histogram over
       // epoch milliseconds (date_histogram.rs); the key renders back as a
       // millisecond-precision timestamp

@@ -91,21 +91,23 @@ class AggFuzzSpec extends AnyFunSuite {
         order.map { case (t, asc) =>
           "order" -> JObject(List(t -> JString(if (asc) "asc" else "desc")))
         }.toList)) :: subsReq(subs))
-    case Histogram(f, interval, offset, subs, eb, hb, mdc) =>
+    case Histogram(f, interval, offset, subs, eb, hb, mdc, keyed) =>
       JObject(("histogram" -> JObject(List(
         "field" -> JString(f), "interval" -> JDouble(interval),
-        "offset" -> JDouble(offset), "min_doc_count" -> JInt(mdc)) ++
+        "offset" -> JDouble(offset), "min_doc_count" -> JInt(mdc),
+        "keyed" -> JBool(keyed)) ++
         boundsReq("extended_bounds", eb) ++ boundsReq("hard_bounds", hb))) ::
         subsReq(subs))
-    case DateHistogram(f, ivMs, offMs, subs, eb, hb, mdc) =>
+    case DateHistogram(f, ivMs, offMs, subs, eb, hb, mdc, keyed) =>
       JObject(("date_histogram" -> JObject(List(
         "field" -> JString(f), "fixed_interval" -> JString(s"${ivMs}ms"),
-        "offset" -> JString(s"${offMs}ms"), "min_doc_count" -> JInt(mdc)) ++
+        "offset" -> JString(s"${offMs}ms"), "min_doc_count" -> JInt(mdc),
+        "keyed" -> JBool(keyed)) ++
         boundsReq("extended_bounds", eb) ++ boundsReq("hard_bounds", hb))) ::
         subsReq(subs))
-    case RangeAgg(f, ranges, subs, _) =>
+    case RangeAgg(f, ranges, subs, keyed) =>
       JObject(("range" -> JObject(List(
-        "field" -> JString(f),
+        "field" -> JString(f), "keyed" -> JBool(keyed),
         "ranges" -> JArray(ranges.toList.map(r => JObject(
           r.key.map(k => "key" -> JString(k)).toList ++
             r.from.map(x => "from" -> JDouble(x)).toList ++
@@ -302,10 +304,14 @@ class AggFuzzSpec extends AnyFunSuite {
   private def sparkRound(x: Double): Long =
     new java.math.BigDecimal(x).setScale(0, java.math.RoundingMode.HALF_UP).longValue
 
+  /** Rust `{}` float format — the keyed-bucket map key for numeric keys. */
+  private def fmtF64(d: Double): String =
+    if (d == math.rint(d) && math.abs(d) < 1e15) d.toLong.toString else d.toString
+
   private def histEval(field: String, interval: Double, offset: Double,
       subs: Map[String, Node], eb: Option[(Double, Double)],
       hb: Option[(Double, Double)], mdc: Long, ds: Seq[D], atRoot: Boolean,
-      isDate: Boolean): JValue = {
+      isDate: Boolean, keyed: Boolean): JValue = {
     def keyOf(x: Double): Double = math.floor((x - offset) / interval) * interval + offset
     val valued: Seq[(Double, D)] = ds.flatMap(d => numField(d, field).map(v => (v, d)))
       .filter { case (x, _) => hb.forall { case (lo, hi) => x >= lo && x <= hi } }
@@ -338,13 +344,16 @@ class AggFuzzSpec extends AnyFunSuite {
           case _ => Nil
         }
       }
-    JObject(List("buckets" -> JArray(buckets.toList.map { case (k, b) =>
+    val objs: List[(String, JObject)] = buckets.toList.map { case (k, b) =>
       val keyFields =
         if (isDate) List("key" -> JInt(BigInt(k.toLong)), "key_as_string" ->
           JString(java.time.Instant.ofEpochMilli(k.toLong).toString))
         else List("key" -> JDouble(k))
-      JObject(keyFields ++ List("doc_count" -> JInt(b.size)) ++ subsEval(subs, b))
-    })))
+      fmtF64(k) -> JObject(keyFields ++ List("doc_count" -> JInt(b.size)) ++ subsEval(subs, b))
+    }
+    JObject(List("buckets" ->
+      (if (keyed) JObject(objs.map { case (k, o) => k -> (o: JValue) })
+      else JArray(objs.map(_._2)))))
   }
 
   private def rangeEval(ra: RangeAgg, ds: Seq[D], atRoot: Boolean): JValue = {
@@ -360,18 +369,22 @@ class AggFuzzSpec extends AnyFunSuite {
     def label(r: RangeSpec): String =
       r.key.getOrElse(s"${r.from.map(fmt).getOrElse("*")}-${r.to.map(fmt).getOrElse("*")}")
     val valued = ds.flatMap(d => numField(d, ra.field).map(v => (v, d)))
+    def wrap(objs: List[(String, JObject)]): JValue =
+      JObject(List("buckets" ->
+        (if (ra.keyed) JObject(objs.map { case (k, o) => k -> (o: JValue) })
+        else JArray(objs.map(_._2)))))
     // under a parent the bucket definitions materialize only when the parent
     // has ≥1 non-null value (the plan derives parents from the data rows)
-    if (!atRoot && valued.isEmpty) JObject(List("buckets" -> JArray(Nil)))
-    else JObject(List("buckets" -> JArray(defs.toList.map { r =>
+    if (!atRoot && valued.isEmpty) wrap(Nil)
+    else wrap(defs.toList.map { r =>
       val b = valued.filter { case (x, _) =>
         r.from.forall(x >= _) && r.to.forall(x < _)
       }.map(_._2)
-      JObject(List("key" -> JString(label(r))) ++
+      label(r) -> JObject(List("key" -> JString(label(r))) ++
         r.from.map(x => "from" -> JDouble(x)).toList ++
         r.to.map(x => "to" -> JDouble(x)).toList ++
         List("doc_count" -> JInt(b.size)) ++ subsEval(ra.subs, b))
-    })))
+    })
   }
 
   private def topHitsEval(name: String, th: TopHits, ds: Seq[D]): JValue = {
@@ -392,10 +405,11 @@ class AggFuzzSpec extends AnyFunSuite {
   private def evalNode(node: Node, ds: Seq[D], atRoot: Boolean): JValue = node match {
     case m: Metric => metricEval(m, ds)
     case t: Terms => termsEval(t, ds)
-    case Histogram(f, iv, off, subs, eb, hb, mdc) =>
-      histEval(f, iv, off, subs, eb, hb, mdc, ds, atRoot, isDate = false)
-    case DateHistogram(f, ivMs, offMs, subs, eb, hb, mdc) =>
-      histEval(f, ivMs.toDouble, offMs.toDouble, subs, eb, hb, mdc, ds, atRoot, isDate = true)
+    case Histogram(f, iv, off, subs, eb, hb, mdc, keyed) =>
+      histEval(f, iv, off, subs, eb, hb, mdc, ds, atRoot, isDate = false, keyed = keyed)
+    case DateHistogram(f, ivMs, offMs, subs, eb, hb, mdc, keyed) =>
+      histEval(f, ivMs.toDouble, offMs.toDouble, subs, eb, hb, mdc, ds, atRoot,
+        isDate = true, keyed = keyed)
     case ra: RangeAgg => rangeEval(ra, ds, atRoot)
     case _: FilterAgg | _: TopHits =>
       throw new IllegalStateException("routed via evalNamed") // needs name/atRoot
@@ -520,13 +534,15 @@ class AggFuzzSpec extends AnyFunSuite {
           val hb = if (rng.nextInt(4) == 0)
             Some((-4.0 + rng.nextInt(3), 1.0 + rng.nextInt(4))) else None
           Histogram("v", pick(Seq(1.0, 2.5, 5.0)), pick(Seq(0.0, 0.1)), subs,
-            extendedBounds = eb, hardBounds = hb, minDocCount = mdc)
+            extendedBounds = eb, hardBounds = hb, minDocCount = mdc,
+            keyed = rng.nextInt(4) == 0)
         case "date" =>
           val mdc = if (rng.nextInt(3) == 0) 1L else 0L
           val eb = if (mdc == 0 && rng.nextInt(4) == 0)
             Some((BaseMs.toDouble - 86400000.0, BaseMs.toDouble + 5 * 86400000.0)) else None
           DateHistogram("ts", pick(Seq(21600000L, 43200000L, 86400000L)),
-            pick(Seq(0L, 1800000L)), subs, extendedBounds = eb, minDocCount = mdc)
+            pick(Seq(0L, 1800000L)), subs, extendedBounds = eb, minDocCount = mdc,
+            keyed = rng.nextInt(4) == 0)
         case "range" =>
           val field = pick(Seq("v", "n"))
           val cuts = (if (field == "v") Seq(-3.0, -1.25, 0.0, 1.5, 3.0)
@@ -539,7 +555,7 @@ class AggFuzzSpec extends AnyFunSuite {
           val specs =
             (if (openLo) Seq(RangeSpec(None, None, Some(cs.head))) else Nil) ++ bounds ++
               (if (openHi) Seq(RangeSpec(None, Some(cs.last), None)) else Nil)
-          RangeAgg(field, specs, subs)
+          RangeAgg(field, specs, subs, keyed = rng.nextInt(4) == 0)
         case "filter" => FilterAgg(pick(predicates.map(_._1)), subs)
       }
       (n, node)

@@ -292,4 +292,39 @@ class AggRequestSpec extends AnyFunSuite {
         Seq(0.0, 2000.0, 4000.0, 6000.0, 8000.0)))
     assert(rows.map(_.getAs[Long]("doc_count")).sum == docs.count())
   }
+
+  test("keyed buckets render as a map; terms carry sum_other_doc_count " +
+      "(reference range.rs:677-711 / histogram.rs:1358-1391 fixtures)") {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    import spark.implicits._
+    // the reference's own corpus shape: fraction_f64 = i/100, score_f64 = i
+    val frame = (0 until 100).map(i => (i / 100.0, i.toDouble, s"t${i % 13}"))
+      .toDF("fraction_f64", "score_f64", "text")
+
+    val ranges = JsonMethods.parse(AggRequest.runJson(frame,
+      """{"range": {"range": {"field": "fraction_f64",
+        | "ranges": [{"from": 0.0, "to": 0.1}, {"from": 0.1, "to": 0.2}],
+        | "keyed": true}}}""".stripMargin)) \ "range" \ "buckets"
+    def dc(k: String): BigInt = (ranges \ k \ "doc_count").asInstanceOf[JInt].num
+    assert(ranges.isInstanceOf[JObject] &&
+      ranges.asInstanceOf[JObject].obj.map(_._1).toSet ==
+        Set("*-0", "0-0.1", "0.1-0.2", "0.2-*"))
+    assert(dc("*-0") == 0 && dc("0-0.1") == 10 && dc("0.1-0.2") == 10 && dc("0.2-*") == 80)
+
+    val hist = JsonMethods.parse(AggRequest.runJson(frame,
+      """{"histogram": {"histogram": {"field": "score_f64", "interval": 50.0,
+        | "keyed": true}}}""".stripMargin)) \ "histogram" \ "buckets"
+    assert(hist.asInstanceOf[JObject].obj.map(_._1) == List("0", "50"))
+    assert((hist \ "0" \ "doc_count").asInstanceOf[JInt].num == 50)
+
+    // 13 distinct terms, size 5 → sum_other covers the other 8 buckets
+    val terms = JsonMethods.parse(AggRequest.runJson(frame,
+      """{"t": {"terms": {"field": "text", "size": 5,
+        | "show_term_doc_count_error": true}}}""".stripMargin)) \ "t"
+    val kept = (terms \ "buckets").asInstanceOf[JArray].arr
+      .map(b => (b \ "doc_count").asInstanceOf[JInt].num.toLong).sum
+    assert((terms \ "sum_other_doc_count").asInstanceOf[JInt].num.toLong == 100L - kept)
+    assert((terms \ "doc_count_error_upper_bound").asInstanceOf[JInt].num == 0)
+  }
 }
