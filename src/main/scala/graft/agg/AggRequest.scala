@@ -74,7 +74,9 @@ object AggRequest {
       hardBounds: Option[(Double, Double)] = None,
       minDocCount: Long = 0L, keyed: Boolean = false) extends Node
   /** One requested range bucket (`bucket/range.rs:91-97`): optional custom
-    * key, half-open [from, to).
+    * key, half-open [from, to). On a date-typed field the bounds are epoch
+    * milliseconds (the reference's axis is nanos — ms here, consistent with
+    * date_histogram keys) or RFC3339 strings.
     */
   final case class RangeSpec(key: Option[String], from: Option[Double], to: Option[Double])
   final case class RangeAgg(field: String, ranges: Seq[RangeSpec],
@@ -215,8 +217,10 @@ object AggRequest {
           keyed = (b \ "keyed") match { case JBool(v) => v; case _ => false })
       } else if ((spec \ "range") != JNothing) {
         val b = spec \ "range"
+        def bound(r: JValue, k: String): Option[Double] = num(r, k).orElse(
+          str(r, k).map(s => java.time.Instant.parse(s).toEpochMilli.toDouble))
         val ranges = (b \ "ranges") match {
-          case JArray(rs) => rs.map(r => RangeSpec(str(r, "key"), num(r, "from"), num(r, "to")))
+          case JArray(rs) => rs.map(r => RangeSpec(str(r, "key"), bound(r, "from"), bound(r, "to")))
           case _ => Seq.empty
         }
         RangeAgg(str(b, "field").get, ranges, subs,
@@ -380,11 +384,12 @@ object AggRequest {
         }
       case _: Histogram | _: DateHistogram =>
         buckets.sortBy { case (k, _) => numOf(k) }
-      case ra: RangeAgg =>
+      case _: RangeAgg =>
         // request order: joins above a nested range level may reorder the
-        // frame, so re-derive the definition order from the node itself
-        val ord = rangeDefs(ra).map(rangeLabel).zipWithIndex.toMap
-        buckets.sortBy { case (k, _) => ord.getOrElse(if (k == null) "" else k.toString, Int.MaxValue) }
+        // frame; the definition frame's ord column travels with every row
+        buckets.sortBy { case (_, rs) =>
+          numOf(rs.head.getOrElse(s"__${name}_ord", null))
+        }
       case _ => buckets
     }
   }
@@ -442,7 +447,8 @@ object AggRequest {
                   java.time.Instant.ofEpochMilli(t.getTime).toString))
             case other => List("key" -> jval(other))
           }
-          val fromTo = List(s"${name}_from" -> "from", s"${name}_to" -> "to").flatMap {
+          val fromTo = List(s"${name}_from" -> "from", s"${name}_to" -> "to",
+            s"${name}_from_str" -> "from_as_string", s"${name}_to_str" -> "to_as_string").flatMap {
             case (colN, out) => row.get(colN).filter(_ != null).map(v => out -> jval(v))
           }
           k -> JObject(keyFields ++ fromTo ++ List("doc_count" -> jval(docCount)) ++
@@ -622,24 +628,41 @@ object AggRequest {
       histogramAt(df, name, groupCols, subs, ms, intervalMs.toDouble, offsetMs.toDouble,
         eb, hb, minDocCount, k => timestamp_millis(k.cast("long")), withTotals)
     case ra @ RangeAgg(field, _, subs, _) =>
-      val c = col(field).cast("double")
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types._
+      // date-typed field (range.rs:751-806): values move to the epoch-ms
+      // axis (ms, not the reference's nanos — same axis as date_histogram),
+      // implicit labels format RFC3339, from/to_as_string render in JSON
+      val isDate = df.schema.find(_.name == field).exists(_.dataType == TimestampType)
+      val c = if (isDate) (unix_micros(col(field)) / lit(1000L)).cast("double")
+        else col(field).cast("double")
+      val fmt: Double => String = if (isDate) msRfc3339 else fmtF64
       val withImplicit = rangeDefs(ra)
       val keyName = s"${name}_key"
       val key = withImplicit.foldLeft(lit(null).cast("string")) { case (acc, r) =>
         val cond = (r.from.map(c >= _).getOrElse(lit(true))) && (r.to.map(c < _).getOrElse(lit(true)))
-        when(cond, lit(rangeLabel(r))).otherwise(acc)
+        when(cond, lit(rangeLabel(r, fmt))).otherwise(acc)
       }.as(keyName)
       val out = withSubs(df.where(c.isNotNull), name, groupCols :+ ((keyName, key)), subs,
         withTotals)
-      // bucket-definition frame: request order, custom keys, from/to columns
-      import org.apache.spark.sql.Row
-      import org.apache.spark.sql.types._
+      // bucket-definition frame: request order (kept as an internal ord
+      // column the renderer sorts by), custom keys, from/to columns, and
+      // RFC3339 *_str columns when the field is a date
+      val ordName = s"__${name}_ord"
+      val strCols =
+        if (isDate) Seq(StructField(s"${name}_from_str", StringType),
+          StructField(s"${name}_to_str", StringType))
+        else Nil
       val schema = StructType(Seq(
         StructField(keyName, StringType), StructField(s"${name}_from", DoubleType),
-        StructField(s"${name}_to", DoubleType), StructField("__ord", IntegerType, nullable = false)))
+        StructField(s"${name}_to", DoubleType)) ++ strCols :+
+        StructField(ordName, IntegerType, nullable = false))
       val defRows: java.util.List[Row] = new java.util.ArrayList[Row]()
       withImplicit.zipWithIndex.foreach { case (r, i) =>
-        defRows.add(Row(rangeLabel(r), r.from.orNull, r.to.orNull, i))
+        val strs = if (isDate) Seq(r.from.map(msRfc3339).orNull, r.to.map(msRfc3339).orNull)
+          else Nil
+        defRows.add(Row(Seq[Any](rangeLabel(r, fmt), r.from.map(Double.box).orNull,
+          r.to.map(Double.box).orNull) ++ strs :+ i: _*))
       }
       val defs = df.sparkSession.createDataFrame(defRows, schema)
       val parents = groupCols.map(_._1)
@@ -648,8 +671,7 @@ object AggRequest {
         else out.select(parents.map(col): _*).distinct().crossJoin(defs)
       base.join(out, parents :+ keyName, "left_outer")
         .withColumn("doc_count", coalesce(col("doc_count"), lit(0L)))
-        .orderBy(parents.map(col) :+ col("__ord"): _*)
-        .drop("__ord")
+        .orderBy(parents.map(col) :+ col(ordName): _*)
     case FilterAgg(pred, subs) =>
       withSubs(df.where(expr(pred)), name, groupCols, subs, withTotals)
   }
@@ -659,6 +681,10 @@ object AggRequest {
     */
   private def fmtF64(d: Double): String =
     if (d == math.rint(d) && math.abs(d) < 1e15) d.toLong.toString else d.toString
+
+  /** RFC3339 from epoch ms (the reference's `format_date`, date.rs:6-16). */
+  private def msRfc3339(ms: Double): String =
+    java.time.Instant.ofEpochMilli(ms.toLong).toString
 
   /** The requested ranges plus the implicit open-ended buckets before the
     * first `to` and after the last `from` (range.rs: "*-x" / "x-*"), kept
@@ -671,8 +697,8 @@ object AggRequest {
       (if (ra.ranges.lastOption.exists(_.to.isDefined))
         Seq(RangeSpec(None, ra.ranges.last.to, None)) else Nil)
 
-  private def rangeLabel(r: RangeSpec): String =
-    r.key.getOrElse(s"${r.from.map(fmtF64).getOrElse("*")}-${r.to.map(fmtF64).getOrElse("*")}")
+  private def rangeLabel(r: RangeSpec, fmt: Double => String = fmtF64): String =
+    r.key.getOrElse(s"${r.from.map(fmt).getOrElse("*")}-${r.to.map(fmt).getOrElse("*")}")
 
   /** Shared histogram machinery (numeric + date): absolute grid keyed by
     * `floor((v - offset)/interval)*interval + offset`; `hard_bounds` clips

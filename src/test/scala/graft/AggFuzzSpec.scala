@@ -364,10 +364,18 @@ class AggFuzzSpec extends AnyFunSuite {
         ra.ranges ++
         (if (ra.ranges.lastOption.exists(_.to.isDefined))
           Seq(RangeSpec(None, ra.ranges.last.to, None)) else Nil)
+    // date-typed field → RFC3339 implicit labels + from/to_as_string
+    val isDate = ra.field == "ts"
     def fmt(d: Double): String =
-      if (d == math.rint(d) && math.abs(d) < 1e15) d.toLong.toString else d.toString
+      if (isDate) java.time.Instant.ofEpochMilli(d.toLong).toString
+      else if (d == math.rint(d) && math.abs(d) < 1e15) d.toLong.toString
+      else d.toString
     def label(r: RangeSpec): String =
       r.key.getOrElse(s"${r.from.map(fmt).getOrElse("*")}-${r.to.map(fmt).getOrElse("*")}")
+    def asStrings(r: RangeSpec): List[(String, JValue)] =
+      if (!isDate) Nil
+      else r.from.map(x => "from_as_string" -> (JString(fmt(x)): JValue)).toList ++
+        r.to.map(x => "to_as_string" -> (JString(fmt(x)): JValue)).toList
     val valued = ds.flatMap(d => numField(d, ra.field).map(v => (v, d)))
     def wrap(objs: List[(String, JObject)]): JValue =
       JObject(List("buckets" ->
@@ -383,6 +391,7 @@ class AggFuzzSpec extends AnyFunSuite {
       label(r) -> JObject(List("key" -> JString(label(r))) ++
         r.from.map(x => "from" -> JDouble(x)).toList ++
         r.to.map(x => "to" -> JDouble(x)).toList ++
+        asStrings(r) ++
         List("doc_count" -> JInt(b.size)) ++ subsEval(ra.subs, b))
     })
   }
@@ -544,10 +553,15 @@ class AggFuzzSpec extends AnyFunSuite {
             pick(Seq(0L, 1800000L)), subs, extendedBounds = eb, minDocCount = mdc,
             keyed = rng.nextInt(4) == 0)
         case "range" =>
-          val field = pick(Seq("v", "n"))
+          val field = pick(Seq("v", "n", "ts"))
           val cuts = (if (field == "v") Seq(-3.0, -1.25, 0.0, 1.5, 3.0)
+            else if (field == "ts") Seq(0, 1, 2, 3).map(k => BaseMs + k * 86400000.0)
             else Seq(10.0, 25.0, 50.0, 75.0)).filter(_ => rng.nextBoolean()).sorted
-          val cs = if (cuts.size < 2) (if (field == "v") Seq(-1.0, 2.0) else Seq(20.0, 60.0)) else cuts
+          val cs =
+            if (cuts.size >= 2) cuts
+            else if (field == "v") Seq(-1.0, 2.0)
+            else if (field == "ts") Seq(BaseMs + 86400000.0, BaseMs + 3 * 86400000.0)
+            else Seq(20.0, 60.0)
           val openLo = rng.nextBoolean(); val openHi = rng.nextBoolean()
           val bounds = cs.sliding(2).map(w =>
             RangeSpec(if (rng.nextInt(4) == 0) Some(s"k${w.head}") else None,

@@ -327,4 +327,36 @@ class AggRequestSpec extends AnyFunSuite {
     assert((terms \ "sum_other_doc_count").asInstanceOf[JInt].num.toLong == 100L - kept)
     assert((terms \ "doc_count_error_upper_bound").asInstanceOf[JInt].num == 0)
   }
+
+  test("range over a date field: RFC3339 labels + from/to_as_string " +
+      "(reference range.rs:759-806 fixture, ms axis)") {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    import spark.implicits._
+    val day0 = 1546300800000L // 2019-01-01T00:00:00Z
+    val ts = (0 until 6).map(i => new java.sql.Timestamp(day0 - 43200000L + i * 43200000L))
+      .toDF("date") // 12h grid: 1 doc before day0, 2 inside day0, 3 after
+    val res = JsonMethods.parse(AggRequest.runJson(ts,
+      s"""{"date_ranges": {"range": {"field": "date",
+         | "ranges": [{"to": $day0}, {"from": $day0, "to": ${day0 + 86400000L}}]}}}"""
+        .stripMargin)) \ "date_ranges" \ "buckets"
+    val arr = res.asInstanceOf[JArray].arr
+    assert(arr.map(b => (b \ "key").asInstanceOf[JString].s) == List(
+      "*-2019-01-01T00:00:00Z",
+      "2019-01-01T00:00:00Z-2019-01-02T00:00:00Z",
+      "2019-01-02T00:00:00Z-*"))
+    assert((arr(0) \ "from_as_string") == JNothing)
+    assert((arr(1) \ "from_as_string").asInstanceOf[JString].s == "2019-01-01T00:00:00Z")
+    assert((arr(1) \ "to_as_string").asInstanceOf[JString].s == "2019-01-02T00:00:00Z")
+    assert((arr(2) \ "from_as_string").asInstanceOf[JString].s == "2019-01-02T00:00:00Z")
+    assert((arr(2) \ "to_as_string") == JNothing)
+    assert(arr.map(b => (b \ "doc_count").asInstanceOf[JInt].num.toInt) == List(1, 2, 3))
+    // RFC3339 strings accepted as bounds, equivalent to the ms numbers
+    val byStr = JsonMethods.parse(AggRequest.runJson(ts,
+      """{"date_ranges": {"range": {"field": "date",
+        | "ranges": [{"to": "2019-01-01T00:00:00Z"},
+        |            {"from": "2019-01-01T00:00:00Z", "to": "2019-01-02T00:00:00Z"}]}}}"""
+        .stripMargin)) \ "date_ranges" \ "buckets"
+    assert(byStr == res)
+  }
 }
