@@ -254,11 +254,29 @@ object AggRequest {
     * already size-limited bucket sets, the same place the reference's
     * final-result merge runs.
     */
-  def runJson(df: DataFrame, json: String): String = {
+  /** The reference's `DEFAULT_BUCKET_LIMIT` (agg_limits.rs:79-86): the
+    * result-size guard for the final JSON materialization.
+    */
+  val DefaultBucketLimit = 65000
+
+  def runJson(df: DataFrame, json: String,
+      bucketLimit: Int = DefaultBucketLimit): String = {
     val aggs = parse(json)
     val frames = compile(df, aggs, withTotals = true)
+    // AggregationLimitsGuard analog (agg_limits.rs): the flattened frames
+    // are collected driver-side for the JSON rebuild, so the bucket cap is
+    // enforced AS a plan-side limit — an over-budget aggregation aborts with
+    // the reference's error instead of materializing an unbounded result
+    var collected = 0
     val out = JObject(aggs.toList.sortBy(_._1).map { case (name, node) =>
-      val rows: Seq[Map[String, Any]] = frames(name).collect().toSeq.map { r =>
+      val budget = bucketLimit - collected
+      val raw = frames(name).limit(budget + 1).collect()
+      collected += raw.length
+      if (collected > bucketLimit)
+        throw new IllegalStateException(
+          s"Aborting aggregation because bucket limit was exceeded. " +
+            s"Limit: $bucketLimit, Current: $collected")
+      val rows: Seq[Map[String, Any]] = raw.toSeq.map { r =>
         r.schema.fieldNames.zipWithIndex.map { case (f, i) => f -> r.get(i) }.toMap
       }
       name -> renderNode(node, name, rows)

@@ -619,10 +619,11 @@ final class Searcher(spark: SparkSession, indexDir: String, asOfSeq: Option[Long
     * and metric inputs reading docmap fast fields. Returns the nested ES
     * result JSON (`AggRequest.runJson`).
     */
-  def aggregate(q: Query, aggJson: String): String =
+  def aggregate(q: Query, aggJson: String,
+      bucketLimit: Int = graft.agg.AggRequest.DefaultBucketLimit): String =
     graft.agg.AggRequest.runJson(
       allMatches(q, scored = false).join(docmapDF, Seq("segment", "docId")),
-      aggJson)
+      aggJson, bucketLimit)
 
   /** All matching docs with scores, as a DataFrame (segment, docId, score).
     * Exhaustive (no pruning) — the oracle-checkable full result relation.

@@ -328,6 +328,20 @@ class AggRequestSpec extends AnyFunSuite {
     assert((terms \ "doc_count_error_upper_bound").asInstanceOf[JInt].num == 0)
   }
 
+  test("bucket limit guard aborts over-budget JSON aggregations (agg_limits.rs)") {
+    import spark.implicits._
+    val frame = (0 until 100).map(i => (s"t$i", i)).toDF("text", "n")
+    val req = """{"t": {"terms": {"field": "text", "size": 100}}}"""
+    val e = intercept[IllegalStateException] {
+      AggRequest.runJson(frame, req, bucketLimit = 5)
+    }
+    assert(e.getMessage.contains("bucket limit was exceeded") &&
+      e.getMessage.contains("Limit: 5"))
+    // within budget: same result as unlimited
+    assert(AggRequest.runJson(frame, req, bucketLimit = 100) ==
+      AggRequest.runJson(frame, req))
+  }
+
   test("range over a date field: RFC3339 labels + from/to_as_string " +
       "(reference range.rs:759-806 fixture, ms axis)") {
     import org.json4s._
