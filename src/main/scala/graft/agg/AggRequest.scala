@@ -43,8 +43,11 @@ object AggRequest {
     * `sum_other_doc_count` (docs in buckets beyond `size`) is always emitted
     * in the JSON result, like the reference's `BucketResult::Terms`.
     */
+  /** `missing` is the reference's `Option<Key>` (term_agg.rs:311): a string
+    * bucket value for text fields or a number for numeric fields.
+    */
   final case class Terms(field: String, size: Int, minDocCount: Long,
-      subs: Map[String, Node], missing: Option[String] = None,
+      subs: Map[String, Node], missing: Option[Any] = None,
       order: Option[(String, Boolean)] = None,
       showDocCountError: Boolean = false) extends Node
   /** Histogram options match `bucket/histogram/histogram.rs:91-145`:
@@ -194,7 +197,9 @@ object AggRequest {
         }
         Terms(str(b, "field").get, num(b, "size").map(_.toInt).getOrElse(10),
           num(b, "min_doc_count").map(_.toLong).getOrElse(1L), subs,
-          missing = str(b, "missing"), order = order,
+          missing = str(b, "missing").map(s => s: Any)
+            .orElse(num(b, "missing").map(d => d: Any)),
+          order = order,
           showDocCountError = (b \ "show_term_doc_count_error") match {
             case JBool(v) => v; case _ => false
           })

@@ -86,7 +86,7 @@ class AggFuzzSpec extends AnyFunSuite {
     case Terms(f, size, mdc, subs, missing, order, showErr) =>
       JObject(("terms" -> JObject(List(
         "field" -> JString(f), "size" -> JInt(size), "min_doc_count" -> JInt(mdc)) ++
-        missing.map(m => "missing" -> JString(m)).toList ++
+        missing.map(m => "missing" -> JString(m.toString)).toList ++
         (if (showErr) List("show_term_doc_count_error" -> JBool(true)) else Nil) ++
         order.map { case (t, asc) =>
           "order" -> JObject(List(t -> JString(if (asc) "asc" else "desc")))
@@ -244,7 +244,7 @@ class AggFuzzSpec extends AnyFunSuite {
   private def termsEval(t: Terms, ds: Seq[D]): JValue = {
     val entries: Seq[(String, D)] = ds.flatMap { d =>
       val raw = strField(d, t.field)
-      if (raw != null) Some((raw, d)) else t.missing.map(mv => (mv, d))
+      if (raw != null) Some((raw, d)) else t.missing.map(mv => (mv.toString, d))
     }
     val counted: Seq[(String, Seq[D])] = entries.groupBy(_._1).view
       .mapValues(_.map(_._2)).toSeq

@@ -328,6 +328,16 @@ class AggRequestSpec extends AnyFunSuite {
     assert((terms \ "doc_count_error_upper_bound").asInstanceOf[JInt].num == 0)
   }
 
+  test("terms numeric `missing` fills null numeric keys (Key::F64, term_agg.rs:311)") {
+    import spark.implicits._
+    val frame = Seq[java.lang.Double](1.0, null, 1.0, 2.0, null).toDF("n")
+    val out = AggRequest.run(frame,
+      """{"t": {"terms": {"field": "n", "size": 10, "missing": -1}}}""")("t")
+      .collect().map(r => (r.getAs[Double]("t_key"), r.getAs[Long]("doc_count"))).toSeq
+    // default order: _count desc, key ASC tiebreak → -1.0 before 1.0
+    assert(out == Seq((-1.0, 2L), (1.0, 2L), (2.0, 1L)))
+  }
+
   test("bucket limit guard aborts over-budget JSON aggregations (agg_limits.rs)") {
     import spark.implicits._
     val frame = (0 until 100).map(i => (s"t$i", i)).toDF("text", "n")
