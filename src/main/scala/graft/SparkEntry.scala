@@ -265,6 +265,10 @@ object SparkEntry {
 
     // --- text analysis
     "q_token_count" -> ((s, d) => PipelineOps.tokenCounts(docs(s, d))),
+    // concat-and-chunk sequence packing at 2048 tokens (two-level prefix
+    // sum — no global single-partition window; oracle states the same rule
+    // as one running-sum window)
+    "q_pack_sequences" -> ((s, d) => PipelineOps.packSequences(docs(s, d), 2048)),
     // content-token count after built-in English stop removal: the Spark
     // side's stop set comes from the packaged resource
     // (Analyzer.stopWordsFor), the oracle hardcodes the public Lucene list
@@ -720,6 +724,7 @@ object SparkEntry {
     "q_count_matrix" -> OracleSql.countMatrix,
     "q_bm25_scores" -> OracleSql.bm25Scores(Seq("spark", "vector")),
     "q_token_count" -> OracleSql.tokenCount,
+    "q_pack_sequences" -> OracleSql.packSequences,
     "q_stop_tokens" -> OracleSql.stopTokens,
     "q_lang_id" -> OracleSql.langId,
     "q_quality" -> OracleSql.quality,

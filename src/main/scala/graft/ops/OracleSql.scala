@@ -232,6 +232,17 @@ ORDER BY bm25 DESC, doc_id LIMIT 10"""
   val tokenCount: String =
     s"WITH $T SELECT doc_id, len(toks)::BIGINT AS n_tokens, len(list_distinct(toks))::BIGINT AS n_distinct FROM t"
 
+  /** Concat-and-chunk sequence packing at maxTokens=2048: the oracle states
+    * the rule as ONE global running-sum window (fine at oracle scale; the
+    * Spark side is the two-level prefix sum).
+    */
+  val packSequences: String =
+    s"WITH $T, c AS (SELECT doc_id, len(toks)::BIGINT AS n FROM t WHERE len(toks) > 0), " +
+      "p AS (SELECT doc_id, n, COALESCE(SUM(n) OVER (ORDER BY doc_id " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS pre FROM c) " +
+      "SELECT doc_id, n AS n_tokens, pre // 2048 AS first_seq, " +
+      "(pre + n - 1) // 2048 AS last_seq, pre % 2048 AS seq_offset FROM p"
+
   val langId: String = {
     val scores = LangScoresExpr.map { case (n, e) =>
       val duck = e.replace("size(filter(", "len(list_filter(")

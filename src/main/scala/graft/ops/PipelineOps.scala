@@ -692,6 +692,41 @@ object PipelineOps {
           s => s.getField("para"))).as("clean_text"))
   }
 
+  /** Sequence packing — the concat-and-chunk step that turns a curated
+    * corpus into fixed-length training sequences: documents are concatenated
+    * in doc_id order and the global token stream is cut every `maxTokens`
+    * (a document may span sequences). Returns, per non-empty doc:
+    * (doc_id, n_tokens, first_seq, last_seq, seq_offset) where `first_seq`/
+    * `last_seq` are the sequence ids its tokens land in and `seq_offset` is
+    * its start position inside `first_seq`.
+    *
+    * 100 TB shape: the global running sum over the doc_id order is NOT one
+    * global window (single-reducer sort) — it's a two-level prefix sum:
+    * a window partitioned by a doc_id bucket (parallel, bounded state),
+    * plus a bucket-prefix over the per-bucket totals (one tiny frame —
+    * maxDocId / 2^20 rows — whose single-partition window is bounded by
+    * construction) broadcast back onto the bucket rows.
+    */
+  def packSequences(docs: DataFrame, maxTokens: Long,
+      bucketWidth: Long = 1L << 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = tokenCounts(docs).select(col("doc_id"), col("n_tokens"))
+      .where(col("n_tokens") > 0)
+      .withColumn("b", expr(s"doc_id div $bucketWidth"))
+    val inBucket = sum(col("n_tokens"))
+      .over(Window.partitionBy("b").orderBy("doc_id")) - col("n_tokens")
+    val bucketTotals = c.groupBy("b").agg(sum(col("n_tokens")).as("bt"))
+    val bucketPrefix = bucketTotals
+      .withColumn("bp", sum(col("bt")).over(Window.orderBy("b")) - col("bt"))
+      .select("b", "bp")
+    c.join(broadcast(bucketPrefix), "b")
+      .withColumn("p", col("bp") + inBucket)
+      .select(col("doc_id"), col("n_tokens"),
+        expr(s"p div $maxTokens").as("first_seq"),
+        expr(s"(p + n_tokens - 1) div $maxTokens").as("last_seq"),
+        pmod(col("p"), lit(maxTokens)).as("seq_offset"))
+  }
+
   /** URL canonicalization — the dedup key every web pipeline derives before
     * exact URL dedup. Rules (each a pure codegen regexp/string map, no UDF):
     * lowercase scheme and host (path/query case preserved), strip the

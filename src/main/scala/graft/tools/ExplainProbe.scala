@@ -72,6 +72,18 @@ object ExplainProbe {
 
     println("==== paragraph dedup (groupBy-min first-occurrence, map-side combinable) ====")
     graft.ops.PipelineOps.paragraphDedup(docsDf).explain("formatted")
+
+    println("==== sequence packing (two-level prefix sum: big window IS " +
+      "bucket-partitioned; bucket prefix broadcasts) ====")
+    val pack = graft.ops.PipelineOps.packSequences(docsDf, 2048)
+    pack.explain("formatted")
+    val packPlan = pack.queryExecution.executedPlan.toString
+    // the doc-side window must be partitioned (by the bucket column); an
+    // unpartitioned Window over the corpus would be the single-reducer sort
+    val docWindowPartitioned = "Window \\[sum".r.findAllIn(packPlan).isEmpty ||
+      packPlan.contains("hashpartitioning(b#") || packPlan.contains("hashpartitioning(b ")
+    println(s"pack: doc-side window bucket-partitioned = $docWindowPartitioned, " +
+      s"broadcast join present = ${packPlan.contains("BroadcastHashJoin")}")
     spark.stop()
   }
 }

@@ -190,4 +190,34 @@ class CurationSpec extends AnyFunSuite {
     assert(r(3L)._2 == "no personal data in this row at all" && r(3L)._3 == 0 && r(3L)._4 == 0)
     assert(r(4L)._2 == "mixed: <EMAIL> from <IP>" && r(4L)._3 == 1 && r(4L)._4 == 1)
   }
+
+  test("packSequences: matches the sequential fold; bucket width irrelevant") {
+    val rng = new scala.util.Random(7)
+    // sparse doc_ids (gaps + a huge id) so bucketing by doc_id range is
+    // exercised with uneven buckets; word counts 0..24 (zeros drop out)
+    val docs = (0 until 300).map { i =>
+      val id = i.toLong * 37 + (if (i == 299) 1L << 40 else 0L)
+      (id, Seq.fill(rng.nextInt(25))("w" + rng.nextInt(50)).mkString(" "))
+    }.toDF("doc_id", "text")
+    val max = 64L
+    val got = PipelineOps.packSequences(docs, max, bucketWidth = 256L)
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    // independent sequential fold over the same token counts
+    val counts = PipelineOps.tokenCounts(docs).select("doc_id", "n_tokens")
+      .as[(Long, Long)].collect().sortBy(_._1).filter(_._2 > 0)
+    var p = 0L
+    val want = counts.map { case (id, n) =>
+      val row = (id, n, p / max, (p + n - 1) / max, p % max)
+      p += n
+      row
+    }.toSeq
+    assert(got == want)
+    // invariants: offsets < max; a doc spans ceil((offset+n)/max) sequences
+    assert(got.forall { case (_, n, f, l, off) =>
+      off < max && l - f == (off + n - 1) / max })
+    // bucket width is an implementation knob, not a semantic one
+    val other = PipelineOps.packSequences(docs, max, bucketWidth = 1L << 20)
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(other == got)
+  }
 }
