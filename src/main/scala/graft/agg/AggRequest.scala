@@ -91,9 +91,13 @@ object AggRequest {
     * a numeric string, as serde does). `sigma` is the extended_stats
     * deviation-bounds width (`extended_stats.rs:39-44`, default 2.0).
     */
+  /** `keyed` (percentiles only, default true — percentiles.rs:79,104):
+    * true renders `values` as a map keyed by the formatted percent, false
+    * as an array of {key, value} entries.
+    */
   final case class Metric(kind: String, field: String, percents: Seq[Double],
       sketch: Boolean = false, missing: Option[Double] = None,
-      sigma: Option[Double] = None) extends Node
+      sigma: Option[Double] = None, keyed: Boolean = true) extends Node
 
   import org.json4s._
   import org.json4s.jackson.JsonMethods
@@ -187,7 +191,8 @@ object AggRequest {
           .orElse(str(body, "missing").flatMap(s => scala.util.Try(s.toDouble).toOption))
         val sig = num(body, "sigma")
           .orElse(str(body, "sigma").flatMap(s => scala.util.Try(s.toDouble).toOption))
-        Metric(k, str(body, "field").getOrElse(""), pcts, sk, missing = miss, sigma = sig)
+        Metric(k, str(body, "field").getOrElse(""), pcts, sk, missing = miss, sigma = sig,
+          keyed = (body \ "keyed") match { case JBool(v) => v; case _ => true })
     }.getOrElse {
       if ((spec \ "terms") != JNothing) {
         val b = spec \ "terms"
@@ -302,6 +307,14 @@ object AggRequest {
     case other => JString(other.toString)
   }
 
+  /** Flattened column suffix for one percentile: integral percents keep the
+    * classic `p50` form; fractional ones encode the dot (`p99_9`) so 99 and
+    * 99.9 cannot collide.
+    */
+  private def pctCol(name: String, p: Double): String =
+    if (p == math.rint(p)) s"${name}_p${p.toInt}"
+    else s"${name}_p${p.toString.replace('.', '_')}"
+
   private def numOfAny(a: Any): Option[Double] = a match {
     case n: Number => Some(n.doubleValue())
     case _ => None
@@ -371,9 +384,16 @@ object AggRequest {
         "std_deviation_sampling" -> jval(sds),
         "std_deviation_bounds" -> bounds))
     case "percentiles" =>
-      JObject(List("values" -> JObject(
-        m.percents.toList.map(p =>
-          p.toString -> jval(row.getOrElse(s"${name}_p${p.toInt}", null))))))
+      // map keys use the reference's format_percentile (percentiles.rs:169-
+      // 176: Rust to_string + ".0" when integral) — Scala Double.toString
+      // produces the same form; keyed=false renders {key, value} entries
+      val kv = m.percents.toList.map(p =>
+        p.toString -> jval(row.getOrElse(pctCol(name, p), null)))
+      JObject(List("values" ->
+        (if (m.keyed) JObject(kv)
+        else JArray(m.percents.toList.map(p => JObject(List(
+          "key" -> JDouble(p),
+          "value" -> jval(row.getOrElse(pctCol(name, p), null)))))))))
     case _ => JNull
   }
 
@@ -468,6 +488,11 @@ object AggRequest {
               List("key" -> JInt(BigInt(t.getTime)),
                 "key_as_string" -> JString(
                   java.time.Instant.ofEpochMilli(t.getTime).toString))
+            case b: Boolean =>
+              // bool term keys serialize as u64 0/1 plus key_as_string
+              // (intermediate_agg_result.rs:84 + :654-662)
+              List("key" -> JInt(BigInt(if (b) 1 else 0)),
+                "key_as_string" -> JString(b.toString))
             case other => List("key" -> jval(other))
           }
           val fromTo = List(s"${name}_from" -> "from", s"${name}_to" -> "to",
@@ -565,7 +590,7 @@ object AggRequest {
           case Some(mv) => s"coalesce(cast(${m.field} as double), $mv)"
           case None => m.field
         }
-        expr(s"percentile($e, ${p / 100.0})").as(s"${name}_p${p.toInt}")
+        expr(s"percentile($e, ${p / 100.0})").as(pctCol(name, p))
       }
       case "cardinality" => Seq(approx_count_distinct(c).as(s"${name}_cardinality"))
       case other => throw new IllegalArgumentException(s"metric $other")
@@ -814,11 +839,12 @@ object AggRequest {
       case Array(b) => (b, None)
     }
     subs.get(base) match {
-      case Some(Metric(kind, _, _, sketch, _, _)) =>
+      case Some(Metric(kind, _, _, sketch, _, _, _)) =>
         require(!(kind == "percentiles" && sketch),
           s"order target '$target': ordering by sketch percentiles is unsupported")
         val leaf = leafOpt
-          .map(l => if (l.nonEmpty && l.forall(_.isDigit)) s"p$l" else l)
+          .map(l => if (l.nonEmpty && l.forall(c => c.isDigit || c == '.'))
+            pctCol("", l.toDouble).stripPrefix("_") else l)
           .getOrElse(kind match {
             case "value_count" => "count"
             case k @ ("avg" | "min" | "max" | "sum" | "cardinality") => k
@@ -916,7 +942,7 @@ object AggRequest {
     metrics.filter(nm => nm._2.kind == "percentiles" && nm._2.sketch).foldLeft(df) {
       case (d, (n, m)) =>
         m.percents.zipWithIndex.foldLeft(d) { case (dd, (p, i)) =>
-          dd.withColumn(s"${n}_p${p.toInt}", col(s"__${n}_pcts")(i))
+          dd.withColumn(pctCol(n, p), col(s"__${n}_pcts")(i))
         }.drop(s"__${n}_pcts")
     }
 

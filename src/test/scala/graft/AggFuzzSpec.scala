@@ -115,12 +115,14 @@ class AggFuzzSpec extends AnyFunSuite {
     case FilterAgg(pred, subs) =>
       JObject(("filter" -> JObject(List("query_string" -> JString(pred)))) ::
         subsReq(subs))
-    case Metric(kind, f, pcts, _, missing, sigma) =>
+    case Metric(kind, f, pcts, _, missing, sigma, keyed) =>
       val body = List("field" -> JString(f)) ++
         missing.map(mv => "missing" -> JDouble(mv)).toList ++
         sigma.map(s => "sigma" -> JDouble(s)).toList ++
+        (if (!keyed) List("keyed" -> JBool(false)) else Nil) ++
         (if (kind == "percentiles")
-          List("percents" -> JArray(pcts.toList.map(p => JInt(p.toInt)))) else Nil)
+          List("percents" -> JArray(pcts.toList.map(p =>
+            if (p == math.rint(p)) JInt(p.toInt) else JDouble(p)))) else Nil)
       JObject(List(kind -> JObject(body)))
     case TopHits(size, sort, source) =>
       JObject(List("top_hits" -> JObject(List(
@@ -200,8 +202,12 @@ class AggFuzzSpec extends AnyFunSuite {
           "std_deviation_bounds" -> bounds))
       case "percentiles" =>
         val sorted = vals.sorted.toIndexedSeq
-        JObject(List("values" -> JObject(m.percents.toList.map(p =>
-          p.toString -> (if (sorted.isEmpty) JNull else JDouble(pctile(sorted, p)))))))
+        def v(p: Double): JValue =
+          if (sorted.isEmpty) JNull else JDouble(pctile(sorted, p))
+        JObject(List("values" ->
+          (if (m.keyed) JObject(m.percents.toList.map(p => p.toString -> v(p)))
+          else JArray(m.percents.toList.map(p =>
+            JObject(List("key" -> JDouble(p), "value" -> v(p))))))))
       case other => throw new IllegalArgumentException(other)
     }
   }
@@ -496,11 +502,14 @@ class AggFuzzSpec extends AnyFunSuite {
         "extended_stats", "percentiles"))
       val field = pick(Seq("v", "n"))
       (name(), Metric(kind, field,
-        if (kind == "percentiles") Seq(25.0, 50.0, 95.0) else Nil,
+        if (kind == "percentiles")
+          (if (rng.nextInt(3) == 0) Seq(25.0, 50.0, 99.9) else Seq(25.0, 50.0, 95.0))
+        else Nil,
         missing = if (field == "v" && rng.nextInt(4) == 0)
           Some((rng.nextInt(21) - 10).toDouble) else None,
         sigma = if (kind == "extended_stats" && rng.nextInt(3) == 0)
-          Some(pick(Seq(1.0, 2.5, 3.0))) else None))
+          Some(pick(Seq(1.0, 2.5, 3.0))) else None,
+        keyed = kind != "percentiles" || rng.nextInt(3) != 0))
     }
 
     def pick[A](xs: Seq[A]): A = xs(rng.nextInt(xs.size))

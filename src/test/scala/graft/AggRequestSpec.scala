@@ -338,6 +338,20 @@ class AggRequestSpec extends AnyFunSuite {
     assert(out == Seq((-1.0, 2L), (1.0, 2L), (2.0, 1L)))
   }
 
+  test("bool terms keys render as 0/1 with key_as_string (intermediate_agg_result.rs:84)") {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    import spark.implicits._
+    val frame = Seq(true, true, false).toDF("flag")
+    val res = JsonMethods.parse(AggRequest.runJson(frame,
+      """{"t": {"terms": {"field": "flag", "size": 10}}}""")) \ "t" \ "buckets"
+    val arr = res.asInstanceOf[JArray].arr
+    assert(arr.map(b => ((b \ "key").asInstanceOf[JInt].num.toInt,
+      (b \ "key_as_string").asInstanceOf[JString].s,
+      (b \ "doc_count").asInstanceOf[JInt].num.toInt)) ==
+      List((1, "true", 2), (0, "false", 1)))
+  }
+
   test("bucket limit guard aborts over-budget JSON aggregations (agg_limits.rs)") {
     import spark.implicits._
     val frame = (0 until 100).map(i => (s"t$i", i)).toDF("text", "n")
