@@ -338,6 +338,78 @@ class AggRequestSpec extends AnyFunSuite {
     assert(out == Seq((-1.0, 2L), (1.0, 2L), (2.0, 1L)))
   }
 
+  test("reference end-to-end fixtures: agg_tests.rs level1_simple + level2 " +
+      "(9-doc corpus, term-filtered, exact reference expectations)") {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // get_test_index_2_segments corpus (aggregation/mod.rs:561-660)
+    val corpus = Seq(
+      ("cool", 1L, 1.0, 1L), ("cool", 3L, 3.0, 3L), ("cool", 5L, 5.0, 5L),
+      ("nohit", 6L, 6.0, 6L), ("cool", 7L, 7.0, 7L), ("cool", 11L, 11.0, 11L),
+      ("cool", 14L, 14.0, 14L), ("cool", 44L, 44.5, 44L), ("nohit", 44L, 44.5, 44L)
+    ).toDF("text", "score", "score_f64", "score_i64")
+    val cool = corpus.where(col("text") === "cool") // the TermQuery("cool")
+
+    // level1_simple: avg + range with implicit *-3 / 20-* buckets
+    val l1 = JsonMethods.parse(AggRequest.runJson(cool,
+      """{"average": {"avg": {"field": "score"}},
+        | "range": {"range": {"field": "score",
+        |   "ranges": [{"from": 3.0, "to": 7.0}, {"from": 7.0, "to": 20.0}]}}}"""
+        .stripMargin))
+    assert((l1 \ "average" \ "value").asInstanceOf[JDouble].num == 12.142857142857142)
+    val l1b = (l1 \ "range" \ "buckets").asInstanceOf[JArray].arr
+    assert(l1b.map(b => ((b \ "key").asInstanceOf[JString].s,
+      (b \ "doc_count").asInstanceOf[JInt].num.toInt)) ==
+      List(("*-3", 1), ("3-7", 2), ("7-20", 3), ("20-*", 1)))
+
+    // level2: three parallel ranges, each with avg + terms sub-aggs
+    val rangesJson =
+      """"ranges": [{"to": 3.0}, {"from": 3.0, "to": 7.0}, {"from": 7.0, "to": 19.0},
+        | {"from": 19.0, "to": 20.0}, {"from": 20.0}]""".stripMargin
+    val subs =
+      """"aggs": {"average_in_range": {"avg": {"field": "score"}},
+        | "term_agg": {"terms": {"field": "text"}}}""".stripMargin
+    val l2 = JsonMethods.parse(AggRequest.runJson(cool,
+      s"""{"average": {"avg": {"field": "score"}},
+         | "range": {"range": {"field": "score", $rangesJson}, $subs},
+         | "rangef64": {"range": {"field": "score_f64", $rangesJson}, $subs},
+         | "rangei64": {"range": {"field": "score_i64", $rangesJson}, $subs}}"""
+        .stripMargin))
+    def bucket(agg: String, i: Int): JValue =
+      (l2 \ agg \ "buckets").asInstanceOf[JArray].arr(i)
+    def dc(agg: String, i: Int): Int =
+      (bucket(agg, i) \ "doc_count").asInstanceOf[JInt].num.toInt
+    for (agg <- Seq("range", "rangef64", "rangei64")) {
+      assert((bucket(agg, 1) \ "key").asInstanceOf[JString].s == "3-7" && dc(agg, 1) == 2)
+      assert(dc(agg, 2) == 3) // 7-19: scores 7, 11, 14
+      assert((l2 \ agg \ "buckets").asInstanceOf[JArray].arr.length == 5) // no implicit
+      assert((bucket(agg, 4) \ "key").asInstanceOf[JString].s == "20-*" && dc(agg, 4) == 1)
+      assert(dc(agg, 3) == 0) // 19-20 empty, kept
+      assert((bucket(agg, 3) \ "average_in_range" \ "value") == JNull)
+      assert((bucket(agg, 4) \ "average_in_range" \ "value")
+        .asInstanceOf[JDouble].num == 44.0)
+      // 7-19 avg equal across the three aggs = (7+11+14)/3
+      assert((bucket(agg, 2) \ "average_in_range" \ "value")
+        .asInstanceOf[JDouble].num == 32.0 / 3.0)
+      // term_agg inside a non-empty bucket: one "cool" bucket, no others
+      assert((bucket(agg, 2) \ "term_agg" \ "buckets").asInstanceOf[JArray]
+        .arr.map(b => ((b \ "key").asInstanceOf[JString].s,
+          (b \ "doc_count").asInstanceOf[JInt].num.toInt)) == List(("cool", 3)))
+      assert((bucket(agg, 2) \ "term_agg" \ "sum_other_doc_count")
+        .asInstanceOf[JInt].num == 0)
+    }
+    assert((l2 \ "average" \ "value").asInstanceOf[JDouble].num == 12.142857142857142)
+
+    // empty result set runs clean (reference's query_with_no_hits pass)
+    val empty = JsonMethods.parse(AggRequest.runJson(
+      corpus.where(col("text") === "thistermdoesnotexist"),
+      s"""{"range": {"range": {"field": "score", $rangesJson}, $subs}}"""))
+    assert((empty \ "range" \ "buckets").asInstanceOf[JArray]
+      .arr.forall(b => (b \ "doc_count").asInstanceOf[JInt].num == 0))
+  }
+
   test("bool terms keys render as 0/1 with key_as_string (intermediate_agg_result.rs:84)") {
     import org.json4s._
     import org.json4s.jackson.JsonMethods
