@@ -269,6 +269,8 @@ object SparkEntry {
     // sum — no global single-partition window; oracle states the same rule
     // as one running-sum window)
     "q_pack_sequences" -> ((s, d) => PipelineOps.packSequences(docs(s, d), 2048)),
+    // overlapping token-window chunking (RAG prep): W=16, stride=8
+    "q_chunk_windows" -> ((s, d) => PipelineOps.chunkWindows(docs(s, d), 16, 8)),
     // content-token count after built-in English stop removal: the Spark
     // side's stop set comes from the packaged resource
     // (Analyzer.stopWordsFor), the oracle hardcodes the public Lucene list
@@ -725,6 +727,7 @@ object SparkEntry {
     "q_bm25_scores" -> OracleSql.bm25Scores(Seq("spark", "vector")),
     "q_token_count" -> OracleSql.tokenCount,
     "q_pack_sequences" -> OracleSql.packSequences,
+    "q_chunk_windows" -> OracleSql.chunkWindows,
     "q_stop_tokens" -> OracleSql.stopTokens,
     "q_lang_id" -> OracleSql.langId,
     "q_quality" -> OracleSql.quality,

@@ -232,6 +232,15 @@ ORDER BY bm25 DESC, doc_id LIMIT 10"""
   val tokenCount: String =
     s"WITH $T SELECT doc_id, len(toks)::BIGINT AS n_tokens, len(list_distinct(toks))::BIGINT AS n_distinct FROM t"
 
+  /** Overlapping token-window chunking, W=16 S=8: DuckDB inclusive list
+    * slicing `toks[a:b]` vs Spark's (start, LENGTH) `slice` — same windows.
+    */
+  val chunkWindows: String =
+    s"WITH $T, c AS (SELECT doc_id, toks, len(toks)::BIGINT AS n FROM t WHERE len(toks) > 0), " +
+      "s AS (SELECT doc_id, n, toks, unnest(range(0, ((n-1)//8)+1)) AS i FROM c) " +
+      "SELECT doc_id, i AS chunk_id, least(16, n - i*8)::BIGINT AS n_chunk_tokens, " +
+      "array_to_string(toks[i*8+1:i*8+16], ' ') AS chunk_text FROM s"
+
   /** Concat-and-chunk sequence packing at maxTokens=2048: the oracle states
     * the rule as ONE global running-sum window (fine at oracle scale; the
     * Spark side is the two-level prefix sum).

@@ -692,6 +692,29 @@ object PipelineOps {
           s => s.getField("para"))).as("clean_text"))
   }
 
+  /** Overlapping token-window chunking — the retrieval/RAG preparation step:
+    * each document splits into windows of `windowTokens` starting every
+    * `stride` tokens (consecutive chunks overlap by windowTokens − stride;
+    * every token is covered; the final window may be shorter). Returns
+    * (doc_id, chunk_id, n_chunk_tokens, chunk_text). Pure per-doc map +
+    * generate — embarrassingly parallel, no shuffle, whole-stage codegen.
+    */
+  def chunkWindows(docs: DataFrame, windowTokens: Int = 256,
+      stride: Int = 128): DataFrame = {
+    require(stride > 0 && windowTokens >= stride, "windowTokens >= stride > 0")
+    val W = windowTokens; val S = stride
+    withTokens(docs)
+      .where(size(col("toks")) > 0)
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n"), col("toks"))
+      .select(col("doc_id"), col("n"), posexplode(
+        expr(s"transform(sequence(0, cast((n - 1) div $S as int)), " +
+          s"i -> concat_ws(' ', slice(toks, i*$S+1, $W)))"))
+        .as(Seq("pos", "chunk_text")))
+      .select(col("doc_id"), col("pos").cast("long").as("chunk_id"),
+        least(lit(W.toLong), col("n") - col("pos") * S).as("n_chunk_tokens"),
+        col("chunk_text"))
+  }
+
   /** Sequence packing — the concat-and-chunk step that turns a curated
     * corpus into fixed-length training sequences: documents are concatenated
     * in doc_id order and the global token stream is cut every `maxTokens`

@@ -191,6 +191,33 @@ class CurationSpec extends AnyFunSuite {
     assert(r(4L)._2 == "mixed: <EMAIL> from <IP>" && r(4L)._3 == 1 && r(4L)._4 == 1)
   }
 
+  test("chunkWindows: independent sliding windows; full coverage + overlap") {
+    val docs = Seq(
+      (1L, (1 to 20).map(i => s"w$i").mkString(" ")), // 20 toks → starts 0,8,16
+      (2L, "a b c"),                                   // short: one window
+      (3L, ""),                                        // empty: no chunks
+      (4L, (1 to 16).map(i => s"x$i").mkString(" "))   // exactly 2 windows
+    ).toDF("doc_id", "text")
+    val got = PipelineOps.chunkWindows(docs, windowTokens = 16, stride = 8)
+      .as[(Long, Long, Long, String)].collect().sortBy(r => (r._1, r._2)).toSeq
+    // independent formulation: scala sliding over the same analyzer tokens
+    val want = Seq(
+      1L -> (1 to 20).map(i => s"w$i"),
+      2L -> Seq("a", "b", "c"),
+      4L -> (1 to 16).map(i => s"x$i")
+    ).flatMap { case (id, toks) =>
+      (0 to (toks.size - 1) / 8).map { i =>
+        val w = toks.slice(i * 8, i * 8 + 16)
+        (id, i.toLong, w.size.toLong, w.mkString(" "))
+      }
+    }
+    assert(got == want)
+    // coverage: every token index of doc 1 appears in some chunk
+    val covered = got.filter(_._1 == 1L)
+      .flatMap(c => (c._2 * 8) until (c._2 * 8 + c._3)).toSet
+    assert(covered == (0 until 20).toSet)
+  }
+
   test("packSequences: matches the sequential fold; bucket width irrelevant") {
     val rng = new scala.util.Random(7)
     // sparse doc_ids (gaps + a huge id) so bucketing by doc_id range is
