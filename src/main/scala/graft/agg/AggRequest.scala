@@ -45,11 +45,19 @@ object AggRequest {
     */
   /** `missing` is the reference's `Option<Key>` (term_agg.rs:311): a string
     * bucket value for text fields or a number for numeric fields.
+    * `include`/`exclude` (term_agg.rs:139-145,273-276): Right(values) for an
+    * exact-value array, Left(regex) for a single-string FULL-MATCH regex
+    * (the reference's dictionary automaton matches whole terms); both filter
+    * terms BEFORE collection, so filtered docs never reach any bucket — nor
+    * `sum_other_doc_count`. The `missing` bucket bypasses the filter, like
+    * the reference's dictionary-ordinal allow-set does.
     */
   final case class Terms(field: String, size: Int, minDocCount: Long,
       subs: Map[String, Node], missing: Option[Any] = None,
       order: Option[(String, Boolean)] = None,
-      showDocCountError: Boolean = false) extends Node
+      showDocCountError: Boolean = false,
+      include: Option[Either[String, Seq[String]]] = None,
+      exclude: Option[Either[String, Seq[String]]] = None) extends Node
   /** Histogram options match `bucket/histogram/histogram.rs:91-145`:
     * absolute grid `[offset + k*interval, offset + (k+1)*interval)`; by
     * default every bucket between the data min and max is returned
@@ -200,6 +208,13 @@ object AggRequest {
           case JObject((target, JString(dir)) :: Nil) => Some((target, dir == "asc"))
           case _ => None
         }
+        // single string = regex, array of strings = exact values (the
+        // reference's IncludeExcludeParam serde)
+        def incExc(k: String): Option[Either[String, Seq[String]]] = (b \ k) match {
+          case JString(re) => Some(Left(re))
+          case JArray(vs) => Some(Right(vs.collect { case JString(s) => s }))
+          case _ => None
+        }
         Terms(str(b, "field").get, num(b, "size").map(_.toInt).getOrElse(10),
           num(b, "min_doc_count").map(_.toLong).getOrElse(1L), subs,
           missing = str(b, "missing").map(s => s: Any)
@@ -207,7 +222,8 @@ object AggRequest {
           order = order,
           showDocCountError = (b \ "show_term_doc_count_error") match {
             case JBool(v) => v; case _ => false
-          })
+          },
+          include = incExc("include"), exclude = incExc("exclude"))
       } else if ((spec \ "histogram") != JNothing) {
         val b = spec \ "histogram"
         Histogram(str(b, "field").get, num(b, "interval").get,
@@ -603,11 +619,22 @@ object AggRequest {
       expandSketch(
         aggregateAt(df, groupCols, metricColumns(name, m), sortKeys = groupCols.map(_._1)),
         Seq(name -> m))
-    case Terms(field, size, minDocCount, subs, missing, order, _) =>
+    case Terms(field, size, minDocCount, subs, missing, order, _, include, exclude) =>
       // ES `missing`: null keys fall into the given bucket value; without it
       // docs lacking the field contribute NO bucket (`term_agg.rs` only
       // collects docs carrying a term; `term_missing_agg.rs` is the opt-in)
-      val src = if (missing.isDefined) df else df.where(col(field).isNotNull)
+      val base = if (missing.isDefined) df else df.where(col(field).isNotNull)
+      // include/exclude filter real terms before collection (nulls pass —
+      // the missing bucket bypasses the dictionary-ordinal allow-set);
+      // single-string regexes are full-match, like the fst automaton
+      def matches(p: Either[String, Seq[String]]): Column = p match {
+        case Left(re) => col(field).rlike(s"^(?:$re)$$")
+        case Right(vs) => col(field).isin(vs: _*)
+      }
+      val src = Seq(
+        include.map(p => col(field).isNull || matches(p)),
+        exclude.map(p => col(field).isNull || !matches(p))
+      ).flatten.foldLeft(base)((d, c) => d.where(c))
       val keyCol = missing.map(mv => coalesce(col(field), lit(mv))).getOrElse(col(field))
       val keyName = s"${name}_key"
       val keyed = (keyName, keyCol)

@@ -82,12 +82,19 @@ class AggFuzzSpec extends AnyFunSuite {
       k -> JObject(List("min" -> JDouble(lo), "max" -> JDouble(hi)))
     }
 
+  private def ieReq(k: String, p: Option[Either[String, Seq[String]]]): List[(String, JValue)] =
+    p.toList.map {
+      case Left(re) => k -> (JString(re): JValue)
+      case Right(vs) => k -> (JArray(vs.toList.map(JString(_))): JValue)
+    }
+
   private def nodeReq(n: Node): JObject = n match {
-    case Terms(f, size, mdc, subs, missing, order, showErr) =>
+    case Terms(f, size, mdc, subs, missing, order, showErr, include, exclude) =>
       JObject(("terms" -> JObject(List(
         "field" -> JString(f), "size" -> JInt(size), "min_doc_count" -> JInt(mdc)) ++
         missing.map(m => "missing" -> JString(m.toString)).toList ++
         (if (showErr) List("show_term_doc_count_error" -> JBool(true)) else Nil) ++
+        ieReq("include", include) ++ ieReq("exclude", exclude) ++
         order.map { case (t, asc) =>
           "order" -> JObject(List(t -> JString(if (asc) "asc" else "desc")))
         }.toList)) :: subsReq(subs))
@@ -248,9 +255,18 @@ class AggFuzzSpec extends AnyFunSuite {
     subs.toList.sortBy(_._1).map { case (n, s) => n -> evalNamed(n, s, ds, atRoot) }
 
   private def termsEval(t: Terms, ds: Seq[D]): JValue = {
+    // include/exclude filter real terms pre-collection (full-match regex
+    // semantics via String.matches); missing-bucket docs bypass the filter
+    def allowed(raw: String): Boolean =
+      t.include.forall {
+        case Left(re) => raw.matches(re); case Right(vs) => vs.contains(raw)
+      } && t.exclude.forall {
+        case Left(re) => !raw.matches(re); case Right(vs) => !vs.contains(raw)
+      }
     val entries: Seq[(String, D)] = ds.flatMap { d =>
       val raw = strField(d, t.field)
-      if (raw != null) Some((raw, d)) else t.missing.map(mv => (mv.toString, d))
+      if (raw != null) { if (allowed(raw)) Some((raw, d)) else None }
+      else t.missing.map(mv => (mv.toString, d))
     }
     val counted: Seq[(String, Seq[D])] = entries.groupBy(_._1).view
       .mapValues(_.map(_._2)).toSeq
@@ -544,7 +560,13 @@ class AggFuzzSpec extends AnyFunSuite {
             rng.nextInt(3).toLong, subs,
             missing = if (rng.nextInt(4) == 0) Some("(none)") else None,
             order = orderFor(metrics),
-            showDocCountError = rng.nextInt(4) == 0)
+            showDocCountError = rng.nextInt(4) == 0,
+            include = if (rng.nextInt(5) == 0)
+              Some(pick(Seq(Left("[cg][0-3]"), Right(Seq("c0", "c1", "g0", "g1")))))
+            else None,
+            exclude = if (rng.nextInt(5) == 0)
+              Some(pick(Seq(Left("c2|g1"), Right(Seq("c3", "g2")))))
+            else None)
         case "hist" =>
           val mdc = if (rng.nextInt(3) == 0) 1L + rng.nextInt(2) else 0L
           val eb = if (mdc == 0 && rng.nextInt(3) == 0)

@@ -410,6 +410,34 @@ class AggRequestSpec extends AnyFunSuite {
       .arr.forall(b => (b \ "doc_count").asInstanceOf[JInt].num == 0))
   }
 
+  test("reference terms fixtures: include/exclude, sum_other, min_doc_count " +
+      "(term_agg.rs:1240-1396)") {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    import spark.implicits._
+    val corpus = (Seq.fill(5)("terma") ++ Seq.fill(2)("termb") :+ "termc")
+      .toDF("string_id")
+    def run(req: String): (List[(String, Int)], Long) = {
+      val t = JsonMethods.parse(AggRequest.runJson(corpus,
+        s"""{"my_texts": {"terms": {"field": "string_id"$req}}}""")) \ "my_texts"
+      ((t \ "buckets").asInstanceOf[JArray].arr.map(b =>
+        ((b \ "key").asInstanceOf[JString].s,
+          (b \ "doc_count").asInstanceOf[JInt].num.toInt)),
+        (t \ "sum_other_doc_count").asInstanceOf[JInt].num.toLong)
+    }
+    assert(run("") == (List(("terma", 5), ("termb", 2), ("termc", 1)), 0L))
+    assert(run(""", "size": 2""") == (List(("terma", 5), ("termb", 2)), 1L))
+    assert(run(""", "include": ["terma", "termc"]""") ==
+      (List(("terma", 5), ("termc", 1)), 0L))
+    assert(run(""", "exclude": ["termc"]""") == (List(("terma", 5), ("termb", 2)), 0L))
+    assert(run(""", "include": "termb"""") == (List(("termb", 2)), 0L))
+    assert(run(""", "include": "term.*", "exclude": "termc"""") ==
+      (List(("terma", 5), ("termb", 2)), 0L))
+    // min_doc_count-filtered buckets do not feed sum_other (reference's
+    // documented behavior, term_agg.rs:1394)
+    assert(run(""", "size": 2, "min_doc_count": 3""") == (List(("terma", 5)), 0L))
+  }
+
   test("bool terms keys render as 0/1 with key_as_string (intermediate_agg_result.rs:84)") {
     import org.json4s._
     import org.json4s.jackson.JsonMethods
