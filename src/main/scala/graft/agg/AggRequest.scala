@@ -93,6 +93,32 @@ object AggRequest {
   final case class RangeAgg(field: String, ranges: Seq[RangeSpec],
       subs: Map[String, Node], keyed: Boolean = false) extends Node
   final case class FilterAgg(predicate: String, subs: Map[String, Node]) extends Node
+  /** Filter bucket whose predicate is an opaque DataFrame transform —
+    * the hook `Searcher.aggregate` uses to honor the reference's contract
+    * that a filter agg's `query_string` is an ENGINE query parsed by the
+    * index's own parser (`bucket/filter.rs:170-193`), not a SQL predicate:
+    * the engine resolves the query to a doc set and the bucket becomes a
+    * semi join. Not constructible from JSON — built via [[transformFilters]].
+    */
+  final case class FilterFnAgg(fn: DataFrame => DataFrame,
+      subs: Map[String, Node]) extends Node
+
+  /** Rebuild a parsed tree with every FilterAgg's string predicate replaced
+    * by a DataFrame transform produced from it (recursing through sub-aggs).
+    */
+  def transformFilters(node: Node, fn: String => DataFrame => DataFrame): Node = {
+    def subs(m: Map[String, Node]): Map[String, Node] =
+      m.map { case (k, v) => k -> transformFilters(v, fn) }
+    node match {
+      case FilterAgg(pred, s) => FilterFnAgg(fn(pred), subs(s))
+      case t: Terms => t.copy(subs = subs(t.subs))
+      case h: Histogram => h.copy(subs = subs(h.subs))
+      case dh: DateHistogram => dh.copy(subs = subs(dh.subs))
+      case ra: RangeAgg => ra.copy(subs = subs(ra.subs))
+      case ffa: FilterFnAgg => ffa.copy(subs = subs(ffa.subs))
+      case leaf => leaf
+    }
+  }
   /** `missing` substitutes the given value for docs lacking the field, for
     * EVERY metric kind (the reference's `metric/average.rs:24-29` — each
     * metric request carries `missing: Option<f64>`; accepted as a number or
@@ -286,8 +312,14 @@ object AggRequest {
   val DefaultBucketLimit = 65000
 
   def runJson(df: DataFrame, json: String,
+      bucketLimit: Int = DefaultBucketLimit): String =
+    runJsonNodes(df, parse(json), bucketLimit)
+
+  /** [[runJson]] over an already-parsed (possibly [[transformFilters]]-
+    * rewritten) tree.
+    */
+  def runJsonNodes(df: DataFrame, aggs: Map[String, Node],
       bucketLimit: Int = DefaultBucketLimit): String = {
-    val aggs = parse(json)
     val frames = compile(df, aggs, withTotals = true)
     // AggregationLimitsGuard analog (agg_limits.rs): the flattened frames
     // are collected driver-side for the JSON rebuild, so the bucket cap is
@@ -467,13 +499,25 @@ object AggRequest {
           JObject((s"${name}_rank" :: th.source.toList).flatMap(f =>
             r.get(f).map(v => f -> jval(v))))))))
       case FilterAgg(_, subs) =>
-        val row = rows.headOption.getOrElse(Map.empty)
-        // with a deeper bucket sub the filter's own count was renamed to
-        // `<name>_doc_count` by withSubs; padding rows leave it null → 0
-        val dc = row.get(s"${name}_doc_count").orElse(row.get("doc_count"))
-          .flatMap(Option(_)).getOrElse(0L)
-        JObject(("doc_count" -> jval(dc)) :: subNodesJson(subs, name, rows))
+        renderFilter(name, subs, rows)
+      case FilterFnAgg(_, subs) =>
+        renderFilter(name, subs, rows)
       case bucketNode =>
+        renderBuckets(bucketNode, name, rows)
+    }
+
+  private def renderFilter(name: String, subs: Map[String, Node],
+      rows: Seq[Map[String, Any]]): JValue = {
+    val row = rows.headOption.getOrElse(Map.empty)
+    // with a deeper bucket sub the filter's own count was renamed to
+    // `<name>_doc_count` by withSubs; padding rows leave it null → 0
+    val dc = row.get(s"${name}_doc_count").orElse(row.get("doc_count"))
+      .flatMap(Option(_)).getOrElse(0L)
+    JObject(("doc_count" -> jval(dc)) :: subNodesJson(subs, name, rows))
+  }
+
+  private def renderBuckets(bucketNode: Node, name: String,
+      rows: Seq[Map[String, Any]]): JValue = {
         val (subs, keyed) = bucketNode match {
           case t: Terms => (t.subs, false)
           case h: Histogram => (h.subs, h.keyed)
@@ -749,6 +793,8 @@ object AggRequest {
         .orderBy(parents.map(col) :+ col(ordName): _*)
     case FilterAgg(pred, subs) =>
       withSubs(df.where(expr(pred)), name, groupCols, subs, withTotals)
+    case FilterFnAgg(fn, subs) =>
+      withSubs(fn(df), name, groupCols, subs, withTotals)
   }
 
   /** Rust `{}` float formatting for range bucket labels ("0", "0.1", not

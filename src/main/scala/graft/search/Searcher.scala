@@ -619,11 +619,27 @@ final class Searcher(spark: SparkSession, indexDir: String, asOfSeq: Option[Long
     * and metric inputs reading docmap fast fields. Returns the nested ES
     * result JSON (`AggRequest.runJson`).
     */
+  /** Filter sub-aggregations honor the reference's contract that their
+    * `query_string` is an ENGINE query (`bucket/filter.rs:170-193`, parsed
+    * with the index's own parser/analyzer): each filter bucket resolves to
+    * the query's matched doc set and applies as a semi join on
+    * (segment, docId) — never a SQL predicate.
+    */
   def aggregate(q: Query, aggJson: String,
-      bucketLimit: Int = graft.agg.AggRequest.DefaultBucketLimit): String =
-    graft.agg.AggRequest.runJson(
+      bucketLimit: Int = graft.agg.AggRequest.DefaultBucketLimit): String = {
+    val parser = new QueryParser(manifest.textField,
+      analyzer = manifest.textAnalyzer, fieldAnalyzers = manifest.textFieldAnalyzers)
+    val aggs = graft.agg.AggRequest.parse(aggJson).map { case (n, node) =>
+      n -> graft.agg.AggRequest.transformFilters(node, pred => {
+        val fset = allMatches(parser.parse(pred), scored = false)
+          .select("segment", "docId")
+        df => df.join(fset, Seq("segment", "docId"), "left_semi")
+      })
+    }
+    graft.agg.AggRequest.runJsonNodes(
       allMatches(q, scored = false).join(docmapDF, Seq("segment", "docId")),
-      aggJson, bucketLimit)
+      aggs, bucketLimit)
+  }
 
   /** All matching docs with scores, as a DataFrame (segment, docId, score).
     * Exhaustive (no pruning) — the oracle-checkable full result relation.

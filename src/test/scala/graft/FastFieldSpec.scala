@@ -113,6 +113,19 @@ class FastFieldSpec extends AnyFunSuite {
     assert(total == s.count(Query.Term("text", "alpha")))
     val avg = (buckets.head \ "avg_len" \ "value").values.asInstanceOf[Double]
     assert(avg > 0.0)
+
+    // filter agg's query_string is an ENGINE query parsed by the index's
+    // parser (bucket/filter.rs:170-193) — the bucket = alpha ∩ beta, not a
+    // SQL predicate
+    val fjson = s.aggregate(Query.Term("text", "alpha"),
+      """{"with_beta": {"filter": {"query_string": "+beta"},
+        | "aggs": {"m": {"avg": {"field": "nlen"}}}}}""".stripMargin)
+    val fdc = (org.json4s.jackson.JsonMethods.parse(fjson) \ "with_beta" \ "doc_count")
+      .values.asInstanceOf[BigInt].toLong
+    assert(fdc == s.count(Query.Bool(Seq(
+      Occur.Must -> Query.Term("text", "alpha"),
+      Occur.Must -> Query.Term("text", "beta")))))
+    assert(fdc > 0 && fdc < total)
   }
 
   test("multi-valued fast fields: tags filter, exploded agg, merge survival") {
