@@ -23,13 +23,26 @@ import org.apache.spark.sql.functions._
 object AggRequest {
 
   sealed trait Node
-  /** `top_hits` leaf (the reference's `metric/top_hits.rs`): per-bucket
-    * top-`size` documents by `sort`, emitting `source` columns. In the
-    * flattened output the hit rows ARE the leaf rows, with the bucket's
-    * doc_count and sibling metrics joined on.
+  /** `top_hits` leaf (the reference's `metric/top_hits.rs:117-124`):
+    * per-bucket top-`size` documents by `sort` starting at `from`, emitting
+    * the `docvalue_fields` columns (glob `*` patterns supported, expanded
+    * against the frame's columns — `globbed_string_to_regex`; `_source` is
+    * accepted as an alias with plain names). In the flattened output the hit
+    * rows ARE the leaf rows, with the bucket's doc_count and sibling
+    * metrics joined on.
     */
   final case class TopHits(size: Int, sort: Seq[(String, Boolean)],
-      source: Seq[String]) extends Node
+      source: Seq[String], from: Int = 0) extends Node
+
+  /** Expand docvalue_fields glob patterns against available column names. */
+  private[graft] def expandDocValue(patterns: Seq[String],
+      available: Seq[String]): Seq[String] =
+    patterns.flatMap { p =>
+      if (p.contains("*")) {
+        val re = "^" + java.util.regex.Pattern.quote(p).replace("*", "\\E.*\\Q") + "$"
+        available.filter(_.matches(re))
+      } else Seq(p)
+    }.distinct
   /** `order`: the reference's CustomOrder (`bucket/term_agg.rs:235-330`) —
     * target is "_count", "_key", or a sub-aggregation name (optionally
     * `name.metric` for multi-value metrics), paired with ascending?.
@@ -205,11 +218,15 @@ object AggRequest {
         }
         case _ => Seq.empty
       }
-      val source = (b \ "_source") match {
+      val source = (b \ "docvalue_fields") match {
         case JArray(vs) => vs.collect { case JString(s) => s }
-        case _ => Seq.empty
+        case _ => (b \ "_source") match {
+          case JArray(vs) => vs.collect { case JString(s) => s }
+          case _ => Seq.empty
+        }
       }
-      return TopHits(num(b, "size").map(_.toInt).getOrElse(3), sort, source)
+      return TopHits(num(b, "size").map(_.toInt).getOrElse(3), sort, source,
+        from = num(b, "from").map(_.toInt).getOrElse(0))
     }
     val metricKinds = Seq("avg", "min", "max", "sum", "value_count", "stats",
       "extended_stats", "percentiles", "cardinality")
@@ -337,7 +354,7 @@ object AggRequest {
       val rows: Seq[Map[String, Any]] = raw.toSeq.map { r =>
         r.schema.fieldNames.zipWithIndex.map { case (f, i) => f -> r.get(i) }.toMap
       }
-      name -> renderNode(node, name, rows)
+      name -> renderNode(node, name, rows, df.columns.toSeq)
     })
     JsonMethods.compact(JsonMethods.render(out))
   }
@@ -485,7 +502,8 @@ object AggRequest {
     }
   }
 
-  private def renderNode(node: Node, name: String, rows: Seq[Map[String, Any]]): JValue =
+  private def renderNode(node: Node, name: String, rows: Seq[Map[String, Any]],
+      avail: Seq[String]): JValue =
     node match {
       case m: Metric =>
         metricJson(name, m, rows.headOption.getOrElse(Map.empty))
@@ -495,29 +513,30 @@ object AggRequest {
         // joins above this level may reorder, so sort by rank explicitly
         val hits = rows.filter(_.get(s"${name}_rank").exists(_ != null))
           .sortBy(r => numOf(r(s"${name}_rank")))
+        val fields = expandDocValue(th.source, avail)
         JObject(List("hits" -> JArray(hits.toList.map(r =>
-          JObject((s"${name}_rank" :: th.source.toList).flatMap(f =>
+          JObject((s"${name}_rank" :: fields.toList).flatMap(f =>
             r.get(f).map(v => f -> jval(v))))))))
       case FilterAgg(_, subs) =>
-        renderFilter(name, subs, rows)
+        renderFilter(name, subs, rows, avail)
       case FilterFnAgg(_, subs) =>
-        renderFilter(name, subs, rows)
+        renderFilter(name, subs, rows, avail)
       case bucketNode =>
-        renderBuckets(bucketNode, name, rows)
+        renderBuckets(bucketNode, name, rows, avail)
     }
 
   private def renderFilter(name: String, subs: Map[String, Node],
-      rows: Seq[Map[String, Any]]): JValue = {
+      rows: Seq[Map[String, Any]], avail: Seq[String]): JValue = {
     val row = rows.headOption.getOrElse(Map.empty)
     // with a deeper bucket sub the filter's own count was renamed to
     // `<name>_doc_count` by withSubs; padding rows leave it null → 0
     val dc = row.get(s"${name}_doc_count").orElse(row.get("doc_count"))
       .flatMap(Option(_)).getOrElse(0L)
-    JObject(("doc_count" -> jval(dc)) :: subNodesJson(subs, name, rows))
+    JObject(("doc_count" -> jval(dc)) :: subNodesJson(subs, name, rows, avail))
   }
 
   private def renderBuckets(bucketNode: Node, name: String,
-      rows: Seq[Map[String, Any]]): JValue = {
+      rows: Seq[Map[String, Any]], avail: Seq[String]): JValue = {
         val (subs, keyed) = bucketNode match {
           case t: Terms => (t.subs, false)
           case h: Histogram => (h.subs, h.keyed)
@@ -560,7 +579,7 @@ object AggRequest {
             case (colN, out) => row.get(colN).filter(_ != null).map(v => out -> jval(v))
           }
           k -> JObject(keyFields ++ fromTo ++ List("doc_count" -> jval(docCount)) ++
-            subNodesJson(subs, name, subRows))
+            subNodesJson(subs, name, subRows, avail))
         }
         // keyed=true: buckets as a map keyed by the bucket label — the range
         // key string, or the Rust `{}` float format of a numeric key (date
@@ -601,9 +620,9 @@ object AggRequest {
     }
 
   private def subNodesJson(subs: Map[String, Node], parentName: String,
-      subRows: Seq[Map[String, Any]]): List[(String, JValue)] =
+      subRows: Seq[Map[String, Any]], avail: Seq[String]): List[(String, JValue)] =
     subs.toList.sortBy(_._1).map { case (subName, subNode) =>
-      subName -> renderNode(subNode, subName, subRows)
+      subName -> renderNode(subNode, subName, subRows, avail)
     }
 
   private def metricColumns(name: String, m: Metric): Seq[Column] = {
@@ -795,6 +814,10 @@ object AggRequest {
       withSubs(df.where(expr(pred)), name, groupCols, subs, withTotals)
     case FilterFnAgg(fn, subs) =>
       withSubs(fn(df), name, groupCols, subs, withTotals)
+    case th: TopHits =>
+      // root-level top_hits (no bucket parent): one global top-k window —
+      // bounded by from+size, so the single-partition window is fine
+      topHitsRows(df, groupCols, name, th)
   }
 
   /** Rust `{}` float formatting for range bucket labels ("0", "0.1", not
@@ -1002,10 +1025,11 @@ object AggRequest {
     val withKeys = groupCols.foldLeft(df) { case (d, (n, c)) => d.withColumn(n, c) }
     val sortCols = th.sort.map { case (f, asc) => if (asc) col(f).asc else col(f).desc }
     val w = Window.partitionBy(groupCols.map(g => col(g._1)): _*).orderBy(sortCols: _*)
+    val fields = expandDocValue(th.source, df.columns.toSeq)
     withKeys.withColumn(s"${name}_rank", row_number().over(w))
-      .where(col(s"${name}_rank") <= th.size)
+      .where(col(s"${name}_rank") > th.from && col(s"${name}_rank") <= th.from + th.size)
       .select(groupCols.map(g => col(g._1)) ++
-        (col(s"${name}_rank") +: th.source.map(col)): _*)
+        (col(s"${name}_rank") +: fields.map(col)): _*)
   }
 
   /** Split each sketch-percentiles array column into per-percent columns

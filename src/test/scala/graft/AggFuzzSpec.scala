@@ -131,13 +131,13 @@ class AggFuzzSpec extends AnyFunSuite {
           List("percents" -> JArray(pcts.toList.map(p =>
             if (p == math.rint(p)) JInt(p.toInt) else JDouble(p)))) else Nil)
       JObject(List(kind -> JObject(body)))
-    case TopHits(size, sort, source) =>
+    case TopHits(size, sort, source, from) =>
       JObject(List("top_hits" -> JObject(List(
-        "size" -> JInt(size),
+        "size" -> JInt(size), "from" -> JInt(from),
         "sort" -> JArray(sort.toList.map { case (f, asc) =>
           JObject(List(f -> JObject(List("order" -> JString(if (asc) "asc" else "desc")))))
         }),
-        "_source" -> JArray(source.toList.map(JString(_)))))))
+        "docvalue_fields" -> JArray(source.toList.map(JString(_)))))))
   }
 
   private def reqJson(aggs: Map[String, Node]): String =
@@ -422,9 +422,9 @@ class AggFuzzSpec extends AnyFunSuite {
     val sorted = th.sort.foldRight(ds) { case ((f, asc), acc) =>
       val s = acc.sortBy(d => numField(d, f).getOrElse(Double.NaN))
       if (asc) s else s.reverse
-    }.take(th.size)
+    }.slice(th.from, th.from + th.size)
     JObject(List("hits" -> JArray(sorted.toList.zipWithIndex.map { case (d, i) =>
-      JObject((s"${name}_rank" -> JInt(i + 1)) :: th.source.toList.map {
+      JObject((s"${name}_rank" -> JInt(th.from + i + 1)) :: th.source.toList.map {
         case "id" => "id" -> JInt(BigInt(d.id))
         case "grp" => "grp" -> JString(d.grp)
         case "n" => "n" -> JInt(BigInt(d.n))
@@ -550,7 +550,8 @@ class AggFuzzSpec extends AnyFunSuite {
         if (depth < 3 && rng.nextInt(100) < 55) Seq(bucket(depth + 1))
         else if (rng.nextInt(100) < 25)
           Seq((name(), TopHits(1 + rng.nextInt(3),
-            Seq(("id", rng.nextBoolean())), Seq("id", "grp"))))
+            Seq(("id", rng.nextBoolean())), Seq("id", "grp"),
+            from = if (rng.nextInt(3) == 0) 1 + rng.nextInt(2) else 0)))
         else Nil
       val subs: Map[String, Node] = (metrics ++ deeper).toMap
       val n = name()

@@ -438,6 +438,23 @@ class AggRequestSpec extends AnyFunSuite {
     assert(run(""", "size": 2, "min_doc_count": 3""") == (List(("terma", 5)), 0L))
   }
 
+  test("top_hits honors from offset and docvalue_fields globs (top_hits.rs:117-124)") {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    import spark.implicits._
+    val frame = Seq((1L, 10L), (2L, 30L), (3L, 20L), (4L, 40L)).toDF("doc_id", "n_chars")
+    val res = JsonMethods.parse(AggRequest.runJson(frame,
+      """{"h": {"top_hits": {"size": 2, "from": 1,
+        | "sort": [{"n_chars": {"order": "desc"}}],
+        | "docvalue_fields": ["doc_*"]}}}""".stripMargin)) \ "h" \ "hits"
+    val hits = res.asInstanceOf[JArray].arr
+    // global order by n_chars desc = 4,2,3,1; from=1 size=2 → docs 2, 3
+    assert(hits.map(h => (h \ "doc_id").asInstanceOf[JInt].num.toLong) == List(2L, 3L))
+    assert(hits.map(h => (h \ "h_rank").asInstanceOf[JInt].num.toInt) == List(2, 3))
+    // the glob expanded against frame columns: no n_chars leak-through
+    assert(hits.forall(h => (h \ "n_chars") == JNothing))
+  }
+
   test("bool terms keys render as 0/1 with key_as_string (intermediate_agg_result.rs:84)") {
     import org.json4s._
     import org.json4s.jackson.JsonMethods
