@@ -9,13 +9,20 @@ import graft.analysis.Analyzer
   */
 object MoreLikeThis {
 
+  /** The reference's full builder surface (`more_like_this/query.rs:86-135`):
+    * `maxDocFreq` drops too-common terms (0 = unlimited), `boostFactor`
+    * scales every per-term boost, `stopWords` drops seed terms outright.
+    */
   final case class Config(
       minTermFreq: Int = 2,
       minDocFreq: Int = 5,
+      maxDocFreq: Long = 0L,
       maxQueryTerms: Int = 25,
       minWordLength: Int = 0,
       maxWordLength: Int = 0,
-      boost: Boolean = true)
+      boost: Boolean = true,
+      boostFactor: Float = 1.0f,
+      stopWords: Set[String] = Set.empty)
 
   /** Build the query from a raw document text (analyzed with the index's
     * own named chain, so seed terms live in the index's term space).
@@ -27,14 +34,16 @@ object MoreLikeThis {
       .filter { case (t, f) =>
         f >= cfg.minTermFreq &&
           (cfg.minWordLength == 0 || t.length >= cfg.minWordLength) &&
-          (cfg.maxWordLength == 0 || t.length <= cfg.maxWordLength)
+          (cfg.maxWordLength == 0 || t.length <= cfg.maxWordLength) &&
+          !cfg.stopWords.contains(t)
       }
     if (tf.isEmpty) return Query.Nothing
     val n = searcher.manifest.totalDocs
     val dfs = searcher.docFreqsPublic(tf.keySet.map(field -> _))
     val scored = tf.toSeq.flatMap { case (t, f) =>
       val df = dfs((field, t))
-      if (df < cfg.minDocFreq || df == 0) None
+      if (df < cfg.minDocFreq || df == 0 ||
+        (cfg.maxDocFreq > 0 && df > cfg.maxDocFreq)) None
       else {
         val idf = math.log(n.toDouble / df.toDouble)
         Some((t, f * idf))
@@ -44,8 +53,9 @@ object MoreLikeThis {
     else {
       val maxScore = scored.head._2
       Query.Bool(scored.map { case (t, s) =>
-        val q: Query = if (cfg.boost) Query.Boost(Query.Term(field, t), (s / maxScore).toFloat)
-          else Query.Term(field, t)
+        val q: Query = if (cfg.boost)
+          Query.Boost(Query.Term(field, t), (s / maxScore).toFloat * cfg.boostFactor)
+        else Query.Term(field, t)
         Occur.Should -> q
       })
     }

@@ -66,6 +66,34 @@ class MoreLikeThisSpec extends AnyFunSuite {
     val hits = searcher.topDocs(q, 5)
     assert(hits.nonEmpty)
     assert(hits.head.url == seed.url, "seed doc should be its own best match")
+
+    // full builder surface (more_like_this/query.rs:86-135): stop_words drop
+    // seed terms; max_doc_frequency drops too-common terms; boost_factor
+    // scales boosts uniformly (rank-invariant)
+    def termsOf(q: Query): Set[String] = q match {
+      case Query.Bool(legs, _) => legs.map(_._2).flatMap {
+        case Query.Boost(Query.Term(_, t, _), _) => Some(t)
+        case Query.Term(_, t, _) => Some(t)
+        case _ => None
+      }.toSet
+      case _ => Set.empty
+    }
+    val base = termsOf(q)
+    val stopped = termsOf(MoreLikeThis.query(searcher, "text", seed.text,
+      MoreLikeThis.Config(minTermFreq = 1, minDocFreq = 1,
+        stopWords = Set(base.head))))
+    // the stopped term is gone; its max_query_terms slot admits one new term
+    assert(!stopped.contains(base.head))
+    assert((base - base.head).subsetOf(stopped) && (stopped -- base).size <= 1)
+    val capped = MoreLikeThis.query(searcher, "text", seed.text,
+      MoreLikeThis.Config(minTermFreq = 1, minDocFreq = 1, maxDocFreq = 3L))
+    termsOf(capped).foreach { t =>
+      assert(searcher.count(Query.Term("text", t)) <= 3L, t)
+    }
+    val boosted = MoreLikeThis.query(searcher, "text", seed.text,
+      MoreLikeThis.Config(minTermFreq = 1, minDocFreq = 1, boostFactor = 2.0f))
+    val bhits = searcher.topDocs(boosted, 5)
+    assert(bhits.map(_.url).toSeq == hits.map(_.url).toSeq) // uniform scale: same ranking
   }
 }
 
