@@ -352,6 +352,29 @@ object SparkEntry {
       .select("doc_id", "extracted_text")),
     // corpus-trained unigram-LM surprise (CCNet head/middle/tail signal)
     "q_lm_surprise" -> ((s, d) => PipelineOps.lmSurprise(docs(s, d))),
+    // span-level decontamination (GPT-3 appendix-C rule): benchmark =
+    // doc_id % 97 = 0 slice, corpus = the rest; collided 3-gram spans are
+    // surgically removed, the oracle rebuilds the text relationally
+    "q_decontam_spans" -> ((s, d) => {
+      val dd = docs(s, d)
+      PipelineOps.decontaminateSpans(
+        dd.where(col("doc_id") % 97 =!= 0), dd.where(col("doc_id") % 97 === 0), 3)
+    }),
+    // DSIR importance weights: target LM = the 'en' slice vs the raw corpus
+    "q_dsir_weights" -> ((s, d) =>
+      PipelineOps.dsirWeights(docs(s, d), col("lang") === "en")),
+    // Bloom-prefiltered incremental dedup: new batch = planted exact dups
+    // (doc_id%5, ids +1e9) + modified docs (doc_id%7, ids +2e9); result
+    // must equal the plain anti-join bit for bit
+    "q_bloom_newdocs" -> ((s, d) => {
+      val dd = docs(s, d)
+      val newBatch = dd.where(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 1000000000L).as("doc_id"), col("text"))
+        .unionByName(dd.where(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 2000000000L).as("doc_id"),
+            concat(col("text"), lit(" novel suffix")).as("text")))
+      PipelineOps.bloomNewDocs(newBatch, dd)
+    }),
     "q_simhash" -> ((s, d) => PipelineOps.simHash(docs(s, d))),
 
     // --- similarity
@@ -745,6 +768,9 @@ object SparkEntry {
     "q_url_dedup" -> OracleSql.urlDedup,
     "q_html_extract" -> OracleSql.htmlExtract,
     "q_lm_surprise" -> OracleSql.lmSurprise,
+    "q_decontam_spans" -> OracleSql.decontaminateSpans,
+    "q_dsir_weights" -> OracleSql.dsirWeights,
+    "q_bloom_newdocs" -> OracleSql.bloomNewDocs,
     "q_simhash" -> OracleSql.simhash,
     "q_cosine_topk" -> OracleSql.cosineTopK(0L, 10),
     "q_embed_neardup" -> OracleSql.embeddingNearDup(0.35),

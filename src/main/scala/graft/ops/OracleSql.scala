@@ -426,6 +426,73 @@ m AS (SELECT doc_id, n_toks, sum_bits,
 SELECT doc_id, n_toks, sum_bits, mean_millibits, $LmBucketExpr AS lm_bucket
 FROM m"""
 
+  /** q_decontam_spans: span-level decontamination over 3-grams, benchmark =
+    * doc_id % 97 = 0 subset, corpus = the rest. Independent relational
+    * formulation: positional grams via a list comprehension + parallel
+    * unnest, hit positions by equi-join, token survival by a NOT EXISTS
+    * range probe, reassembly via ordered string_agg (the Spark side does
+    * the surgery with an indexed `filter` lambda on the token array).
+    */
+  val decontaminateSpans: String =
+    s"""WITH $T,
+corp AS (SELECT * FROM t WHERE doc_id % 97 != 0),
+bgr AS (SELECT DISTINCT unnest([array_to_string(toks[i:i+2], ' ')
+    for i in range(1, greatest(len(toks)-2, 0) + 1)]) AS g
+  FROM t WHERE doc_id % 97 = 0),
+g AS (SELECT doc_id,
+    unnest([array_to_string(toks[i:i+2], ' ')
+      for i in range(1, greatest(len(toks)-2, 0) + 1)]) AS g,
+    unnest(range(1, greatest(len(toks)-2, 0) + 1)) AS pos
+  FROM corp),
+bad AS (SELECT DISTINCT g.doc_id, g.pos FROM g JOIN bgr USING (g)),
+p AS (SELECT doc_id, unnest(toks) AS tok, unnest(range(1, len(toks)+1)) AS i FROM corp),
+kept AS (SELECT p.doc_id, p.tok, p.i FROM p
+  WHERE NOT EXISTS (SELECT 1 FROM bad b
+    WHERE b.doc_id = p.doc_id AND b.pos <= p.i AND p.i <= b.pos + 2))
+SELECT c.doc_id, len(c.toks)::BIGINT AS n_toks,
+  (len(c.toks) - count(k.i))::BIGINT AS n_removed,
+  coalesce(string_agg(k.tok, ' ' ORDER BY k.i), '') AS clean_text
+FROM corp c LEFT JOIN kept k ON c.doc_id = k.doc_id
+GROUP BY c.doc_id, len(c.toks)"""
+
+  /** q_dsir_weights: DSIR log-likelihood-ratio weights, target slice =
+    * lang 'en'. Integer arithmetic end to end (floor-log2 via
+    * length(bin(x))-1, add-one-smoothed target LM), mirroring the exact
+    * formula so no float rounding can flip a bit.
+    */
+  val dsirWeights: String =
+    s"""WITH $T,
+p AS (SELECT t.doc_id, d.lang = 'en' AS is_t, unnest(toks) AS tok
+      FROM t JOIN documents d ON t.doc_id = d.doc_id),
+lm AS (SELECT tok, count(*) AS cnt_r,
+         sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS cnt_t FROM p GROUP BY tok),
+tot AS (SELECT sum(cnt_r)::BIGINT AS total_r, sum(cnt_t)::BIGINT AS total_t,
+          count(*)::BIGINT AS vocab FROM lm),
+s AS (SELECT doc_id,
+        length(bin((total_r // cnt_r)::BIGINT)) - 1 AS bits_r,
+        length(bin(((total_t + vocab) // (cnt_t + 1))::BIGINT)) - 1 AS bits_t
+      FROM p JOIN lm USING (tok) CROSS JOIN tot)
+SELECT doc_id, count(*)::BIGINT AS n_toks,
+  sum(bits_r)::BIGINT AS sum_bits_raw, sum(bits_t)::BIGINT AS sum_bits_target,
+  (sum(bits_r) - sum(bits_t))::BIGINT AS weight_bits
+FROM s GROUP BY doc_id"""
+
+  /** q_bloom_newdocs synthesis contract: new batch = exact copies of the
+    * doc_id%5=0 docs (ids +1e9 — all dups) plus modified copies of the
+    * doc_id%7=0 docs (ids +2e9, text || ' novel suffix' — all new). The
+    * Spark side routes through a corpus Bloom filter + exact verify join;
+    * this oracle is the plain text-level anti-join the op must equal bit
+    * for bit.
+    */
+  val bloomNewDocs: String =
+    """WITH newb AS (
+  SELECT doc_id + 1000000000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT doc_id + 2000000000 AS doc_id, text || ' novel suffix' AS text
+  FROM documents WHERE doc_id % 7 = 0)
+SELECT n.doc_id FROM newb n
+WHERE NOT EXISTS (SELECT 1 FROM documents d WHERE d.text = n.text)"""
+
   /** Dedup resolution: transitive closure over the minhash near-dup pairs
     * (recursive reachability — the independent formulation of what the Spark
     * side computes with large-star/small-star), canonical = min doc_id per

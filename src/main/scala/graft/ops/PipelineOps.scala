@@ -943,4 +943,131 @@ object PipelineOps {
         coalesce(col("canonical_id"), col("doc_id")).as("canonical_id"))
       .withColumn("is_kept", col("doc_id") === col("canonical_id"))
   }
+
+  // ------------------------------------- span-level decontamination / DSIR
+
+  /** Span-level benchmark decontamination — the GPT-3-appendix-C rule
+    * (Brown et al. 2020, §C; also Llama/PaLM data cards): instead of
+    * dropping a whole contaminated document ([[contamination]]), remove
+    * exactly the token spans that collide with a benchmark n-gram and keep
+    * the rest. A token at position i is removed iff some doc n-gram
+    * starting at p with p <= i <= p+n-1 also occurs anywhere in the
+    * benchmark set. Returns (doc_id, n_toks, n_removed, clean_text).
+    *
+    * 100 TB shape: the benchmark n-gram set is eval-suite-sized and
+    * broadcasts, so the corpus side never shuffles to FIND collisions —
+    * only the hit positions (a tiny fraction of docs) pass through one
+    * groupBy(doc_id), and the per-doc hit lists broadcast back onto the
+    * corpus scan. The span surgery itself is a per-row codegen'd
+    * filter-with-index — no second pass over clean documents.
+    */
+  def decontaminateSpans(docs: DataFrame, benchDocs: DataFrame, n: Int = 3,
+      broadcastHits: Boolean = true): DataFrame = {
+    // guard: Spark's sequence(1, 0) counts DOWN, so docs shorter than n
+    // tokens must short-circuit to an empty gram list
+    val gramsExpr = s"case when size(toks) >= $n then " +
+      s"transform(sequence(1, size(toks) - ${n - 1}), " +
+      s"i -> concat_ws(' ', slice(toks, i, $n))) else array() end"
+    val toksDf = withTokens(docs)
+    // positional n-grams on the corpus side; posexplode pos is 0-based so
+    // token start position (1-based) = pos + 1
+    val grams = toksDf
+      .select(col("doc_id"), posexplode(expr(gramsExpr)).as(Seq("p0", "g")))
+      .select(col("doc_id"), (col("p0") + 1).as("pos"), col("g"))
+    val benchGrams = withTokens(benchDocs)
+      .select(explode(expr(gramsExpr)).as("g")).distinct()
+    val bad = grams.join(broadcast(benchGrams), "g")
+      .groupBy("doc_id").agg(collect_set(col("pos")).as("bad"))
+    // `bad` holds only contaminated docs (rare by construction at release
+    // time); broadcast it back rather than shuffling the corpus on doc_id.
+    // If a dirty corpus makes the hit-list set itself unbounded, pass
+    // broadcastHits=false: the doc_id equi-join shuffles instead (AQE picks
+    // broadcast back up when stats allow)
+    toksDf.join(if (broadcastHits) broadcast(bad) else bad, Seq("doc_id"), "left")
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_toks"),
+        expr(s"filter(toks, (x, i) -> bad IS NULL OR " +
+          s"NOT exists(bad, p -> p <= i + 1 AND i + 1 <= p + ${n - 1}))").as("kept"))
+      .select(col("doc_id"), col("n_toks"),
+        (col("n_toks") - size(col("kept"))).cast("long").as("n_removed"),
+        concat_ws(" ", col("kept")).as("clean_text"))
+  }
+
+  /** DSIR-style importance weights — Data Selection via Importance
+    * Resampling (Xie et al. 2023, NeurIPS): score every document by the
+    * log-likelihood ratio of its tokens under a TARGET unigram LM (docs
+    * matching `isTarget` — the high-quality / in-domain slice) versus the
+    * RAW corpus LM. weight_bits = sum over tokens of
+    * (surprise_raw − surprise_target); positive = more target-like, and
+    * resampling keeps the top slice. Integer-exact like [[lmSurprise]]
+    * (floor-log2 via `length(bin(x))-1`, no floating-point log), with
+    * add-one smoothing on the target LM (a raw-corpus token may be absent
+    * from the target slice): surprise_t = floor(log2((total_t + V) /
+    * (cnt_t + 1))), V = raw vocabulary size.
+    *
+    * Returns (doc_id, n_toks, sum_bits_raw, sum_bits_target, weight_bits).
+    *
+    * 100 TB shape: BOTH LMs come out of ONE groupBy(tok) pass (the target
+    * count is a conditional sum in the same aggregate), map-side combine
+    * collapses hot tokens per task; scoring joins each token to the LM row
+    * (broadcast when the LM vocabulary is bounded — the DSIR paper's
+    * hashed-feature case — else a shuffle join AQE can skew-split), and the
+    * three scalar totals ride a one-row broadcast cross join.
+    */
+  def dsirWeights(docs: DataFrame, isTarget: Column,
+      broadcastLm: Boolean = true): DataFrame = {
+    val toks = withTokens(docs).withColumn("is_t", isTarget)
+      .select(col("doc_id"), col("is_t"), explode(col("toks")).as("tok"))
+    val lm = toks.groupBy("tok").agg(
+      count(lit(1)).as("cnt_r"),
+      sum(when(col("is_t"), lit(1L)).otherwise(lit(0L))).as("cnt_t"))
+    val totals = lm.agg(sum("cnt_r").as("total_r"), sum("cnt_t").as("total_t"),
+      count(lit(1)).as("vocab"))
+    val scored = toks
+      .join(if (broadcastLm) broadcast(lm) else lm, "tok")
+      .crossJoin(broadcast(totals))
+      .withColumn("bits_r", (length(bin(expr("total_r div cnt_r"))) - 1).cast("long"))
+      .withColumn("bits_t",
+        (length(bin(expr("(total_t + vocab) div (cnt_t + 1)"))) - 1).cast("long"))
+    scored.groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_toks"),
+        sum("bits_r").as("sum_bits_raw"), sum("bits_t").as("sum_bits_target"))
+      .withColumn("weight_bits", col("sum_bits_raw") - col("sum_bits_target"))
+  }
+
+  // ------------------------------------ Bloom-prefiltered incremental dedup
+
+  /** Incremental cross-corpus dedup — the continuous-crawl step: given a
+    * NEW batch and an EXISTING corpus, keep only new docs whose exact text
+    * is not already in the corpus. Returns the surviving (doc_id) rows.
+    *
+    * 100 TB shape (the reason this isn't just an anti-join): a plain
+    * `left_anti` shuffles the ENTIRE new batch and the ENTIRE corpus
+    * fingerprint set on every increment. Here a Bloom filter over the
+    * corpus fingerprints (built in one corpus pass, ~1.2 MB per million
+    * docs at 1% fpp) broadcasts to the new batch; docs the filter rejects
+    * are DEFINITELY new (no false negatives over fp = xxhash64(text)) and
+    * never shuffle — only the might-contain slice (true dups + fpp) goes
+    * through an exact text-level anti-join, so shuffle volume scales with
+    * the dup rate, not the batch size. Same result as the plain anti-join,
+    * bit for bit; the filter only routes.
+    */
+  def bloomNewDocs(newDocs: DataFrame, corpus: DataFrame,
+      expectedItems: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.graftshim.ColumnShim
+    val bf = corpus.select(xxhash64(col("text")).as("fp"))
+      .stat.bloomFilter("fp", expectedItems, fpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    val fpNew = newDocs.withColumn("fp", xxhash64(col("text")))
+    val might = ColumnShim.column(BloomFilterMightContain(
+      Literal(bos.toByteArray, org.apache.spark.sql.types.BinaryType),
+      ColumnShim.expression(col("fp"))))
+    val definiteNew = fpNew.where(!might)
+    // bloom hit -> verify on the TEXT itself (exactness never rests on a
+    // 64-bit hash): only this slice shuffles
+    val verifiedNew = fpNew.where(might)
+      .join(corpus.select(col("text")).distinct(), Seq("text"), "left_anti")
+    definiteNew.select("doc_id").unionByName(verifiedNew.select("doc_id"))
+  }
 }

@@ -84,6 +84,27 @@ object ExplainProbe {
       packPlan.contains("hashpartitioning(b#") || packPlan.contains("hashpartitioning(b ")
     println(s"pack: doc-side window bucket-partitioned = $docWindowPartitioned, " +
       s"broadcast join present = ${packPlan.contains("BroadcastHashJoin")}")
+
+    println("==== span decontamination (bench grams AND hit lists both broadcast; " +
+      "corpus never shuffles) ====")
+    val dec = graft.ops.PipelineOps.decontaminateSpans(
+      docsDf.where(col("doc_id") % 97 =!= 0), docsDf.where(col("doc_id") % 97 === 0), 3)
+    dec.explain("formatted")
+    val decPlan = dec.queryExecution.executedPlan.toString
+    println(s"decontam: broadcast joins = " +
+      s"${"BroadcastHashJoin".r.findAllIn(decPlan).size} (want 2: gram probe + hit-list return)")
+
+    println("==== DSIR weights (single LM groupBy pair; LM BroadcastExchange) ====")
+    graft.ops.PipelineOps.dsirWeights(docsDf, col("lang") === "en").explain("formatted")
+
+    println("==== bloom incremental dedup (might_contain filters the scan; only the " +
+      "candidate slice reaches the anti-join) ====")
+    val newB = docsDf.select((col("doc_id") + 1000000000L).as("doc_id"), col("text"))
+    val bl = graft.ops.PipelineOps.bloomNewDocs(newB, docsDf, 1000L, 0.01)
+    bl.explain("formatted")
+    val blPlan = bl.queryExecution.executedPlan.toString
+    println(s"bloom: might_contain in plan = ${blPlan.contains("might_contain")}, " +
+      s"anti join present = ${blPlan.contains("LeftAnti")}")
     spark.stop()
   }
 }

@@ -247,4 +247,83 @@ class CurationSpec extends AnyFunSuite {
       .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
     assert(other == got)
   }
+
+  test("decontaminateSpans: removes exactly the collided spans") {
+    val bench = Seq((100L, "quick brown fox")).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "start words then quick brown fox end words here"),
+      (2L, "totally clean document with no overlap at all"),
+      (3L, "quick brown fox leads this document"), // collision at position 1
+      (4L, "trailing hit quick brown fox"),        // collision at the end
+      (5L, "tiny doc")                              // shorter than n: no grams
+    ).toDF("doc_id", "text")
+    val r = PipelineOps.decontaminateSpans(docs, bench, 3)
+      .select("doc_id", "n_toks", "n_removed", "clean_text")
+      .as[(Long, Long, Long, String)].collect().map(t => t._1 -> t).toMap
+    assert(r(1L)._4 == "start words then end words here" && r(1L)._3 == 3L)
+    assert(r(2L)._3 == 0L && r(2L)._4 == "totally clean document with no overlap at all")
+    assert(r(3L)._4 == "leads this document")
+    assert(r(4L)._4 == "trailing hit")
+    assert(r(5L)._3 == 0L && r(5L)._4 == "tiny doc")
+  }
+
+  test("decontaminateSpans: overlapping collided grams merge into one span") {
+    // bench grams "b c d" and "c d e" overlap in the doc: the union of
+    // covered positions must come out, not double-removal or a gap
+    val bench = Seq((1L, "b c d"), (2L, "c d e")).toDF("doc_id", "text")
+    val docs = Seq((10L, "a b c d e f")).toDF("doc_id", "text")
+    val r = PipelineOps.decontaminateSpans(docs, bench, 3)
+      .select("n_removed", "clean_text").as[(Long, String)].head()
+    assert(r == ((4L, "a f")))
+  }
+
+  test("dsirWeights: integer-exact vs an independent model; both join paths") {
+    val rows = Seq(
+      (1L, "en", "alpha beta alpha beta alpha beta"),
+      (2L, "en", "alpha beta gamma alpha beta gamma"),
+      (3L, "de", "zulu yankee zulu yankee zulu yankee"),
+      (4L, "de", "alpha zulu beta yankee gamma xray"),
+      (5L, "fr", "alpha alpha alpha beta beta gamma"))
+    val docs = rows.toDF("doc_id", "lang", "text")
+    // independent plain-Scala model of the documented formula
+    val toks = rows.map { case (id, lang, t) => (id, lang == "en", t.split(" ").toSeq) }
+    val all = toks.flatMap { case (id, isT, ts) => ts.map(tok => (id, isT, tok)) }
+    val cntR = all.groupBy(_._3).map { case (k, v) => k -> v.size.toLong }
+    val cntT = all.groupBy(_._3).map { case (k, v) => k -> v.count(_._2).toLong }
+    val totalR = cntR.values.sum
+    val totalT = cntT.values.sum
+    val vocab = cntR.size.toLong
+    def fl2(x: Long): Long = (63 - java.lang.Long.numberOfLeadingZeros(x)).toLong
+    val want = toks.map { case (id, _, ts) =>
+      val br = ts.map(t => fl2(totalR / cntR(t))).sum
+      val bt = ts.map(t => fl2((totalT + vocab) / (cntT(t) + 1))).sum
+      id -> ((ts.size.toLong, br, bt, br - bt))
+    }.toMap
+    for (bcast <- Seq(true, false)) {
+      val got = PipelineOps.dsirWeights(docs, col("lang") === "en", broadcastLm = bcast)
+        .select("doc_id", "n_toks", "sum_bits_raw", "sum_bits_target", "weight_bits")
+        .as[(Long, Long, Long, Long, Long)].collect()
+        .map(t => t._1 -> ((t._2, t._3, t._4, t._5))).toMap
+      assert(got == want)
+    }
+    // directional sanity: the pure-target doc outranks the pure-raw doc
+    assert(want(1L)._4 > want(3L)._4)
+  }
+
+  test("bloomNewDocs: equals the plain anti-join at any fpp (exactness never rests on the filter)") {
+    val corpus = (0L until 500L).map(i => (i, s"corpus document number $i body"))
+      .toDF("doc_id", "text")
+    val newB = ((0L until 500L by 3).map(i => (i + 10000L, s"corpus document number $i body")) ++
+      (0L until 100L).map(i => (i + 20000L, s"fresh new doc $i"))).toDF("doc_id", "text")
+    val expected = newB.join(corpus.select("text"), Seq("text"), "left_anti")
+      .select("doc_id").as[Long].collect().toSet
+    assert(expected == (0L until 100L).map(_ + 20000L).toSet)
+    // saturated filter (high fpp) and sane filter must both return the
+    // exact anti-join: the Bloom pass only routes, never decides
+    for (fpp <- Seq(0.5, 0.01)) {
+      val got = PipelineOps.bloomNewDocs(newB, corpus, 500L, fpp)
+        .as[Long].collect().toSet
+      assert(got == expected, s"fpp=$fpp")
+    }
+  }
 }
