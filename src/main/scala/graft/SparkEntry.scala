@@ -379,6 +379,11 @@ object SparkEntry {
 
     // --- similarity
     "q_cosine_topk" -> ((s, d) => PipelineOps.cosineTopK(embeddings(s, d), 0L, 10)),
+    // batch retrieval: 3 query vectors answered in ONE corpus pass
+    "q_cosine_topk_batch" -> ((s, d) =>
+      PipelineOps.cosineTopKBatch(embeddings(s, d), Seq(0L, 1L, 2L), 5)),
+    // SemDeDup: exact cosine near-dup pairs -> clusters -> canonical
+    "q_sem_dedup" -> ((s, d) => PipelineOps.semDedup(embeddings(s, d), 0.35)),
     "q_embed_neardup" -> ((s, d) => PipelineOps.embeddingNearDupPairs(embeddings(s, d), 0.35)),
     "q_ann_lsh" -> ((s, d) => PipelineOps.annTopK(embeddings(s, d), 0L, 10, 8)),
     "q_ann_ivf" -> ((s, d) => PipelineOps.ivfTopK(embeddings(s, d), 0L, 10,
@@ -773,6 +778,8 @@ object SparkEntry {
     "q_bloom_newdocs" -> OracleSql.bloomNewDocs,
     "q_simhash" -> OracleSql.simhash,
     "q_cosine_topk" -> OracleSql.cosineTopK(0L, 10),
+    "q_cosine_topk_batch" -> OracleSql.cosineTopKBatch(Seq(0L, 1L, 2L), 5),
+    "q_sem_dedup" -> OracleSql.semDedup(0.35),
     "q_embed_neardup" -> OracleSql.embeddingNearDup(0.35),
     // q_ann_lsh: approximate (random hyperplanes) -> rows-only check;
     // recall@10 >= 0.8 vs exact top-k is gated by SimilaritySpec

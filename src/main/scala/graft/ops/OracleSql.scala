@@ -535,6 +535,35 @@ q AS (SELECT v AS qv FROM e WHERE vec_id = $queryVecId),
 scored AS (SELECT e.vec_id, ${cosineSql("e.v", "q.qv")} AS c FROM e, q WHERE e.vec_id <> $queryVecId)
 SELECT vec_id, round(c, 4) AS cos FROM scored ORDER BY c DESC, vec_id LIMIT $k"""
 
+  /** q_cosine_topk_batch: per-query exact top-k via a window over the
+    * broadcast-batch cross score (the Spark side uses partition-local
+    * bounded heaps; same full-precision ordering cos DESC, vec_id ASC).
+    */
+  def cosineTopKBatch(queryIds: Seq[Long], k: Int): String = {
+    val ids = queryIds.mkString(", ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id IN ($ids)),
+scored AS (SELECT q.query_id, e.vec_id, ${cosineSql("e.v", "q.qv")} AS c
+  FROM e CROSS JOIN q WHERE e.vec_id NOT IN ($ids)),
+r AS (SELECT query_id, vec_id, c,
+  row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id) AS rank FROM scored)
+SELECT query_id, vec_id, round(c, 4) AS cos, rank::BIGINT AS rank
+FROM r WHERE rank <= $k"""
+  }
+
+  /** q_sem_dedup: transitive closure over the exact cosine near-dup pairs
+    * (recursive reachability), canonical = min vec_id per cluster.
+    */
+  def semDedup(threshold: Double): String =
+    s"""WITH RECURSIVE p AS (${embeddingNearDup(threshold)}),
+edges AS (SELECT ia AS u, ib AS v FROM p UNION SELECT ib AS u, ia AS v FROM p),
+walk(u, v) AS (SELECT u, v FROM edges
+  UNION SELECT w.u, e.v FROM walk w JOIN edges e ON w.v = e.u),
+comp AS (SELECT u AS vec_id, min(v) AS mn FROM walk GROUP BY u)
+SELECT e.vec_id, coalesce(least(e.vec_id, c.mn), e.vec_id) AS canonical_id,
+  coalesce(least(e.vec_id, c.mn), e.vec_id) = e.vec_id AS is_kept
+FROM embeddings e LEFT JOIN comp c ON e.vec_id = c.vec_id"""
+
   def embeddingNearDup(threshold: Double): String =
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 p AS (SELECT a.vec_id AS ia, b.vec_id AS ib, ${cosineSql("a.v", "b.v")} AS c

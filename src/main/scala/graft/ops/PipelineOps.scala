@@ -944,6 +944,104 @@ object PipelineOps {
       .withColumn("is_kept", col("doc_id") === col("canonical_id"))
   }
 
+  /** Batch exact cosine top-k — the RAG retrieval job: one pass over the
+    * corpus answers MANY query vectors at once (vs [[cosineTopK]]'s one).
+    *
+    * 100 TB shape: the query block (ids + flattened vectors + norms —
+    * bounded by the request batch, not the corpus) broadcasts once; each
+    * corpus partition scores its rows against the whole block in one
+    * primitive-array kernel holding per-query bounded heaps (k entries per
+    * query — O(q·k) memory per task, independent of partition size), and
+    * only P·q·k candidate rows reach the final per-query merge. One corpus
+    * scan, no shuffle of corpus rows, no per-pair Catalyst eval.
+    */
+  def cosineTopKBatch(embeddings: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val qRows = embeddings.where(col("vec_id").isin(queryIds.map(Long.box): _*))
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Array[Double])].collect().sortBy(_._1)
+    require(qRows.nonEmpty, "no query vectors found")
+    val dim = qRows(0)._2.length
+    val nq = qRows.length
+    val qIds = qRows.map(_._1)
+    val qFlat = new Array[Double](nq * dim)
+    val qNorms = new Array[Double](nq)
+    var qi = 0
+    while (qi < nq) {
+      val v = qRows(qi)._2
+      var j = 0; var s = 0.0
+      while (j < dim) { val x = v(j); qFlat(qi * dim + j) = x; s += x * x; j += 1 }
+      qNorms(qi) = math.sqrt(s)
+      qi += 1
+    }
+    val bc = spark.sparkContext.broadcast((qIds, qFlat, qNorms, dim))
+    val cand = embeddings
+      .where(!col("vec_id").isin(queryIds.map(Long.box): _*))
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        val (ids, qf, qn, d) = bc.value
+        val m = ids.length
+        // per-query bounded heap; dequeue removes the WORST entry
+        // (lowest cos, then highest vec_id — the inverse of the result order)
+        val worstFirst = Ordering.by((t: (Double, Long)) => (-t._1, t._2))
+        val heaps = Array.fill(m)(
+          scala.collection.mutable.PriorityQueue.empty[(Double, Long)](worstFirst))
+        it.foreach { case (vid, v) =>
+          var s = 0.0; var j = 0
+          while (j < d) { val x = v(j); s += x * x; j += 1 }
+          val norm = math.sqrt(s)
+          var q = 0
+          while (q < m) {
+            var dot = 0.0; var p = q * d; var i = 0
+            while (i < d) { dot += qf(p) * v(i); p += 1; i += 1 }
+            val cos = dot / (qn(q) * norm)
+            val h = heaps(q)
+            if (h.size < k) h.enqueue((cos, vid))
+            else if (h.nonEmpty) {
+              val (wc, wid) = h.head
+              if (cos > wc || (cos == wc && vid < wid)) { h.dequeue(); h.enqueue((cos, vid)) }
+            }
+            q += 1
+          }
+        }
+        heaps.iterator.zipWithIndex.flatMap { case (h, q) =>
+          h.iterator.map { case (cos, vid) => (ids(q), vid, cos) }
+        }
+      }
+      .toDF("query_id", "vec_id", "c")
+    cand
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id")).orderBy(col("c").desc, col("vec_id"))))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"), round(col("c"), 4).as("cos"),
+        col("rank").cast("long").as("rank"))
+  }
+
+  /** SemDeDup — semantic deduplication (Abbas et al. 2023, "SemDeDup: Data-
+    * efficient learning at web-scale through semantic deduplication"): fold
+    * embedding-cosine near-duplicates into clusters and keep one canonical
+    * doc per cluster. Pair generation is the EXACT blocked kernel
+    * ([[embeddingNearDupPairs]]; at 100 TB swap in [[ivfAssignments]]-
+    * bucketed candidates — SemDeDup's own k-means-within-cluster recipe —
+    * the downstream closure is identical); clustering is the large-star /
+    * small-star [[connectedComponents]]; canonical = min vec_id.
+    * Returns (vec_id, canonical_id, is_kept).
+    */
+  def semDedup(embeddings: DataFrame, threshold: Double): DataFrame = {
+    val pairs = embeddingNearDupPairs(embeddings, threshold).select(col("ia"), col("ib"))
+    val cc = connectedComponents(pairs)
+      .withColumnRenamed("doc_id", "vec_id")
+      .withColumnRenamed("component", "canonical_id")
+    embeddings.select(col("vec_id").cast("long").as("vec_id"))
+      .join(cc, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("canonical_id"), col("vec_id")).as("canonical_id"))
+      .withColumn("is_kept", col("vec_id") === col("canonical_id"))
+  }
+
   // ------------------------------------- span-level decontamination / DSIR
 
   /** Span-level benchmark decontamination — the GPT-3-appendix-C rule

@@ -119,4 +119,51 @@ class SimilaritySpec extends AnyFunSuite {
     assert(probed >= single)
     assert(probed <= 10)
   }
+
+  test("cosineTopKBatch: heap kernel == per-query exact cosineTopK, all partitionings") {
+    val e = genEmbeddings(500)
+    val qids = Seq(0L, 7L, 13L)
+    val k = 10
+    // per-query expected sets from the already-verified single-query op,
+    // EXCLUDING all batch query ids (the batch op excludes the whole batch)
+    val expected = qids.map { q =>
+      q -> PipelineOps.cosineTopK(e.where(!col("vec_id").isin(qids.filter(_ != q).map(Long.box): _*)), q, k)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).zipWithIndex
+        .map { case ((vid, cos), i) => (vid, cos, i + 1L) }.toSet
+    }.toMap
+    for (parts <- Seq(1, 7, 32)) {
+      val got = PipelineOps.cosineTopKBatch(e.repartition(parts), qids, k)
+        .collect().groupBy(_.getLong(0))
+        .map { case (q, rows) =>
+          q -> rows.map(r => (r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+        }
+      assert(got.keySet == qids.toSet, s"parts=$parts")
+      qids.foreach(q => assert(got(q) == expected(q), s"parts=$parts q=$q"))
+    }
+  }
+
+  test("semDedup: clusters equal a union-find oracle over the exact pairs") {
+    val e = genEmbeddings(300)
+    val threshold = 0.35
+    val pairs = PipelineOps.embeddingNearDupPairs(e, threshold)
+      .select("ia", "ib").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    // driver-side union-find
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = (0L until 300L).map(i => (i, find(i))).toMap
+    val got = PipelineOps.semDedup(e, threshold)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(got.keySet == want.keySet)
+    want.foreach { case (id, canon) =>
+      assert(got(id) == ((canon, canon == id)), s"id=$id")
+    }
+  }
 }
