@@ -84,6 +84,16 @@ final case class IndexConfig(
       * Lets pipeline users index with their own (e.g. BPE) tokenization.
       */
     preTokenizedField: Option[String] = None,
+    /** Multi-valued main TEXT field — the reference's repeated `add_text`
+      * on one field (examples/basic_search.rs "Frankenstein"/"The Modern
+      * Prometheus"): when set, this array<string> column's values are
+      * analyzed one by one and token positions continue across values with
+      * POSITION_GAP = 1 (`src/postings/postings_writer.rs:18,158`), so a
+      * phrase can never match across a value boundary; the fieldnorm is
+      * the total kept-token count over all values. Takes precedence over
+      * [[textField]] as the text source.
+      */
+    textValuesField: Option[String] = None,
     /** `IndexSettings.docstore_compression` analog
       * (`src/index/index_meta.rs:248-261`: none|lz4|zstd): the Parquet codec
       * for the index files. Parquet's block compression replaces the
@@ -134,7 +144,9 @@ final case class InDoc(key: String, text: String, lang: String, ts: java.sql.Tim
     /** bytes-field values pre-encoded to hex terms by Catalyst (`lower(hex)`
       * stays in codegen; the hex string IS the term — `TypedTerms.encodeBytes`).
       */
-    bytesHex: Map[String, String] = null)
+    bytesHex: Map[String, String] = null,
+    /** multi-valued text source values (null unless `textValuesField` set) */
+    textVals: Seq[String] = null)
 
 object IndexBuilder {
 
@@ -212,7 +224,9 @@ object IndexBuilder {
     // becomes "" (still addressable); lang/ts stay null in the docmap
     val in: Dataset[InDoc] = source.select(
         coalesce(col(cfg.keyField).cast("string"), lit("")).as("key"),
-        coalesce(col(cfg.textField).cast("string"), lit("")).as("text"),
+        // with a multi-valued source the scalar text column need not exist
+        (if (cfg.textValuesField.isDefined) lit("")
+         else coalesce(col(cfg.textField).cast("string"), lit(""))).as("text"),
         col(cfg.langField).cast("string").as("lang"),
         col(cfg.tsField).cast("timestamp").as("ts"),
         longsCol.as("longs"),
@@ -221,6 +235,9 @@ object IndexBuilder {
         cfg.preTokenizedField
           .map(f => coalesce(col(f).cast("array<string>"), typedlit(Seq.empty[String])))
           .getOrElse(lit(null).cast("array<string>")).as("preToks"),
+        cfg.textValuesField
+          .map(f => coalesce(col(f).cast("array<string>"), typedlit(Seq.empty[String])))
+          .getOrElse(lit(null).cast("array<string>")).as("textVals"),
         ffMap(cfg.textFields, "string").as("texts"),
         ffMap(cfg.fastLongFields, "bigint").as("ffLongs"),
         ffMap(cfg.fastDoubleFields, "double").as("ffDoubles"),
@@ -381,7 +398,8 @@ object IndexBuilder {
     // default-chain docs take the allocation-free foreachTerm walk (no Token
     // objects / buffers — the build stage is memory-bandwidth-bound at 4N);
     // named analyzers and pre-tokenized input keep the materializing chain
-    val fastDefault = !preTokenized && cfg.textAnalyzer == "default"
+    val fastDefault = !preTokenized && cfg.textValuesField.isEmpty &&
+      cfg.textAnalyzer == "default"
     docs.foreach { d =>
       @inline def addTextTerm(term: String, position: Int): Unit = {
         var acc = text.get(term)
@@ -394,7 +412,29 @@ object IndexBuilder {
         if (cfg.storePositions) acc.posV += position
       }
       val nKept: Int =
-        if (fastDefault) Analyzer.foreachTerm(d.text)(addTextTerm)
+        if (d.textVals != null) {
+          // multi-valued text: each value analyzed on its own, positions
+          // continue across values with POSITION_GAP = 1 — start =
+          // end_position + token.position, end = max(start + 1), then +1
+          // gap after the value (postings_writer.rs:139-158); the norm is
+          // the total kept-token count over all values
+          var endPos = 0
+          var total = 0
+          d.textVals.foreach { v =>
+            val ts = analyzerChain(if (v == null) "" else v)
+            var j = 0
+            var maxEnd = endPos
+            while (j < ts.length) {
+              val start = endPos + ts(j).position
+              addTextTerm(ts(j).text, start)
+              if (start + 1 > maxEnd) maxEnd = start + 1
+              j += 1
+            }
+            total += ts.length
+            endPos = maxEnd + 1
+          }
+          total
+        } else if (fastDefault) Analyzer.foreachTerm(d.text)(addTextTerm)
         else {
           val toks: scala.collection.Seq[graft.analysis.Token] =
             if (preTokenized)
