@@ -63,6 +63,9 @@ object GraftFunctions {
           }
         agg.DDSketchPercentiles(Cast(es.head, DoubleType), percents)
       }),
+    (FunctionIdentifier("normalize_text"),
+      info(classOf[functions.NormalizeText], "normalize_text"),
+      (es: Seq[Expression]) => functions.NormalizeText(es.head)),
     (FunctionIdentifier("vec_cosine"),
       info(classOf[functions.VecCosine], "vec_cosine"),
       (es: Seq[Expression]) => functions.VecCosine(

@@ -360,6 +360,22 @@ object SparkEntry {
       PipelineOps.decontaminateSpans(
         dd.where(col("doc_id") % 97 =!= 0), dd.where(col("doc_id") % 97 === 0), 3)
     }),
+    // exact-substring SELF-dedup (ExactSubstr, Lee et al. 2021): every
+    // occurrence of a corpus-duplicated >=20-token span is removed; the
+    // oracle recomputes it from raw 20-gram strings (no md5)
+    "q_substr_dedup" -> ((s, d) =>
+      PipelineOps.exactSubstrDedup(docs(s, d), minLen = 20)),
+    // crawl-text normalization: deterministic dirty shell (tabs, space
+    // runs, decomposed e+U+0301, BEL/DEL controls) around each doc, then
+    // the codegen NFC+control+collapse pass; oracle = DuckDB's own
+    // nfc_normalize + RE2 chain
+    "q_norm_text" -> ((s, d) => {
+      val dirty = docs(s, d).withColumn("dirty",
+        expr("concat('  a', chr(9), chr(9), 'b  ', text, " +
+          "'  cafe\u0301', chr(7), chr(127), ' z  ')"))
+      PipelineOps.normalizeText(dirty, "dirty")
+        .select(col("doc_id"), col("norm_text"))
+    }),
     // DSIR importance weights: target LM = the 'en' slice vs the raw corpus
     "q_dsir_weights" -> ((s, d) =>
       PipelineOps.dsirWeights(docs(s, d), col("lang") === "en")),
@@ -774,6 +790,8 @@ object SparkEntry {
     "q_html_extract" -> OracleSql.htmlExtract,
     "q_lm_surprise" -> OracleSql.lmSurprise,
     "q_decontam_spans" -> OracleSql.decontaminateSpans,
+    "q_substr_dedup" -> OracleSql.substrDedup,
+    "q_norm_text" -> OracleSql.normText,
     "q_dsir_weights" -> OracleSql.dsirWeights,
     "q_bloom_newdocs" -> OracleSql.bloomNewDocs,
     "q_simhash" -> OracleSql.simhash,

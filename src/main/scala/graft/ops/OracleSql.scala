@@ -455,6 +455,49 @@ SELECT c.doc_id, len(c.toks)::BIGINT AS n_toks,
 FROM corp c LEFT JOIN kept k ON c.doc_id = k.doc_id
 GROUP BY c.doc_id, len(c.toks)"""
 
+  /** q_substr_dedup: exact-substring self-dedup (ExactSubstr, Lee et al.
+    * 2021) at minLen=20. Independent formulation: the oracle keys windows
+    * by their RAW 20-gram string (the Spark side ships 16-byte md5 hashes,
+    * so this also cross-checks the hash pass mangled nothing), counts
+    * occurrences corpus-wide, and rebuilds survivors with the same NOT
+    * EXISTS range probe + ordered string_agg as the decontam oracle.
+    */
+  val substrDedup: String =
+    s"""WITH $T,
+g AS (SELECT doc_id,
+    unnest([array_to_string(toks[i:i+19], ' ')
+      for i in range(1, greatest(len(toks)-19, 0) + 1)]) AS g,
+    unnest(range(1, greatest(len(toks)-19, 0) + 1)) AS pos
+  FROM t),
+dup AS (SELECT g FROM g GROUP BY g HAVING count(*) >= 2),
+bad AS (SELECT DISTINCT g.doc_id, g.pos FROM g JOIN dup USING (g)),
+p AS (SELECT doc_id, unnest(toks) AS tok, unnest(range(1, len(toks)+1)) AS i FROM t),
+kept AS (SELECT p.doc_id, p.tok, p.i FROM p
+  WHERE NOT EXISTS (SELECT 1 FROM bad b
+    WHERE b.doc_id = p.doc_id AND b.pos <= p.i AND p.i <= b.pos + 19))
+SELECT c.doc_id, len(c.toks)::BIGINT AS n_toks,
+  (len(c.toks) - count(k.i))::BIGINT AS n_removed,
+  coalesce(string_agg(k.tok, ' ' ORDER BY k.i), '') AS clean_text
+FROM t c LEFT JOIN kept k ON c.doc_id = k.doc_id
+GROUP BY c.doc_id, len(c.toks)"""
+
+  /** q_norm_text synthesis contract: the corpus text is wrapped with a
+    * deterministic dirty shell — leading/trailing/double spaces, two tabs,
+    * a decomposed `cafe` + U+0301 combining acute, BEL and DEL controls —
+    * the same characters on both sides (DuckDB `chr()` is code-point
+    * based so chr(769) = U+0301; Spark's chr is mod-256 ASCII, so the
+    * Spark query embeds the combining mark as a unicode escape instead).
+    * The oracle normalizes INDEPENDENTLY with DuckDB's own
+    * `nfc_normalize` + an RE2 control-class replace + space-run collapse +
+    * trim, so the JVM Normalizer path is checked against a second Unicode
+    * implementation composing the same sequence.
+    */
+  val normText: String =
+    "SELECT doc_id, trim(regexp_replace(regexp_replace(nfc_normalize(" +
+      "concat('  a', chr(9), chr(9), 'b  ', text, '  cafe', chr(769), chr(7), chr(127), ' z  ')" +
+      "), '[\\x00-\\x1f\\x7f]', ' ', 'g'), ' +', ' ', 'g'), ' ') AS norm_text " +
+      "FROM documents"
+
   /** q_dsir_weights: DSIR log-likelihood-ratio weights, target slice =
     * lang 'en'. Integer arithmetic end to end (floor-log2 via
     * length(bin(x))-1, add-one-smoothed target LM), mirroring the exact

@@ -1090,6 +1090,64 @@ object PipelineOps {
         concat_ws(" ", col("kept")).as("clean_text"))
   }
 
+  /** Exact-substring SELF-deduplication — the ExactSubstr rule of Lee et
+    * al. 2021 ("Deduplicating Training Data Makes Language Models Better",
+    * §4.1): any token span of at least `minLen` tokens whose content occurs
+    * more than once in the corpus (across documents OR repeated inside one)
+    * is duplicated text, and every occurrence is removed (the released
+    * suffix-array tool's behavior — no occurrence is privileged, which
+    * keeps the rule order-independent and deterministic under any
+    * partitioning). A token at 1-based position i survives iff no
+    * duplicated `minLen`-gram starting at p covers it (p <= i <= p+minLen-1);
+    * maximal duplicated spans longer than `minLen` fall out automatically
+    * because each of their windows is itself duplicated. Returns
+    * (doc_id, n_toks, n_removed, clean_text).
+    *
+    * 100 TB shape — this is the distributed analog of the paper's
+    * suffix-array pass, with shuffle playing the role of the sort: one row
+    * per token position carrying a 16-byte md5 of its window (windows
+    * hashed map-side inside codegen; the token text itself never shuffles),
+    * a partial-aggregated groupBy(hash) marks duplicated windows, and the
+    * position rows join back to that set — broadcast when the duplicated
+    * slice is release-grade small (`broadcastDup`), else an equi-join AQE
+    * can skew-split (boilerplate windows are exactly the hot keys). Hit
+    * lists then ride the same groupBy(doc_id) + broadcast-back + indexed
+    * `filter` surgery as [[decontaminateSpans]], so clean documents are
+    * touched by nothing but the map-side hash pass.
+    */
+  def exactSubstrDedup(docs: DataFrame, minLen: Int = 50,
+      broadcastDup: Boolean = true, broadcastHits: Boolean = true): DataFrame = {
+    val L = minLen
+    // sequence(1, 0) counts DOWN: docs shorter than L tokens have no windows
+    val gramsExpr = s"case when size(toks) >= $L then " +
+      s"transform(sequence(1, size(toks) - ${L - 1}), " +
+      s"i -> md5(concat_ws(' ', slice(toks, i, $L)))) else array() end"
+    val toksDf = withTokens(docs)
+    val grams = toksDf
+      .select(col("doc_id"), posexplode(expr(gramsExpr)).as(Seq("p0", "h")))
+      .select(col("doc_id"), (col("p0") + 1).as("pos"), col("h"))
+    val dup = grams.groupBy("h").agg(count(lit(1)).as("c"))
+      .where(col("c") >= 2).select("h")
+    val hits = grams.join(if (broadcastDup) broadcast(dup) else dup, "h")
+    val bad = hits.groupBy("doc_id").agg(collect_set(col("pos")).as("bad"))
+    toksDf.join(if (broadcastHits) broadcast(bad) else bad, Seq("doc_id"), "left")
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_toks"),
+        expr(s"filter(toks, (x, i) -> bad IS NULL OR " +
+          s"NOT exists(bad, p -> p <= i + 1 AND i + 1 <= p + ${L - 1}))").as("kept"))
+      .select(col("doc_id"), col("n_toks"),
+        (col("n_toks") - size(col("kept"))).cast("long").as("n_removed"),
+        concat_ws(" ", col("kept")).as("clean_text"))
+  }
+
+  /** Crawl-text normalization over a column (see
+    * [[graft.functions.NormalizeText]]): NFC + C0/DEL→space + ASCII-space
+    * run collapse + trim, one codegen'd pass, no shuffle. Run FIRST in a
+    * pipeline so every downstream fingerprint/shingle sees canonical bytes.
+    */
+  def normalizeText(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.withColumn("norm_text",
+      graft.functions.NormalizeText.normalize_text(col(textCol)))
+
   /** DSIR-style importance weights — Data Selection via Importance
     * Resampling (Xie et al. 2023, NeurIPS): score every document by the
     * log-likelihood ratio of its tokens under a TARGET unigram LM (docs

@@ -277,6 +277,52 @@ class CurationSpec extends AnyFunSuite {
     assert(r == ((4L, "a f")))
   }
 
+  test("exactSubstrDedup: removes every occurrence of a duplicated span") {
+    val docs = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "x y z c d e w v"),  // shares exactly "c d e" with doc 1
+      (3L, "p q"),              // shorter than minLen: untouched
+      (4L, "m n o m n o m n o") // within-doc repeats: fully duplicated
+    ).toDF("doc_id", "text")
+    val r = PipelineOps.exactSubstrDedup(docs, minLen = 3)
+      .select("doc_id", "n_toks", "n_removed", "clean_text")
+      .as[(Long, Long, Long, String)].collect().map(t => t._1 -> t).toMap
+    assert(r(1L)._4 == "a b f g h" && r(1L)._3 == 3L)
+    assert(r(2L)._4 == "x y z w v" && r(2L)._3 == 3L)
+    assert(r(3L) == ((3L, 2L, 0L, "p q")))
+    assert(r(4L)._4 == "" && r(4L)._3 == 9L) // every window duplicated
+  }
+
+  test("exactSubstrDedup: matches a brute-force oracle on a random corpus") {
+    val rnd = new scala.util.Random(20210714L)
+    val vocab = Array("t0", "t1", "t2", "t3", "t4", "t5")
+    val L = 4
+    val corpus = (0L until 40L).map { id =>
+      (id, Seq.fill(3 + rnd.nextInt(12))(vocab(rnd.nextInt(vocab.length))).mkString(" "))
+    }
+    // independent oracle: count every L-window string corpus-wide, then a
+    // token survives iff no window covering it has count >= 2
+    val toks = corpus.map { case (id, t) => id -> t.split(" ").toSeq }.toMap
+    val counts = toks.values.flatMap(_.sliding(L).filter(_.size == L).map(_.mkString(" ")))
+      .groupBy(identity).map { case (k, v) => k -> v.size }
+    val want = corpus.map { case (id, _) =>
+      val ts = toks(id)
+      val badStarts = (0 to ts.size - L).filter(p => counts(ts.slice(p, p + L).mkString(" ")) >= 2)
+      val kept = ts.zipWithIndex.collect {
+        case (t, i) if !badStarts.exists(p => p <= i && i <= p + L - 1) => t
+      }
+      id -> ((ts.size.toLong, (ts.size - kept.size).toLong, kept.mkString(" ")))
+    }.toMap
+    val df = corpus.toDF("doc_id", "text")
+    for ((bDup, bHits) <- Seq((true, true), (false, false))) {
+      val got = PipelineOps.exactSubstrDedup(df, L, bDup, bHits)
+        .select("doc_id", "n_toks", "n_removed", "clean_text")
+        .as[(Long, Long, Long, String)].collect()
+        .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+      assert(got == want, s"broadcastDup=$bDup broadcastHits=$bHits")
+    }
+  }
+
   test("dsirWeights: integer-exact vs an independent model; both join paths") {
     val rows = Seq(
       (1L, "en", "alpha beta alpha beta alpha beta"),
