@@ -183,6 +183,19 @@ object SparkEntry {
     "q_search_exists" -> ((s, d) => engineMatches(s, d,
       new graft.search.QueryParser("text", jsonFields = Set("attrs"))
         .parse("attrs.meta.opt:*"))),
+    // docs-and-positions iteration (iterating_docs_and_positions.rs): the
+    // full posting stream of 'spark' — (doc, tf, every 0-based position) —
+    // decoded per segment; the oracle recomputes positions from the token
+    // list arithmetically
+    "q_term_positions" -> ((s, d) => {
+      val sr = searcherFor(s, d)
+      sr.termDocsAndPositions("text", "spark")
+        .join(sr.docmapDF, Seq("segment", "docId"))
+        .select(col("url").cast("long").as("doc_id"),
+          col("termFreq").cast("long").as("tf"),
+          explode(col("positions")).as("pos0"))
+        .select(col("doc_id"), col("tf"), col("pos0").cast("long").as("pos"))
+    }),
     // typed IP term range inside the engine (v6-mapped 128-bit order)
     "q_search_range_ip" -> ((s, d) => engineMatches(s, d,
       Query.ipRange("ip", Some("10.0.100.0"), Some("10.1.200.255")))),
@@ -754,6 +767,7 @@ object SparkEntry {
     "q_search_json" -> OracleSql.searchJson,
     "q_search_json_range" -> OracleSql.searchJsonRange,
     "q_search_exists" -> OracleSql.searchExists,
+    "q_term_positions" -> OracleSql.termPositions,
     "q_search_range_ip" -> OracleSql.searchRangeIp,
     "q_search_bytes" -> OracleSql.searchBytes,
     "q_search_multifield" -> OracleSql.searchMultifield,

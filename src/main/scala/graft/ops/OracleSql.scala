@@ -69,6 +69,18 @@ object OracleSql {
   val searchExists: String =
     "SELECT doc_id FROM documents WHERE n_chars % 3 = 0"
 
+  /** q_term_positions: the engine decodes 'spark''s posting stream
+    * (doc, tf, 0-based positions) off the positions file; the oracle
+    * recomputes the same triples arithmetically from the token list
+    * (parallel unnest zips token with its ordinal).
+    */
+  val termPositions: String =
+    s"""WITH $T,
+p AS (SELECT doc_id, unnest(toks) AS tok, unnest(range(0, len(toks))) AS pos FROM t),
+m AS (SELECT doc_id, pos FROM p WHERE tok = 'spark'),
+c AS (SELECT doc_id, count(*)::BIGINT AS tf FROM m GROUP BY doc_id)
+SELECT m.doc_id, c.tf, m.pos::BIGINT AS pos FROM m JOIN c USING (doc_id)"""
+
   /** q_search_multifield: the `title` field = the doc's first 3 tokens
     * (indexed as its OWN text field with its own postings/norms); the engine
     * runs title:spark AND text:table cross-field, the oracle slices the

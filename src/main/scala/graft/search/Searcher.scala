@@ -659,6 +659,44 @@ final class Searcher(spark: SparkSession, indexDir: String, asOfSeq: Option[Long
       }.toDF("segment", "docId", "score")
   }
 
+  /** The reference's docs-and-positions iteration surface
+    * (`examples/iterating_docs_and_positions.rs`;
+    * `InvertedIndexReader::read_postings`, `src/index/inverted_index_reader.rs`):
+    * the full posting stream of one term — every alive (segment, docId,
+    * termFreq, positions) — as a DataFrame. One task per segment decodes
+    * that term's single posting row off the pruned scan, so a hot term's
+    * corpus-wide stream never funnels through the driver; positions are the
+    * analyzer's 0-based token ordinals (gap semantics included). The field
+    * must be positions-indexed (analyzed TEXT/JSON — the reference's
+    * `IndexRecordOption::WithFreqsAndPositions`).
+    */
+  def termDocsAndPositions(field: String, term: String): DataFrame = {
+    val bNumDocs = spark.sparkContext.broadcast(numDocsBySeg)
+    val bDel = bDeletes
+    val ptf = bPrimaryField
+    val cq = plan(Query.Term(field, term))
+    val f0 = field
+    val t0 = term
+    perSegment(kernelRows(cq)) { (seg, it) =>
+      val ctx = Searcher.makeContext(it, bNumDocs.value, seg, bDel.value, ptf.value)
+      val p = ctx.fresh(f0, t0)
+      if (p == null) Iterator.empty
+      else new Iterator[(Int, Int, Int, Array[Int])] {
+        private def skipDead(): Unit =
+          while (p.doc != graft.codec.PostingsCodec.Terminated &&
+            java.util.Arrays.binarySearch(ctx.deleted, p.doc) >= 0) p.advance()
+        skipDead()
+        override def hasNext: Boolean = p.doc != graft.codec.PostingsCodec.Terminated
+        override def next(): (Int, Int, Int, Array[Int]) = {
+          val out = (seg, p.doc, p.termFreq, p.positionsForCurrent())
+          p.advance()
+          skipDead()
+          out
+        }
+      }
+    }.toDF("segment", "docId", "termFreq", "positions")
+  }
+
   /** `TopDocs::tweak_score` / `order_by_fast_field` analog
     * (`src/collector/top_score_collector.rs`): matched docs joined to the
     * docmap's stored/fast fields, re-ranked by an arbitrary Column over

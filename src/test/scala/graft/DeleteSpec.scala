@@ -28,6 +28,29 @@ class DeleteSpec extends AnyFunSuite {
       d.url -> Analyzer.terms(d.text).toSeq
     }.toMap
 
+  test("termDocsAndPositions: stream == analyzer recount; deletes drop out") {
+    val (dir, _) = freshIndex()
+    def streamOf(s: Searcher): Map[String, (Int, Seq[Int])] =
+      s.termDocsAndPositions("text", "alpha")
+        .join(s.docmapDF, Seq("segment", "docId"))
+        .select("url", "termFreq", "positions").collect()
+        .map(r => (r.getString(0), (r.getInt(1), r.getSeq[Int](2)))).toMap
+    // independent recount: the analyzer chain's own token positions
+    val want: Map[String, (Int, Seq[Int])] = (0L until NumDocs.toLong).flatMap { i =>
+      val d = WebCorpus.genDoc(i)
+      val pos = Analyzer.tokenize(d.text).collect {
+        case t if t.text == "alpha" => t.position
+      }.toSeq
+      if (pos.isEmpty) None else Some(d.url -> ((pos.size, pos)))
+    }.toMap
+    assert(want.nonEmpty)
+    assert(streamOf(new Searcher(spark, dir)) == want)
+    // a deleted doc's row disappears from the stream; the rest are untouched
+    val victim = want.keysIterator.next()
+    Deleter.deleteKey(spark, dir, victim)
+    assert(streamOf(new Searcher(spark, dir)) == (want - victim))
+  }
+
   test("query-time exclusion with unchanged scores; opstamp spares newer docs") {
     val (dir, _) = freshIndex()
     val s0 = new Searcher(spark, dir)
