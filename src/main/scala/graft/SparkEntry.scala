@@ -373,6 +373,16 @@ object SparkEntry {
       PipelineOps.decontaminateSpans(
         dd.where(col("doc_id") % 97 =!= 0), dd.where(col("doc_id") % 97 === 0), 3)
     }),
+    // quality-classifier inference: weight table derived deterministically
+    // from the corpus vocabulary (w = tokhash % 2001 - 1000) so the oracle
+    // can rebuild the exact same model; integer-exact linear score + bias
+    "q_quality_classifier" -> ((s, d) => {
+      val dd = docs(s, d)
+      val weights = PipelineOps.withTokens(dd)
+        .select(explode(col("toks")).as("tok")).distinct()
+        .withColumn("w", expr(s"${PipelineOps.TokHashSpark} % 2001 - 1000"))
+      PipelineOps.classifierScore(dd, weights, bias = 17L)
+    }),
     // exact-substring SELF-dedup (ExactSubstr, Lee et al. 2021): every
     // occurrence of a corpus-duplicated >=20-token span is removed; the
     // oracle recomputes it from raw 20-gram strings (no md5)
@@ -804,6 +814,7 @@ object SparkEntry {
     "q_html_extract" -> OracleSql.htmlExtract,
     "q_lm_surprise" -> OracleSql.lmSurprise,
     "q_decontam_spans" -> OracleSql.decontaminateSpans,
+    "q_quality_classifier" -> OracleSql.qualityClassifier,
     "q_substr_dedup" -> OracleSql.substrDedup,
     "q_norm_text" -> OracleSql.normText,
     "q_dsir_weights" -> OracleSql.dsirWeights,

@@ -467,6 +467,21 @@ SELECT c.doc_id, len(c.toks)::BIGINT AS n_toks,
 FROM corp c LEFT JOIN kept k ON c.doc_id = k.doc_id
 GROUP BY c.doc_id, len(c.toks)"""
 
+  /** q_quality_classifier: linear classifier inference with the weight
+    * table rebuilt from the same deterministic recipe (w = tokhash % 2001
+    * - 1000 over the distinct corpus vocabulary, bias 17) — integer
+    * arithmetic end to end, so the filter threshold is bit-reproducible.
+    */
+  val qualityClassifier: String =
+    s"""WITH $T,
+p AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+w AS (SELECT tok, $TokHashDuck % 2001 - 1000 AS w
+      FROM (SELECT DISTINCT unnest(toks) AS tok FROM t)),
+a AS (SELECT doc_id, count(*)::BIGINT AS n_toks,
+        (sum(coalesce(w.w, 0)) + 17)::BIGINT AS score
+      FROM p LEFT JOIN w USING (tok) GROUP BY doc_id)
+SELECT doc_id, n_toks, score, ((score * 1000) // n_toks)::BIGINT AS mean_milli FROM a"""
+
   /** q_substr_dedup: exact-substring self-dedup (ExactSubstr, Lee et al.
     * 2021) at minLen=20. Independent formulation: the oracle keys windows
     * by their RAW 20-gram string (the Spark side ships 16-byte md5 hashes,

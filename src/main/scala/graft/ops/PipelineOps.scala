@@ -1190,6 +1190,34 @@ object PipelineOps {
       .withColumn("weight_bits", col("sum_bits_raw") - col("sum_bits_target"))
   }
 
+  /** Linear text-classifier inference — the quality-classifier scoring
+    * step of the GPT-3 / LLaMA data pipelines (logistic regression /
+    * fastText-style linear model over bag-of-words features; Brown et al.
+    * 2020 §A, Touvron et al. 2023): given a trained weight table
+    * `weights(tok, w)` (integer fixed-point weights) and a bias, score
+    * every document with `bias + Σ w(tok)` (absent tokens weigh 0) plus a
+    * length-normalized `mean_milli = score*1000 div n_toks`. The sigmoid /
+    * keep-threshold on top is monotone in the score, so filtering
+    * decisions are exactly reproducible from these integers — no float in
+    * the pipeline.
+    *
+    * 100 TB shape: the model broadcasts (a hashed-feature classifier is
+    * MBs) so the corpus never shuffles to be scored — one explode, a
+    * broadcast hash join, and a map-side-combinable groupBy(doc_id). For
+    * an unbounded vocabulary pass `broadcastWeights = false` (shuffle
+    * join; AQE skew-splits hot tokens).
+    */
+  def classifierScore(docs: DataFrame, weights: DataFrame, bias: Long = 0L,
+      broadcastWeights: Boolean = true): DataFrame = {
+    val toks = withTokens(docs).select(col("doc_id"), explode(col("toks")).as("tok"))
+    val w = weights.select(col("tok"), col("w"))
+    toks.join(if (broadcastWeights) broadcast(w) else w, Seq("tok"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_toks"),
+        (sum(coalesce(col("w"), lit(0L))) + bias).cast("long").as("score"))
+      .withColumn("mean_milli", expr("(score * 1000) div n_toks"))
+  }
+
   // ------------------------------------ Bloom-prefiltered incremental dedup
 
   /** Incremental cross-corpus dedup — the continuous-crawl step: given a

@@ -97,6 +97,27 @@ object ExplainProbe {
     println("==== DSIR weights (single LM groupBy pair; LM BroadcastExchange) ====")
     graft.ops.PipelineOps.dsirWeights(docsDf, col("lang") === "en").explain("formatted")
 
+    println("==== exact-substring self-dedup (no cartesian; dup set + hit lists " +
+      "broadcast back; window hashes shuffle, token text never) ====")
+    val sub = graft.ops.PipelineOps.exactSubstrDedup(docsDf, 20)
+    sub.explain("formatted")
+    val subPlan = sub.queryExecution.executedPlan.toString
+    println(s"substr: cartesian/cross join = ${subPlan.contains("Cartesian") ||
+      subPlan.contains("BroadcastNestedLoop")} (want false), broadcast joins = " +
+      s"${"BroadcastHashJoin".r.findAllIn(subPlan).size} (want 2: dup probe + hit-list return)")
+
+    println("==== normalize_text (single WholeStageCodegen map, no shuffle) ====")
+    val nrm = graft.ops.PipelineOps.normalizeText(docsDf).select("doc_id", "norm_text")
+    nrm.explain("formatted")
+    val nrmPlan = nrm.queryExecution.executedPlan.toString
+    // simple-mode plan strings mark codegen stages with a `*(n)` prefix
+    println(s"normalize: shuffle-free = ${!nrmPlan.contains("Exchange")}, " +
+      s"codegen = ${nrmPlan.contains("*(")}")
+
+    println("==== term docs-and-positions (pruned postings scan: PushedFilters on " +
+      "(field, term)) ====")
+    searcher.termDocsAndPositions("text", "spark").explain("formatted")
+
     println("==== bloom incremental dedup (might_contain filters the scan; only the " +
       "candidate slice reaches the anti-join) ====")
     val newB = docsDf.select((col("doc_id") + 1000000000L).as("doc_id"), col("text"))

@@ -277,6 +277,23 @@ class CurationSpec extends AnyFunSuite {
     assert(r == ((4L, "a f")))
   }
 
+  test("classifierScore: integer-exact linear model; missing tokens weigh 0") {
+    val docs = Seq(
+      (1L, "good clean prose here"),
+      (2L, "spam spam junk"),
+      (3L, "unknown tokens only wow")).toDF("doc_id", "text")
+    val weights = Seq(("good", 500L), ("clean", 300L), ("prose", 200L),
+      ("spam", -800L), ("junk", -400L)).toDF("tok", "w")
+    for (bcast <- Seq(true, false)) {
+      val r = PipelineOps.classifierScore(docs, weights, bias = 10L, bcast)
+        .select("doc_id", "n_toks", "score", "mean_milli")
+        .as[(Long, Long, Long, Long)].collect().map(t => t._1 -> t).toMap
+      assert(r(1L) == ((1L, 4L, 1010L, 252500L)))   // 500+300+200+0+10
+      assert(r(2L) == ((2L, 3L, -1990L, -663333L))) // -800*2-400+10; trunc toward 0
+      assert(r(3L) == ((3L, 4L, 10L, 2500L)))       // all unknown: bias only
+    }
+  }
+
   test("exactSubstrDedup: removes every occurrence of a duplicated span") {
     val docs = Seq(
       (1L, "a b c d e f g h"),
