@@ -414,6 +414,18 @@ object SparkEntry {
             concat(col("text"), lit(" novel suffix")).as("text")))
       PipelineOps.bloomNewDocs(newBatch, dd)
     }),
+    // fuzzy incremental dedup: new batch = exact copies (doc_id%5, +1e9 —
+    // always dropped) + word-reversed copies (doc_id%7, +2e9 — shingles
+    // are order-sensitive, survive); oracle replays banding + verify
+    "q_minhash_newdocs" -> ((s, d) => {
+      val dd = docs(s, d)
+      val newBatch = dd.where(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 1000000000L).as("doc_id"), col("text"))
+        .unionByName(dd.where(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 2000000000L).as("doc_id"),
+            expr("concat_ws(' ', reverse(split(text, ' ')))").as("text")))
+      PipelineOps.minHashNewDocs(newBatch, dd, 0.5)
+    }),
     "q_simhash" -> ((s, d) => PipelineOps.simHash(docs(s, d))),
 
     // --- similarity
@@ -819,6 +831,7 @@ object SparkEntry {
     "q_norm_text" -> OracleSql.normText,
     "q_dsir_weights" -> OracleSql.dsirWeights,
     "q_bloom_newdocs" -> OracleSql.bloomNewDocs,
+    "q_minhash_newdocs" -> OracleSql.minhashNewDocs(0.5),
     "q_simhash" -> OracleSql.simhash,
     "q_cosine_topk" -> OracleSql.cosineTopK(0L, 10),
     "q_cosine_topk_batch" -> OracleSql.cosineTopKBatch(Seq(0L, 1L, 2L), 5),

@@ -318,6 +318,46 @@ verified AS (SELECT cand.ia, cand.ib,
 SELECT ia, ib, round(j, 4) AS jaccard FROM verified WHERE j >= $threshold"""
   }
 
+  /** q_minhash_newdocs synthesis contract: new batch = exact copies of the
+    * doc_id%5=0 docs (ids +1e9 — identical signatures, always dropped) plus
+    * word-REVERSED copies of the doc_id%7=0 docs (ids +2e9 — 3-gram
+    * shingles are order-sensitive, so these share ~no shingles and
+    * survive). The oracle replays the op's full contract — same banding,
+    * same exact-Jaccard verify at the same threshold — new-vs-corpus.
+    */
+  def minhashNewDocs(threshold: Double): String = {
+    val mhCols = MinHashA.indices.map { i =>
+      s"min((h * ${MinHashA(i)} + ${MinHashB(i)}) % $MinHashP) AS mh$i"
+    }.mkString(", ")
+    def bandRows(src: String) = (0 until Bands).map { b =>
+      val parts = (0 until RowsPerBand).map(r => s"mh${b * RowsPerBand + r}")
+      s"SELECT doc_id, $b AS band, concat_ws('_', ${parts.mkString(",")}) AS sig FROM $src"
+    }.mkString(" UNION ALL ")
+    s"""WITH newb AS (
+  SELECT doc_id + 1000000000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT doc_id + 2000000000 AS doc_id,
+    array_to_string(list_reverse(string_split(text, ' ')), ' ') AS text
+  FROM documents WHERE doc_id % 7 = 0),
+tn AS (SELECT doc_id, $TokensExprDuck AS toks FROM newb),
+tc AS (SELECT doc_id, $TokensExprDuck AS toks FROM documents),
+sn AS (SELECT doc_id, list_distinct($ShinglesExprDuck) AS sh FROM tn),
+sc AS (SELECT doc_id, list_distinct($ShinglesExprDuck) AS sh FROM tc),
+hn AS (SELECT doc_id, $TokHashDuck AS h FROM (SELECT doc_id, unnest(sh) AS tok FROM sn)),
+hc AS (SELECT doc_id, $TokHashDuck AS h FROM (SELECT doc_id, unnest(sh) AS tok FROM sc)),
+gn AS (SELECT doc_id, $mhCols FROM hn GROUP BY doc_id),
+gc AS (SELECT doc_id, $mhCols FROM hc GROUP BY doc_id),
+bn AS (${bandRows("gn")}),
+bc AS (${bandRows("gc")}),
+cand AS (SELECT DISTINCT n.doc_id AS nid, c.doc_id AS cid FROM bn n JOIN bc c
+  ON n.band = c.band AND n.sig = c.sig),
+dup AS (SELECT DISTINCT cand.nid FROM cand
+  JOIN sn a ON cand.nid = a.doc_id JOIN sc b ON cand.cid = b.doc_id
+  WHERE len(list_intersect(a.sh, b.sh)) * 1.0
+    / len(list_distinct(list_concat(a.sh, b.sh))) >= $threshold)
+SELECT doc_id FROM newb WHERE doc_id NOT IN (SELECT nid FROM dup)"""
+  }
+
   /** Within-doc repeated-3-gram fraction (Gopher repetition filter). */
   val repetition: String =
     s"""WITH $T, s AS (SELECT doc_id, $ShinglesExprDuck AS sh FROM t)

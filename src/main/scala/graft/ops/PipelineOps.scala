@@ -224,6 +224,45 @@ object PipelineOps {
       .select(col("ia"), col("ib"), round(col("j"), 4).as("jaccard"))
   }
 
+  /** Fuzzy INCREMENTAL dedup — the continuous-crawl near-dup step, the
+    * fourth cell of the dedup matrix (exact/fuzzy × batch/incremental;
+    * [[dedupExact]] / [[bloomNewDocs]] / [[dedupMinHash]] are the others):
+    * keep a NEW doc iff no existing-corpus doc among its LSH band
+    * candidates verifies to Jaccard >= `threshold` on exact shingle sets.
+    * Same banding + exact-verify contract as [[dedupMinHash]], so the
+    * candidate set is reproducible (and the oracle replays it).
+    *
+    * 100 TB shape: both sides' signatures are per-row codegen kernels (no
+    * shuffle to compute); the candidate join is keyed on (band, sig) —
+    * shuffle carries 8 sig rows per doc, never shingle sets — and only the
+    * candidate pairs materialize shingle sets for the verify join, so
+    * verify cost scales with the near-dup rate. In a standing pipeline the
+    * corpus's banded signature table is computed once and reused per
+    * increment.
+    */
+  def minHashNewDocs(newDocs: DataFrame, corpus: DataFrame, threshold: Double): DataFrame = {
+    def shOf(df: DataFrame) = df.select(col("doc_id"),
+      graft.functions.ShingleOps.distinct_shingles(col("text")).as("sh"))
+    val bandCols = (0 until Bands).map { b =>
+      val parts = (0 until RowsPerBand).map(r => col("mhs").getItem(b * RowsPerBand + r))
+      struct(lit(b).as("band"), concat_ws("_", parts: _*).as("sig"))
+    }
+    def banded(df: DataFrame) = df
+      .select(col("doc_id"), graft.functions.ShingleOps.minhash_sigs(col("text")).as("mhs"))
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.sig").as("sig"))
+    val cand = banded(newDocs).toDF("nid", "band", "sig")
+      .join(banded(corpus).toDF("cid", "band", "sig"), Seq("band", "sig"))
+      .select("nid", "cid").distinct()
+    val dup = cand
+      .join(shOf(newDocs).toDF("nid", "shn"), "nid")
+      .join(shOf(corpus).toDF("cid", "shc"), "cid")
+      .where(size(array_intersect(col("shn"), col("shc"))).cast("double") /
+        size(array_union(col("shn"), col("shc"))) >= threshold)
+      .select(col("nid").as("doc_id")).distinct()
+    newDocs.select("doc_id").join(dup, Seq("doc_id"), "left_anti")
+  }
+
   /** SimHash (32-bit): per-bit majority vote of token-hash bits, weighted by
     * term frequency; Hamming-close simhashes = near-dups. One explode +
     * groupBy — linear, shuffle keyed by doc.

@@ -277,6 +277,27 @@ class CurationSpec extends AnyFunSuite {
     assert(r == ((4L, "a f")))
   }
 
+  test("minHashNewDocs: exact dups always drop, disjoint docs always survive") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "completely different corpus text with many distinct words in here")
+    ).toDF("doc_id", "text")
+    val newB = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog again and again today"), // == doc 1
+      (11L, "zeta eta theta iota kappa lambda mu nu xi omicron pi rho"), // disjoint
+      (12L, "completely different corpus text with many distinct words in here")  // == doc 2
+    ).toDF("doc_id", "text")
+    val kept = PipelineOps.minHashNewDocs(newB, corpus, 0.5)
+      .as[Long].collect().toSet
+    // identical text -> identical signatures -> certain band collision ->
+    // Jaccard 1 -> dropped; zero shared shingles can never verify -> kept
+    assert(kept == Set(11L))
+    // threshold 1.0+epsilon keeps everything verify-able only at J == 1
+    val keptStrict = PipelineOps.minHashNewDocs(newB, corpus, 1.0)
+      .as[Long].collect().toSet
+    assert(keptStrict == Set(11L))
+  }
+
   test("classifierScore: integer-exact linear model; missing tokens weigh 0") {
     val docs = Seq(
       (1L, "good clean prose here"),
