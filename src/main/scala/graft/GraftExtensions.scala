@@ -63,6 +63,23 @@ object GraftFunctions {
           }
         agg.DDSketchPercentiles(Cast(es.head, DoubleType), percents)
       }),
+    (FunctionIdentifier("bpe_tokens"),
+      info(classOf[functions.BpeTokens], "bpe_tokens"),
+      (es: Seq[Expression]) => {
+        require(es.length == 2 && es(1).foldable,
+          "bpe_tokens: usage bpe_tokens(text, array('l o', 'lo w')) with a " +
+            "literal rank-ordered merge list ('left right' per entry)")
+        val cast = Cast(es(1), ArrayType(org.apache.spark.sql.types.StringType))
+        val merges = cast.eval(null).asInstanceOf[ArrayData]
+          .toArray[org.apache.spark.unsafe.types.UTF8String](
+            org.apache.spark.sql.types.StringType)
+          .map { u =>
+            val parts = u.toString.split(" ", 2)
+            require(parts.length == 2, s"bpe_tokens: bad merge entry '$u'")
+            (parts(0), parts(1))
+          }.toSeq
+        functions.BpeTokens(es.head, merges)
+      }),
     (FunctionIdentifier("normalize_text"),
       info(classOf[functions.NormalizeText], "normalize_text"),
       (es: Seq[Expression]) => functions.NormalizeText(es.head)),

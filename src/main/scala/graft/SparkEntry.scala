@@ -373,6 +373,19 @@ object SparkEntry {
       PipelineOps.decontaminateSpans(
         dd.where(col("doc_id") % 97 =!= 0), dd.where(col("doc_id") % 97 === 0), 3)
     }),
+    // BPE apply with the single merge ('t','h'): with one non-cascading
+    // pair the greedy piece count is arithmetically len - occurrences,
+    // which DuckDB recomputes via replace() — checks the greedy scan on
+    // real corpus words while BpeSpec pins cascades/rank priority
+    "q_bpe_tokens" -> ((s, d) => {
+      val dd = docs(s, d)
+      val pieces = PipelineOps.bpeEncode(dd, Seq(("t", "h")))
+        .select(col("doc_id"), col("n_bpe_tokens").as("n_pieces"))
+      PipelineOps.withTokens(dd)
+        .select(col("doc_id"), explode(col("toks")).as("tok"))
+        .groupBy("doc_id").agg(sum(length(col("tok"))).cast("long").as("n_chars"))
+        .join(pieces, "doc_id")
+    }),
     // quality-classifier inference: weight table derived deterministically
     // from the corpus vocabulary (w = tokhash % 2001 - 1000) so the oracle
     // can rebuild the exact same model; integer-exact linear score + bias
@@ -826,6 +839,7 @@ object SparkEntry {
     "q_html_extract" -> OracleSql.htmlExtract,
     "q_lm_surprise" -> OracleSql.lmSurprise,
     "q_decontam_spans" -> OracleSql.decontaminateSpans,
+    "q_bpe_tokens" -> OracleSql.bpeTokens,
     "q_quality_classifier" -> OracleSql.qualityClassifier,
     "q_substr_dedup" -> OracleSql.substrDedup,
     "q_norm_text" -> OracleSql.normText,

@@ -507,6 +507,19 @@ SELECT c.doc_id, len(c.toks)::BIGINT AS n_toks,
 FROM corp c LEFT JOIN kept k ON c.doc_id = k.doc_id
 GROUP BY c.doc_id, len(c.toks)"""
 
+  /** q_bpe_tokens: BPE apply with the single merge ('t','h'). t != h so
+    * occurrences can't overlap and the merged piece 'th' can't cascade —
+    * the greedy piece count per token is exactly
+    * len - (len - len(replace(tok,'th','')))/2, independent of merge
+    * order, which this oracle computes with no BPE code at all.
+    */
+  val bpeTokens: String =
+    s"""WITH $T,
+p AS (SELECT doc_id, unnest(toks) AS tok FROM t)
+SELECT doc_id, sum(length(tok))::BIGINT AS n_chars,
+  sum(length(tok) - (length(tok) - length(replace(tok, 'th', ''))) // 2)::BIGINT AS n_pieces
+FROM p GROUP BY doc_id"""
+
   /** q_quality_classifier: linear classifier inference with the weight
     * table rebuilt from the same deterministic recipe (w = tokhash % 2001
     * - 1000 over the distinct corpus vocabulary, bias 17) — integer

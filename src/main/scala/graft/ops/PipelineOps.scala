@@ -1229,6 +1229,17 @@ object PipelineOps {
       .withColumn("weight_bits", col("sum_bits_raw") - col("sum_bits_target"))
   }
 
+  /** Subword (BPE) tokenization over the corpus — see
+    * [[graft.functions.BpeKernel]]: per-doc subword pieces and the real
+    * token budget (`n_bpe_tokens`) that sequence packing and mixture
+    * budgeting should count instead of whitespace tokens. Pure map stage
+    * (the merge table ships with the plan), no shuffle.
+    */
+  def bpeEncode(docs: DataFrame, merges: Seq[(String, String)]): DataFrame =
+    docs.withColumn("bpe_toks",
+        graft.functions.BpeOps.bpe_tokens(col("text"), merges))
+      .withColumn("n_bpe_tokens", size(col("bpe_toks")).cast("long"))
+
   /** Linear text-classifier inference — the quality-classifier scoring
     * step of the GPT-3 / LLaMA data pipelines (logistic regression /
     * fastText-style linear model over bag-of-words features; Brown et al.

@@ -1,0 +1,96 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.functions.{BpeKernel, BpeOps}
+import graft.ops.PipelineOps
+
+/** BPE apply: greedy lowest-rank adjacent-pair merging (Sennrich et al.
+  * 2016 inference rule), checked against an independent list-rewriting
+  * implementation and hand-computed goldens for cascades, rank priority,
+  * and leftmost tie-breaks.
+  */
+class BpeSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Independent formulation: immutable-list rewriting — find the best pair
+    * by mapping ALL adjacent pairs to ranks first, then rebuild the list.
+    */
+  private def naive(word: String, merges: Seq[(String, String)]): List[String] = {
+    val rank = merges.zipWithIndex.groupBy { case ((a, b), _) => (a, b) }
+      .map { case (k, v) => k -> v.map(_._2).min }
+    var ps = word.toList.map(_.toString)
+    var continue = true
+    while (continue && ps.size > 1) {
+      val ranked = ps.zip(ps.tail).zipWithIndex
+        .flatMap { case ((a, b), i) => rank.get((a, b)).map(r => (r, i)) }
+      if (ranked.isEmpty) continue = false
+      else {
+        val (_, i) = ranked.minBy { case (r, i) => (r, i) }
+        ps = ps.take(i) ++ List(ps(i) + ps(i + 1)) ++ ps.drop(i + 2)
+      }
+    }
+    ps
+  }
+
+  test("goldens: cascade, rank priority, leftmost tie-break, no-merge") {
+    // cascade: lo then low
+    assert(BpeKernel.encodeWord("lower",
+      BpeKernel.build(Seq(("l", "o"), ("lo", "w")))).toSeq == Seq("low", "e", "r"))
+    // rank priority: (a,b) at rank 0 wins over (b,c) even though (b,c)
+    // is also present — a rank-ignorant scan would produce (a)(bc)
+    assert(BpeKernel.encodeWord("abc",
+      BpeKernel.build(Seq(("a", "b"), ("b", "c")))).toSeq == Seq("ab", "c"))
+    assert(BpeKernel.encodeWord("abc",
+      BpeKernel.build(Seq(("b", "c"), ("a", "b")))).toSeq == Seq("a", "bc"))
+    // leftmost on ties
+    assert(BpeKernel.encodeWord("abab",
+      BpeKernel.build(Seq(("a", "b")))).toSeq == Seq("ab", "ab"))
+    // nothing applicable
+    assert(BpeKernel.encodeWord("xyz",
+      BpeKernel.build(Seq(("a", "b")))).toSeq == Seq("x", "y", "z"))
+    assert(BpeKernel.encodeWord("", BpeKernel.build(Seq(("a", "b")))).isEmpty)
+  }
+
+  test("fuzz: kernel == independent list-rewriting implementation") {
+    val rnd = new scala.util.Random(7)
+    val alpha = "abcd"
+    for (_ <- 0 until 1500) {
+      val word = Seq.fill(1 + rnd.nextInt(12))(alpha(rnd.nextInt(alpha.length))).mkString
+      val nMerges = rnd.nextInt(6)
+      val merges = Seq.fill(nMerges) {
+        // pieces that can actually arise: short substrings of the alphabet
+        def piece() = Seq.fill(1 + rnd.nextInt(2))(alpha(rnd.nextInt(alpha.length))).mkString
+        (piece(), piece())
+      }
+      val got = BpeKernel.encodeWord(word, BpeKernel.build(merges)).toSeq
+      val want = naive(word, merges)
+      assert(got == want, s"word=$word merges=$merges")
+      assert(got.mkString == word, "pieces must concatenate back to the word")
+    }
+  }
+
+  test("DataFrame op + SQL function agree with the kernel; codegen path") {
+    val rows = Seq((1L, "the thin sloth, THE MOTH!"), (2L, "no match here"))
+    val df = rows.toDF("doc_id", "text")
+    val merges = Seq(("t", "h"), ("th", "e"))
+    val direct = rows.map { case (id, t) =>
+      id -> graft.functions.ShingleKernel.tokens(
+        org.apache.spark.unsafe.types.UTF8String.fromString(t))
+        .flatMap(w => BpeKernel.encodeWord(w, BpeKernel.build(merges))).toSeq
+    }.toMap
+    val viaOp = PipelineOps.bpeEncode(df, merges)
+      .select("doc_id", "bpe_toks").as[(Long, Seq[String])].collect().toMap
+    assert(viaOp == direct)
+    GraftFunctions.registerAll(spark)
+    val viaSql = df.selectExpr("doc_id", "bpe_tokens(text, array('t h', 'th e')) AS p")
+      .as[(Long, Seq[String])].collect().toMap
+    assert(viaSql == direct)
+    // piece counts feed the token budget
+    val n = PipelineOps.bpeEncode(df, merges)
+      .select("doc_id", "n_bpe_tokens").as[(Long, Long)].collect().toMap
+    assert(n == direct.map { case (k, v) => k -> v.size.toLong })
+  }
+}
