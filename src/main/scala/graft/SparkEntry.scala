@@ -373,6 +373,10 @@ object SparkEntry {
       PipelineOps.decontaminateSpans(
         dd.where(col("doc_id") % 97 =!= 0), dd.where(col("doc_id") % 97 === 0), 3)
     }),
+    // token-budgeted shard assignment (soft budget, doc_id order): the
+    // oracle recomputes shard_id from a plain running-sum window
+    "q_token_shards" -> ((s, d) =>
+      PipelineOps.tokenShards(docs(s, d), tokensPerShard = 2000)),
     // BPE apply with the single merge ('t','h'): with one non-cascading
     // pair the greedy piece count is arithmetically len - occurrences,
     // which DuckDB recomputes via replace() — checks the greedy scan on
@@ -839,6 +843,7 @@ object SparkEntry {
     "q_html_extract" -> OracleSql.htmlExtract,
     "q_lm_surprise" -> OracleSql.lmSurprise,
     "q_decontam_spans" -> OracleSql.decontaminateSpans,
+    "q_token_shards" -> OracleSql.tokenShards,
     "q_bpe_tokens" -> OracleSql.bpeTokens,
     "q_quality_classifier" -> OracleSql.qualityClassifier,
     "q_substr_dedup" -> OracleSql.substrDedup,

@@ -507,6 +507,18 @@ SELECT c.doc_id, len(c.toks)::BIGINT AS n_toks,
 FROM corp c LEFT JOIN kept k ON c.doc_id = k.doc_id
 GROUP BY c.doc_id, len(c.toks)"""
 
+  /** q_token_shards: token-budgeted shard layout at 2000 tokens/shard.
+    * Independent formulation: one plain running-sum window over doc_id
+    * (the Spark side computes the same prefix with the two-level
+    * bucket-partitioned sum — no global sort).
+    */
+  val tokenShards: String =
+    s"""WITH $T,
+c AS (SELECT doc_id, len(toks)::BIGINT AS n_tokens FROM t WHERE len(toks) > 0),
+r AS (SELECT doc_id, n_tokens,
+        sum(n_tokens) OVER (ORDER BY doc_id) - n_tokens AS p FROM c)
+SELECT doc_id, n_tokens, (p // 2000)::BIGINT AS shard_id FROM r"""
+
   /** q_bpe_tokens: BPE apply with the single merge ('t','h'). t != h so
     * occurrences can't overlap and the merged piece 'th' can't cascade —
     * the greedy piece count per token is exactly

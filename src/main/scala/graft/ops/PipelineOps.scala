@@ -770,7 +770,22 @@ object PipelineOps {
     * construction) broadcast back onto the bucket rows.
     */
   def packSequences(docs: DataFrame, maxTokens: Long,
-      bucketWidth: Long = 1L << 20): DataFrame = {
+      bucketWidth: Long = 1L << 20): DataFrame =
+    tokenPrefix(docs, bucketWidth)
+      .select(col("doc_id"), col("n_tokens"),
+        expr(s"p div $maxTokens").as("first_seq"),
+        expr(s"(p + n_tokens - 1) div $maxTokens").as("last_seq"),
+        pmod(col("p"), lit(maxTokens)).as("seq_offset"))
+
+  /** Two-level prefix sum over the doc_id-ordered token stream (the scale
+    * machinery shared by [[packSequences]] and [[tokenShards]]): per
+    * non-empty doc (doc_id, n_tokens, p) where p = tokens strictly before
+    * the doc. A bucket-partitioned window does the parallel inner sums; the
+    * per-bucket totals (maxDocId / bucketWidth rows, bounded by
+    * construction) take one tiny single-partition window and broadcast
+    * back. No global sort, no single reducer over the corpus.
+    */
+  private def tokenPrefix(docs: DataFrame, bucketWidth: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val c = tokenCounts(docs).select(col("doc_id"), col("n_tokens"))
       .where(col("n_tokens") > 0)
@@ -783,10 +798,53 @@ object PipelineOps {
       .select("b", "bp")
     c.join(broadcast(bucketPrefix), "b")
       .withColumn("p", col("bp") + inBucket)
+      .select("doc_id", "n_tokens", "p")
+  }
+
+  /** Token-budgeted shard assignment — the training-shard layout step:
+    * docs in doc_id order fill shards of `tokensPerShard` tokens, each doc
+    * kept whole (the doc straddling a boundary stays in the earlier shard,
+    * so a shard can overflow by at most one document — the standard soft
+    * budget). shard_id = (tokens strictly before the doc) div budget:
+    * pure arithmetic on the [[tokenPrefix]] two-level prefix sum, so the
+    * assignment is deterministic under any partitioning and never sorts
+    * the corpus globally. Returns (doc_id, n_tokens, shard_id).
+    */
+  def tokenShards(docs: DataFrame, tokensPerShard: Long,
+      bucketWidth: Long = 1L << 20): DataFrame =
+    tokenPrefix(docs, bucketWidth)
       .select(col("doc_id"), col("n_tokens"),
-        expr(s"p div $maxTokens").as("first_seq"),
-        expr(s"(p + n_tokens - 1) div $maxTokens").as("last_seq"),
-        pmod(col("p"), lit(maxTokens)).as("seq_offset"))
+        expr(s"p div $tokensPerShard").as("shard_id"))
+
+  /** Shard-export SINK: writes the corpus as Parquet partitioned by the
+    * [[tokenShards]] assignment (`dir/shard_id=K/...`, one file per shard
+    * via a pre-write repartition on the key) plus a `_manifest.json`
+    * (tmp+rename; the underscore prefix keeps Parquet readers from scanning it) recording per-shard doc/token counts — what a training
+    * data-loader consumes. Shard count = totalTokens/budget: size the
+    * budget so the manifest stays driver-small (a 100 TB corpus at 100M
+    * tokens/shard is ~1M manifest rows).
+    */
+  def writeTokenShards(docs: DataFrame, dir: String, tokensPerShard: Long,
+      bucketWidth: Long = 1L << 20): Unit = {
+    val shards = tokenShards(docs, tokensPerShard, bucketWidth)
+    docs.join(shards.select("doc_id", "shard_id"), "doc_id")
+      .repartition(col("shard_id"))
+      .write.partitionBy("shard_id").mode("overwrite").parquet(dir)
+    val stats = shards.groupBy("shard_id")
+      .agg(count(lit(1)).as("docs"), sum("n_tokens").as("tokens"))
+      .orderBy("shard_id").collect()
+    val body = stats.map(r =>
+      s"""{"shard_id": ${r.getLong(0)}, "docs": ${r.getLong(1)}, "tokens": ${r.getLong(2)}}""")
+      .mkString("[\n", ",\n", "\n]")
+    val conf = docs.sparkSession.sparkContext.hadoopConfiguration
+    val path = new org.apache.hadoop.fs.Path(dir, "_manifest.json")
+    val tmp = new org.apache.hadoop.fs.Path(dir, "._manifest.json.tmp")
+    val fs = path.getFileSystem(conf)
+    val out = fs.create(tmp, true)
+    out.write(body.getBytes("UTF-8"))
+    out.close()
+    fs.delete(path, false)
+    fs.rename(tmp, path)
   }
 
   /** URL canonicalization — the dedup key every web pipeline derives before

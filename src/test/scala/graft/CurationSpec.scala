@@ -277,6 +277,46 @@ class CurationSpec extends AnyFunSuite {
     assert(r == ((4L, "a f")))
   }
 
+  test("tokenShards: soft budget, doc_id order, partitioning-invariant; sink roundtrip") {
+    val docs = (0L until 200L)
+      .map(i => (i, Seq.fill(1 + (i % 13).toInt)("w" + i).mkString(" ")))
+      .toDF("doc_id", "text")
+    val budget = 50L
+    val got = PipelineOps.tokenShards(docs, budget)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    // independent sequential fold over doc_id order
+    var run = 0L
+    val want = (0L until 200L).map { i =>
+      val n = 1L + i % 13
+      val sid = run / budget
+      run += n
+      (i, n, sid)
+    }
+    assert(got == want)
+    // bucket width and input partitioning are implementation knobs
+    assert(PipelineOps.tokenShards(docs.repartition(17), budget, bucketWidth = 16L)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq == want)
+    // soft budget: every shard holds < budget + its largest doc
+    val byShard = want.groupBy(_._3).values
+    assert(byShard.forall(s => s.map(_._2).sum < budget + s.map(_._2).max))
+    // consecutive doc ranges per shard (docs never interleave across shards)
+    assert(byShard.forall { s =>
+      val ids = s.map(_._1).sorted; ids == (ids.head to ids.last)
+    })
+    // sink: partitioned parquet + manifest agree with the assignment
+    val dir = java.nio.file.Files.createTempDirectory("graft-shards").toString
+    PipelineOps.writeTokenShards(docs, dir, budget)
+    val back = spark.read.parquet(dir).select("doc_id", "shard_id")
+      .as[(Long, Long)].collect().toMap
+    assert(back == want.map(t => t._1 -> t._3).toMap)
+    val manifest = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "_manifest.json")), "UTF-8")
+    val wantShards = want.groupBy(_._3).map { case (k, v) => (k, v.size, v.map(_._2).sum) }
+    wantShards.foreach { case (sid, nd, nt) =>
+      assert(manifest.contains(s"""{"shard_id": $sid, "docs": $nd, "tokens": $nt}"""))
+    }
+  }
+
   test("minHashNewDocs: exact dups always drop, disjoint docs always survive") {
     val corpus = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again today"),
