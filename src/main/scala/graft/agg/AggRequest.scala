@@ -1009,9 +1009,14 @@ object AggRequest {
         else deeper.join(hereR, groupCols.map(_._1), "right_outer")
       case (None, Some((thName, th))) =>
         val hits = topHitsRows(df, groupCols, thName, th)
-        // bucket doc_count (+ sibling metrics) ride along on every hit row
-        if (groupCols.isEmpty) hits.crossJoin(broadcast(here))
-        else hits.join(here, groupCols.map(_._1), "left")
+        // the BUCKET frame is preserved and hit rows ride along: a bucket
+        // whose hits are all cut by `from` (e.g. 1 doc, from=1) must keep
+        // its doc_count/metrics row with a null rank (renderNode emits an
+        // empty hits array for it) — joining the other way dropped the
+        // bucket and grid padding then mis-reported doc_count 0
+        // (deep-fuzz seed 53)
+        if (groupCols.isEmpty) here.join(broadcast(hits), lit(true), "left")
+        else here.join(hits, groupCols.map(_._1), "left")
       case (Some(_), Some(_)) => throw new IllegalStateException("unreachable")
     }
   }

@@ -657,6 +657,28 @@ class AggFuzzSpec extends AnyFunSuite {
       rows, df, "directed-zero-bucket-tophits")
   }
 
+  test("top_hits `from` >= a bucket's doc_count keeps the bucket (seed-53 regression)") {
+    import spark.implicits._
+    // one bucket with a single doc: from=1 cuts every hit, but the bucket
+    // row (doc_count 1, sibling metrics) must survive — the old hits-side
+    // left join dropped it and grid padding mis-reported doc_count 0
+    val tiny = Vector.tabulate(7) { i =>
+      D(i.toLong, "g0", "c" + (i % 2),
+        java.lang.Double.valueOf(if (i == 0) -4.99 else 2.0 + i / 10.0),
+        i.toLong, new java.sql.Timestamp(BaseMs + i * 1000L))
+    }
+    val tdf = spark.createDataset(tiny).toDF()
+    check(Map("h" -> Histogram("v", 5.0, 0.1, Map(
+      "m" -> Metric("max", "v", Nil),
+      "th" -> TopHits(2, Seq(("id", false)), Seq("id", "grp"), from = 1)),
+      extendedBounds = Some((-7.0, 5.0)))),
+      tiny, tdf, "directed-tophits-from-singleton")
+    // root-level: from beyond the corpus size keeps the root aggs
+    check(Map("th" -> TopHits(3, Seq(("id", true)), Seq("id"), from = 7),
+      "m" -> Metric("sum", "n", Nil)),
+      tiny, tdf, "directed-tophits-from-root-overrun")
+  }
+
   // ---- the fuzz ----------------------------------------------------------
   test("random nested agg trees match the independent evaluator") {
     val trials = Integer.getInteger("graft.aggfuzz.trials", 48).intValue
