@@ -24,6 +24,27 @@ object SparkEntry {
   private def events(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/events.parquet")
 
+  /** Deterministic "dirty web page" shell for the Gopher/C4 rule queries:
+    * the corpus' flat word stream re-lined 7 words per line, with
+    * residue-keyed decorations — bullet `- ` (i%7) / header `# ` (i%23)
+    * prefixes, ellipsis `...` (i%11) vs terminal `.` (i%3≠0) vs bare line
+    * endings — plus planted javascript (doc%19), `var x = {` (doc%13) and
+    * lorem-ipsum (doc%17) tail lines. Pure integer arithmetic on
+    * (doc_id, line index), so `OracleSql.DirtyShellDuck` rebuilds the
+    * byte-identical string in DuckDB.
+    */
+  private[graft] val dirtyShellSpark: String =
+    "concat(" +
+      "array_join(transform(sequence(0, cast((size(split(text, ' ')) + 6) div 7 as int) - 1), " +
+      "i -> concat(" +
+      "case when (doc_id + i) % 7 = 0 then '- ' when (doc_id + i) % 23 = 0 then '# ' else '' end, " +
+      "array_join(slice(split(text, ' '), cast(i * 7 + 1 as int), 7), ' '), " +
+      "case when (doc_id + i) % 11 = 0 then '...' when (doc_id + i) % 3 = 0 then '' else '.' end" +
+      ")), '\\n'), " +
+      "case when doc_id % 19 = 0 then concat('\\n', 'please enable javascript to view this page.') else '' end, " +
+      "case when doc_id % 13 = 0 then concat('\\n', 'var x = {') else '' end, " +
+      "case when doc_id % 17 = 0 then concat('\\n', 'lorem ipsum dolor sit amet.') else '' end)"
+
   // one index per sf dir, built once per JVM (the Searcher is a snapshot)
   private val indexCache = scala.collection.concurrent.TrieMap.empty[String, String]
 
@@ -308,6 +329,17 @@ object SparkEntry {
 
     // --- curation (quality filters / decontamination / mixture sampling)
     "q_repetition" -> ((s, d) => PipelineOps.repetitionScore(docs(s, d))),
+    // Gopher rule battery / C4 line rules over a deterministic "dirty
+    // shell": the flat word stream is re-lined 7 words per line with
+    // residue-keyed bullets / ellipses / terminal punctuation plus planted
+    // javascript / lorem-ipsum / '{' lines; the oracle rebuilds the same
+    // shell arithmetically in DuckDB (OracleSql.DirtyShellDuck)
+    "q_gopher_quality" -> ((s, d) => PipelineOps.gopherQuality(
+      docs(s, d).withColumn("dirty", expr(dirtyShellSpark)), "dirty")),
+    "q_c4_filter" -> ((s, d) => PipelineOps.c4LineFilter(
+        docs(s, d).withColumn("dirty", expr(dirtyShellSpark)), "dirty")
+      .select(col("doc_id"), col("n_lines"), col("n_kept_lines"), col("keep"),
+        md5(col("clean_text")).as("clean_fp"))),
     "q_contamination" -> ((s, d) => {
       val dd = docs(s, d)
       PipelineOps.contamination(dd, dd.where(col("doc_id") % 97 === 0), 3)
@@ -456,6 +488,10 @@ object SparkEntry {
     "q_ann_lsh" -> ((s, d) => PipelineOps.annTopK(embeddings(s, d), 0L, 10, 8)),
     "q_ann_ivf" -> ((s, d) => PipelineOps.ivfTopK(embeddings(s, d), 0L, 10,
       nCentroids = 16, nprobe = 4)),
+    // PQ ADC scan + exact re-rank (Jégou et al. 2011): codes are m=8 bytes
+    // per vector — 64x less scan payload than the embedding column
+    "q_ann_pq" -> ((s, d) => PipelineOps.pqTopK(embeddings(s, d), 0L, 10,
+      m = 8, rerank = 50)),
 
     // --- aggregations (collector / ES-agg equivalents)
     "q_terms_agg" -> ((s, d) => PipelineOps.withTokens(docs(s, d))
@@ -834,6 +870,8 @@ object SparkEntry {
     "q_dedup_minhash" -> OracleSql.minhashPairs(0.5),
     "q_dedup_resolve" -> OracleSql.dedupResolve(0.5),
     "q_repetition" -> OracleSql.repetition,
+    "q_gopher_quality" -> OracleSql.gopherQuality,
+    "q_c4_filter" -> OracleSql.c4Filter,
     "q_contamination" -> OracleSql.contamination(3),
     "q_strat_sample" -> OracleSql.stratifiedSample,
     "q_domain_cap" -> OracleSql.domainCap,
@@ -856,8 +894,8 @@ object SparkEntry {
     "q_cosine_topk_batch" -> OracleSql.cosineTopKBatch(Seq(0L, 1L, 2L), 5),
     "q_sem_dedup" -> OracleSql.semDedup(0.35),
     "q_embed_neardup" -> OracleSql.embeddingNearDup(0.35),
-    // q_ann_lsh: approximate (random hyperplanes) -> rows-only check;
-    // recall@10 >= 0.8 vs exact top-k is gated by SimilaritySpec
+    // q_ann_lsh / q_ann_pq: approximate (random hyperplanes / PQ codes) ->
+    // rows-only check; recall@10 >= 0.8 vs exact top-k gated by SimilaritySpec
     "q_snippets" -> OracleSql.snippetsOracle,
     "q_mlt" -> OracleSql.mltOracle,
     "q_percentiles_sketch" -> OracleSql.sketchOracle,

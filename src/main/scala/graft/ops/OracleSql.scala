@@ -358,6 +358,76 @@ dup AS (SELECT DISTINCT cand.nid FROM cand
 SELECT doc_id FROM newb WHERE doc_id NOT IN (SELECT nid FROM dup)"""
   }
 
+  /** DuckDB mirror of SparkEntry.dirtyShellSpark — same integer arithmetic
+    * on (doc_id, line index), byte-identical output.
+    */
+  val DirtyShellDuck: String =
+    "concat(" +
+      "array_to_string(list_transform(range(0, (len(string_split(text, ' ')) + 6) // 7), " +
+      "i -> concat(" +
+      "CASE WHEN (doc_id + i) % 7 = 0 THEN '- ' WHEN (doc_id + i) % 23 = 0 THEN '# ' ELSE '' END, " +
+      "array_to_string(list_slice(string_split(text, ' '), i * 7 + 1, i * 7 + 7), ' '), " +
+      "CASE WHEN (doc_id + i) % 11 = 0 THEN '...' WHEN (doc_id + i) % 3 = 0 THEN '' ELSE '.' END" +
+      ")), chr(10)), " +
+      "CASE WHEN doc_id % 19 = 0 THEN chr(10) || 'please enable javascript to view this page.' ELSE '' END, " +
+      "CASE WHEN doc_id % 13 = 0 THEN chr(10) || 'var x = {' ELSE '' END, " +
+      "CASE WHEN doc_id % 17 = 0 THEN chr(10) || 'lorem ipsum dolor sit amet.' ELSE '' END)"
+
+  /** q_gopher_quality: the full Gopher §A.1.1 rule battery over the dirty
+    * shell — integer milli-unit ratios, stop-word presence restated as a
+    * filter over the stop list (vs Spark's array_intersect), keep restated
+    * from the recomputed milli columns.
+    */
+  val gopherQuality: String =
+    s"""WITH dd AS (SELECT doc_id, $DirtyShellDuck AS dirty FROM documents),
+g AS (SELECT doc_id, dirty,
+  list_filter(string_split_regex(dirty, '\\s+'), x -> x <> '') AS ws,
+  string_split(dirty, chr(10)) AS ls FROM dd),
+s AS (SELECT doc_id,
+  len(ws)::BIGINT AS n_words,
+  list_sum(list_transform(ws, x -> length(x)))::BIGINT AS sum_word_len,
+  len(list_filter(ws, w -> regexp_matches(w, '[a-zA-Z]')))::BIGINT AS n_alpha_words,
+  (length(dirty) - length(replace(dirty, '#', ''))
+     + (length(dirty) - length(replace(dirty, '...', ''))) // 3)::BIGINT AS n_symbols,
+  len(list_filter(['the','be','to','of','and','that','have','with'],
+    sw -> list_contains(list_transform(ws, w -> lower(w)), sw)))::BIGINT AS n_stop_hits,
+  greatest(len(ls), 1)::BIGINT AS n_lines,
+  len(list_filter(ls, l -> ltrim(l) LIKE '- %' OR ltrim(l) LIKE '* %'
+    OR ltrim(l) LIKE '• %' OR ltrim(l) LIKE '# %'))::BIGINT AS n_bullet_lines,
+  len(list_filter(ls, l -> rtrim(l) LIKE '%...' OR rtrim(l) LIKE '%…'))::BIGINT AS n_ellipsis_lines
+ FROM g WHERE len(ws) > 0),
+m AS (SELECT doc_id, n_words,
+  sum_word_len * 1000 // n_words AS mean_word_len_milli,
+  n_alpha_words * 1000 // n_words AS alpha_milli,
+  n_symbols * 1000 // n_words AS symbol_milli,
+  n_bullet_lines * 1000 // n_lines AS bullet_milli,
+  n_ellipsis_lines * 1000 // n_lines AS ellipsis_milli,
+  n_stop_hits FROM s)
+SELECT doc_id, n_words, mean_word_len_milli, alpha_milli, symbol_milli,
+  bullet_milli, ellipsis_milli, n_stop_hits,
+  (n_words BETWEEN 50 AND 100000) AND (mean_word_len_milli BETWEEN 3000 AND 10000)
+    AND symbol_milli <= 100 AND bullet_milli <= 900 AND ellipsis_milli <= 300
+    AND alpha_milli >= 800 AND n_stop_hits >= 2 AS keep
+FROM m"""
+
+  /** q_c4_filter: the C4 §2.2 line rules over the dirty shell; clean text
+    * pinned by md5 so the reconstruction must be byte-identical.
+    */
+  val c4Filter: String =
+    s"""WITH dd AS (SELECT doc_id, $DirtyShellDuck AS dirty FROM documents),
+g AS (SELECT doc_id, dirty, string_split(dirty, chr(10)) AS ls FROM dd),
+k AS (SELECT doc_id, len(ls)::BIGINT AS n_lines,
+  list_filter(ls, l -> (rtrim(l) LIKE '%.' OR rtrim(l) LIKE '%!'
+      OR rtrim(l) LIKE '%?' OR rtrim(l) LIKE '%\"')
+    AND len(list_filter(string_split(l, ' '), w -> w <> '')) >= 3
+    AND NOT lower(l) LIKE '%javascript%') AS kept,
+  (contains(lower(dirty), 'lorem ipsum') OR contains(dirty, '{')) AS banned
+ FROM g)
+SELECT doc_id, n_lines, len(kept)::BIGINT AS n_kept_lines,
+  (len(kept) >= 5 AND NOT banned) AS keep,
+  md5(array_to_string(kept, chr(10))) AS clean_fp
+FROM k"""
+
   /** Within-doc repeated-3-gram fraction (Gopher repetition filter). */
   val repetition: String =
     s"""WITH $T, s AS (SELECT doc_id, $ShinglesExprDuck AS sh FROM t)

@@ -590,7 +590,276 @@ object PipelineOps {
     cosineTopK(cands, queryVecId, k)
   }
 
+  // ------------------------------------------------ product quantization
+
+  /** Product-quantization codebooks (Jégou, Douze & Schmid, "Product
+    * Quantization for Nearest Neighbor Search", TPAMI 2011): the dimension
+    * space is cut into `m` contiguous subspaces and each gets its own
+    * 2^nbits-centroid k-means codebook, trained DRIVER-SIDE on the same
+    * bounded deterministic sample as [[ivfAssignments]] (FAISS practice —
+    * the sample bound does not grow with the corpus, so training cost is
+    * constant at 100 TB). Vectors are L2-normalized first so squared-L2
+    * ADC distance is monotone with cosine. Returns m × k × (dim/m).
+    */
+  def pqTrain(embeddings: DataFrame, m: Int, nbits: Int = 8,
+      seed: Long = 20260820L, maxTrainSample: Int = 16384): Array[Array[Array[Double]]] = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val v = col("embedding").cast("array<double>")
+    val norm = sqrt(aggregate(v, lit(0.0), (acc, x) => acc + x * x))
+    val sample: Array[Array[Double]] = embeddings
+      .select(col("vec_id").cast("long").as("vec_id"), transform(v, x => x / norm).as("nv"))
+      .orderBy(xxhash64(col("vec_id"))).limit(maxTrainSample)
+      .select("nv").as[Seq[Double]].collect().map(_.toArray)
+    require(sample.nonEmpty, "empty PQ training sample")
+    val dim = sample(0).length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val sub = dim / m
+    val k = 1 << nbits
+    Array.tabulate(m) { j =>
+      val slice = sample.map(x => java.util.Arrays.copyOfRange(x, j * sub, (j + 1) * sub))
+      plainLloyd(slice, k, seed + j, iters = 10)
+    }
+  }
+
+  /** Plain (Euclidean) Lloyd's over the bounded sample — the subspace
+    * quantizer for PQ; unlike [[sphericalLloyd]] centroids are NOT
+    * renormalized (subvectors of unit vectors are not unit vectors).
+    */
+  private def plainLloyd(sample: Array[Array[Double]], k: Int, seed: Long,
+      iters: Int): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    val n = sample.length
+    val dim = sample(0).length
+    val kk = math.min(k, n)
+    val centers = Array.fill(kk)(sample(rnd.nextInt(n)).clone())
+    val assign = new Array[Int](n)
+    var round = 0
+    while (round < iters) {
+      var i = 0
+      while (i < n) {
+        val x = sample(i)
+        var best = 0; var bestD = Double.MaxValue; var c = 0
+        while (c < kk) {
+          val cc = centers(c)
+          var s = 0.0; var j = 0
+          while (j < dim) { val d = cc(j) - x(j); s += d * d; j += 1 }
+          if (s < bestD) { bestD = s; best = c }
+          c += 1
+        }
+        assign(i) = best
+        i += 1
+      }
+      val sums = Array.ofDim[Double](kk, dim)
+      val cnt = new Array[Int](kk)
+      i = 0
+      while (i < n) {
+        val c = assign(i); cnt(c) += 1
+        val x = sample(i)
+        var j = 0
+        while (j < dim) { sums(c)(j) += x(j); j += 1 }
+        i += 1
+      }
+      var c = 0
+      while (c < kk) {
+        if (cnt(c) == 0) centers(c) = sample(rnd.nextInt(n)).clone()
+        else { var j = 0; while (j < dim) { sums(c)(j) /= cnt(c); j += 1 }; centers(c) = sums(c) }
+        c += 1
+      }
+      round += 1
+    }
+    // pad degenerate codebooks (sample smaller than k) so code bytes stay
+    // valid indexes
+    if (kk < k) centers ++ Array.fill(k - kk)(centers(0).clone()) else centers
+  }
+
+  /** PQ-encode the corpus: one broadcast-codebooks `mapPartitions` pass
+    * (primitive arrays, no shuffle) mapping each vector to `m` code bytes —
+    * a binary column. At dim=64 float64 and m=8 that is a 64× compression
+    * of the scan payload: the ADC candidate scan reads m bytes per row
+    * instead of the embedding column, which is what makes a 100 TB
+    * brute-force-quality ANN pass affordable.
+    */
+  def pqEncode(embeddings: DataFrame,
+      books: Array[Array[Array[Double]]]): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val m = books.length
+    val sub = books(0)(0).length
+    val bc = spark.sparkContext.broadcast(books)
+    embeddings
+      .select(col("vec_id").cast("long").as("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+      .as[(Long, Seq[Double])]
+      .mapPartitions { it =>
+        val bks = bc.value
+        it.map { case (id, sv) =>
+          val x = sv.toArray
+          var nrm = 0.0
+          var i = 0
+          while (i < x.length) { nrm += x(i) * x(i); i += 1 }
+          nrm = math.sqrt(nrm)
+          if (nrm > 0) { i = 0; while (i < x.length) { x(i) /= nrm; i += 1 } }
+          val code = new Array[Byte](m)
+          var j = 0
+          while (j < m) {
+            val book = bks(j)
+            val off = j * sub
+            var best = 0; var bestD = Double.MaxValue; var c = 0
+            while (c < book.length) {
+              val cc = book(c)
+              var s = 0.0; var d = 0
+              while (d < sub) { val t = cc(d) - x(off + d); s += t * t; d += 1 }
+              if (s < bestD) { bestD = s; best = c }
+              c += 1
+            }
+            code(j) = best.toByte
+            j += 1
+          }
+          (id, code)
+        }
+      }.toDF("vec_id", "code")
+  }
+
+  /** ANN top-k via a PQ ADC scan (IVFADC's scan stage, Jégou et al. 2011
+    * §IV): per query build the m×256 lookup table of subspace distances
+    * driver-side (tiny), broadcast it, scan the m-byte codes summing LUT
+    * entries — a bounded per-partition heap keeps the best `rerank`
+    * approximate candidates, only P·rerank rows leave the scan — then
+    * re-rank the candidates EXACTLY with [[cosineTopK]]. Recall@10 ≥ 0.8
+    * vs the exact scan is pinned by SimilaritySpec (same gate as LSH/IVF).
+    * At 100 TB: train once, store the code column next to the table, and
+    * every query scans m bytes/row instead of the full embedding.
+    */
+  def pqTopK(embeddings: DataFrame, queryVecId: Long, k: Int, m: Int = 8,
+      rerank: Int = 50): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val books = pqTrain(embeddings, m)
+    val codes = pqEncode(embeddings, books)
+    val qRaw = embeddings.where(col("vec_id") === queryVecId)
+      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0).toArray
+    val qn = math.sqrt(qRaw.map(x => x * x).sum)
+    val q = qRaw.map(_ / qn)
+    val sub = books(0)(0).length
+    val kCent = books(0).length
+    val lut = new Array[Double](m * kCent)
+    var j = 0
+    while (j < m) {
+      val off = j * sub
+      var c = 0
+      while (c < kCent) {
+        val cc = books(j)(c)
+        var s = 0.0; var d = 0
+        while (d < sub) { val t = cc(d) - q(off + d); s += t * t; d += 1 }
+        lut(j * kCent + c) = s
+        c += 1
+      }
+      j += 1
+    }
+    val bcLut = spark.sparkContext.broadcast(lut)
+    val cands = codes.as[(Long, Array[Byte])].mapPartitions { it =>
+      val l = bcLut.value
+      // bounded per-partition top-rerank (max-heap on ADC distance)
+      val heap = new scala.collection.mutable.PriorityQueue[(Double, Long)]()(
+        Ordering.by[(Double, Long), Double](_._1))
+      // the query row itself stays in: cosineTopK both needs it (query
+      // lookup) and excludes it from results
+      it.foreach { case (id, code) =>
+        var s = 0.0; var jj = 0
+        while (jj < code.length) { s += l(jj * kCent + (code(jj) & 0xff)); jj += 1 }
+        if (heap.size < rerank) heap.enqueue((s, id))
+        else if (s < heap.head._1) { heap.dequeue(); heap.enqueue((s, id)) }
+      }
+      heap.iterator
+    }.toDF("adc", "vec_id")
+      .orderBy(col("adc").asc, col("vec_id")).limit(rerank).select("vec_id")
+      // the query row is guaranteed present (ADC self-distance is the
+      // quantization floor, but union is cheap insurance for tiny rerank)
+      .union(spark.range(1).select(lit(queryVecId).cast("long").as("vec_id")))
+      .distinct()
+    cosineTopK(embeddings.join(cands, "vec_id"), queryVecId, k)
+  }
+
   // ------------------------------------------------ quality / curation ops
+
+  /** The full Gopher document-quality rule battery (Rae et al. 2021,
+    * "Scaling Language Models: Methods, Analysis & Insights from Training
+    * Gopher", §A.1.1): word count ∈ [50, 100k], mean word length ∈ [3, 10],
+    * symbol-to-word ratio (`#` and `...`) ≤ 0.1, ≤ 90% of lines starting
+    * with a bullet, ≤ 30% of lines ending with an ellipsis, ≥ 80% of words
+    * containing an alphabetic character, and ≥ 2 of the paper's 8 English
+    * stop words present. Ratios are integer milli-units (floor division) so
+    * keep decisions are bit-reproducible across engines and partitionings.
+    * One codegen'd per-row map — no shuffle, no UDF; at 100 TB this is a
+    * free rider on whatever scan already reads `text`.
+    */
+  def gopherQuality(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = textCol
+    val words = s"filter(split($t, '\\\\s+'), x -> x <> '')"
+    val lines = s"split($t, '\\n')"
+    docs.select(
+        col("doc_id"),
+        expr(s"cast(size($words) as bigint)").as("n_words"),
+        expr(s"aggregate($words, 0L, (a, x) -> a + length(x))").as("sum_word_len"),
+        expr(s"cast(size(filter($words, w -> w rlike '[a-zA-Z]')) as bigint)").as("n_alpha_words"),
+        // '#' chars + '...' runs (each 3-char run counts once)
+        expr(s"cast(length($t) - length(replace($t, '#', '')) + " +
+          s"(length($t) - length(replace($t, '...', ''))) div 3 as bigint)").as("n_symbols"),
+        expr("cast(size(array_intersect(transform(" + words + ", w -> lower(w)), " +
+          "array('the','be','to','of','and','that','have','with'))) as bigint)").as("n_stop_hits"),
+        expr(s"cast(greatest(size($lines), 1) as bigint)").as("n_lines"),
+        expr(s"cast(size(filter($lines, l -> ltrim(l) like '- %' OR ltrim(l) like '* %' " +
+          s"OR ltrim(l) like '• %' OR ltrim(l) like '# %')) as bigint)").as("n_bullet_lines"),
+        expr(s"cast(size(filter($lines, l -> rtrim(l) like '%...' OR rtrim(l) like '%…')) " +
+          "as bigint)").as("n_ellipsis_lines"))
+      .where(col("n_words") > 0)
+      .withColumn("mean_word_len_milli", expr("sum_word_len * 1000 div n_words"))
+      .withColumn("alpha_milli", expr("n_alpha_words * 1000 div n_words"))
+      .withColumn("symbol_milli", expr("n_symbols * 1000 div n_words"))
+      .withColumn("bullet_milli", expr("n_bullet_lines * 1000 div n_lines"))
+      .withColumn("ellipsis_milli", expr("n_ellipsis_lines * 1000 div n_lines"))
+      .withColumn("keep",
+        col("n_words").between(50L, 100000L) &&
+          col("mean_word_len_milli").between(3000L, 10000L) &&
+          col("symbol_milli") <= 100L &&
+          col("bullet_milli") <= 900L &&
+          col("ellipsis_milli") <= 300L &&
+          col("alpha_milli") >= 800L &&
+          col("n_stop_hits") >= 2L)
+      .select("doc_id", "n_words", "mean_word_len_milli", "alpha_milli",
+        "symbol_milli", "bullet_milli", "ellipsis_milli", "n_stop_hits", "keep")
+  }
+
+  /** The C4 line/document cleaning rules (Raffel et al. 2020, "Exploring the
+    * Limits of Transfer Learning with a Unified Text-to-Text Transformer",
+    * §2.2): keep only lines that end in a terminal punctuation mark, have
+    * ≥ 3 words, and don't mention javascript; drop the whole page when
+    * fewer than `minKeptLines` lines survive (the paper's 5-sentence rule,
+    * with kept lines as the sentence proxy — the standard C4
+    * reimplementation choice), or when the page contains "lorem ipsum" or
+    * a `{`. Returns the cleaned text alongside the decision so the op
+    * works as either a filter or a transform. Pure per-row codegen map.
+    */
+  def c4LineFilter(docs: DataFrame, textCol: String = "text",
+      minKeptLines: Int = 5): DataFrame = {
+    val t = textCol
+    val lines = s"split($t, '\\n')"
+    val keptCond = "rtrim(l) like '%.' OR rtrim(l) like '%!' OR " +
+      "rtrim(l) like '%?' OR rtrim(l) like '%\"'"
+    val kept = s"filter($lines, l -> ($keptCond) " +
+      s"AND size(filter(split(l, ' '), w -> w <> '')) >= 3 " +
+      s"AND NOT lower(l) like '%javascript%')"
+    docs.select(
+        col("doc_id"),
+        expr(s"cast(size($lines) as bigint)").as("n_lines"),
+        expr(s"cast(size($kept) as bigint)").as("n_kept_lines"),
+        expr(s"array_join($kept, '\\n')").as("clean_text"),
+        (expr(s"lower($t)").contains("lorem ipsum") || col(t).contains("{"))
+          .as("doc_banned"))
+      .withColumn("keep", col("n_kept_lines") >= minKeptLines.toLong && !col("doc_banned"))
+      .select("doc_id", "n_lines", "n_kept_lines", "keep", "clean_text")
+  }
 
   /** Within-doc repeated-n-gram fraction — the Gopher-family repetition
     * quality filter (Rae et al. 2021, "Scaling Language Models: ... Gopher",

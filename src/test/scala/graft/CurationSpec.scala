@@ -450,4 +450,132 @@ class CurationSpec extends AnyFunSuite {
       assert(got == expected, s"fpp=$fpp")
     }
   }
+
+  // independent plain-Scala restatement of the Gopher rule battery
+  private def gopherOracle(text: String): (Long, Long, Long, Long, Long, Long, Long, Boolean) = {
+    val ws = text.split("\\s+", -1).filter(_.nonEmpty)
+    val n = ws.length.toLong
+    val sumLen = ws.map(_.length.toLong).sum
+    val alpha = ws.count(_.exists(c => (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z'))).toLong
+    val symbols = (text.count(_ == '#') +
+      (text.length - text.replace("...", "").length) / 3).toLong
+    val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+      .count(s => ws.exists(_.toLowerCase == s)).toLong
+    val ls = text.split("\n", -1)
+    val nl = math.max(ls.length, 1).toLong
+    val bullets = ls.count { l =>
+      val t = l.dropWhile(_ == ' ')
+      t.startsWith("- ") || t.startsWith("* ") || t.startsWith("• ") || t.startsWith("# ")
+    }.toLong
+    val ell = ls.count { l =>
+      val t = l.reverse.dropWhile(_ == ' ').reverse
+      t.endsWith("...") || t.endsWith("…")
+    }.toLong
+    val mean = Math.floorDiv(sumLen * 1000, n)
+    val alphaM = Math.floorDiv(alpha * 1000, n)
+    val symM = Math.floorDiv(symbols * 1000, n)
+    val bulM = Math.floorDiv(bullets * 1000, nl)
+    val ellM = Math.floorDiv(ell * 1000, nl)
+    val keep = n >= 50 && n <= 100000 && mean >= 3000 && mean <= 10000 &&
+      symM <= 100 && bulM <= 900 && ellM <= 300 && alphaM >= 800 && stops >= 2
+    (n, mean, alphaM, symM, bulM, ellM, stops, keep)
+  }
+
+  test("gopherQuality: directed rule flips + fuzz vs an independent oracle") {
+    val good = ((1 to 60).map(i => s"document word number$i") :+ "the words that flow")
+      .mkString(" ") // >50 words, has 'the' and 'that'
+    val directed = Seq(
+      (1L, good), // passes every rule
+      (2L, (1 to 60).map(_ => "a").mkString(" ")), // mean word len 1000 < 3000
+      (3L, "short doc the that"), // < 50 words
+      (4L, good + " " + (1 to 30).map(_ => "#").mkString(" ")), // symbol ratio
+      (5L, good.split(" ").grouped(4).map("- " + _.mkString(" ")).mkString("\n")), // all bullets
+      (6L, good.split(" ").grouped(4).map(_.mkString(" ") + "...").mkString("\n")), // all ellipses
+      (7L, (1 to 60).map(i => s"$i 9$i").mkString(" ")), // no alpha words
+      (8L, (1 to 60).map(i => s"word$i flows here").mkString(" ")) // no stop words
+    ).toDF("doc_id", "text")
+    val got = PipelineOps.gopherQuality(directed).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6), r.getLong(7), r.getBoolean(8)))).toMap
+    val texts = directed.select("doc_id", "text").as[(Long, String)].collect().toMap
+    for ((id, row) <- got) {
+      val (n, mean, alphaM, symM, bulM, ellM, stops, keep) = gopherOracle(texts(id))
+      assert(row == ((n, mean, alphaM, symM, bulM, ellM, stops, keep)), s"doc $id")
+    }
+    assert(got(1L)._8, "good doc must pass")
+    assert((2L to 8L).forall(i => !got(i)._8), "each directed flip must fail")
+    // fuzz: random multi-line docs over a mixed vocab
+    val rnd = new scala.util.Random(42)
+    val vocab = Array("the", "word", "x", "#", "...", "be", "-", "zz9", "12",
+      "longerword", "with", "•")
+    val fuzz = (100L until 200L).map { id =>
+      val nW = 1 + rnd.nextInt(120)
+      val words = Array.fill(nW)(vocab(rnd.nextInt(vocab.length)))
+      val text = words.grouped(1 + rnd.nextInt(9))
+        .map(_.mkString(" ") + (if (rnd.nextBoolean()) "..." else ""))
+        .mkString("\n")
+      (id, text)
+    }.toDF("doc_id", "text")
+    val fGot = PipelineOps.gopherQuality(fuzz).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6), r.getLong(7), r.getBoolean(8)))).toMap
+    val fTexts = fuzz.select("doc_id", "text").as[(Long, String)].collect().toMap
+    for ((id, text) <- fTexts) {
+      val (n, mean, alphaM, symM, bulM, ellM, stops, keep) = gopherOracle(text)
+      assert(fGot(id) == ((n, mean, alphaM, symM, bulM, ellM, stops, keep)), s"fuzz doc $id")
+    }
+  }
+
+  // independent plain-Scala restatement of the C4 line rules
+  private def c4Oracle(text: String, minKept: Int): (Long, Long, Boolean, String) = {
+    val ls = text.split("\n", -1)
+    val kept = ls.filter { l =>
+      val r = l.reverse.dropWhile(_ == ' ').reverse
+      (r.endsWith(".") || r.endsWith("!") || r.endsWith("?") || r.endsWith("\"")) &&
+        l.split(" ", -1).count(_.nonEmpty) >= 3 &&
+        !l.toLowerCase.contains("javascript")
+    }
+    val banned = text.toLowerCase.contains("lorem ipsum") || text.contains("{")
+    (ls.length.toLong, kept.length.toLong,
+      kept.length >= minKept && !banned, kept.mkString("\n"))
+  }
+
+  test("c4LineFilter: line rules, doc bans, clean text; fuzz vs oracle") {
+    val base = (1 to 6).map(i => s"this is sentence number $i of the page.").mkString("\n")
+    val directed = Seq(
+      (1L, base), // all lines kept
+      (2L, base + "\nno terminal punctuation here"), // line dropped, doc kept
+      (3L, base + "\nplease enable javascript to continue."), // js line dropped
+      (4L, base + "\nlorem ipsum dolor sit amet."), // doc banned
+      (5L, base + "\nfunction f() { return 1; }"), // '{' bans the doc
+      (6L, "too short.\nalso brief!\nok fine?"), // <3 words per line -> 0 kept
+      (7L, "one good sentence right here.\nanother good one follows now.") // <5 kept
+    ).toDF("doc_id", "text")
+    val got = PipelineOps.c4LineFilter(directed).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3), r.getString(4))))
+      .toMap
+    val texts = directed.select("doc_id", "text").as[(Long, String)].collect().toMap
+    for ((id, text) <- texts)
+      assert(got(id) == c4Oracle(text, 5), s"doc $id")
+    assert(got(1L)._3 && !got(4L)._3 && !got(5L)._3 && !got(6L)._3 && !got(7L)._3)
+    assert(got(2L)._3 && got(2L)._2 == 6L) // dropped line doesn't ban the doc
+    // fuzz
+    val rnd = new scala.util.Random(7)
+    val ends = Array(".", "!", "?", "\"", "", "...", " ")
+    val fill = Array("alpha", "beta", "javascript", "{", "lorem ipsum", "x")
+    val fuzz = (100L until 200L).map { id =>
+      val nL = 1 + rnd.nextInt(10)
+      val text = (1 to nL).map { _ =>
+        val w = 1 + rnd.nextInt(6)
+        Array.fill(w)(fill(rnd.nextInt(fill.length))).mkString(" ") + ends(rnd.nextInt(ends.length))
+      }.mkString("\n")
+      (id, text)
+    }.toDF("doc_id", "text")
+    val fGot = PipelineOps.c4LineFilter(fuzz, minKeptLines = 2).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3), r.getString(4))))
+      .toMap
+    val fTexts = fuzz.select("doc_id", "text").as[(Long, String)].collect().toMap
+    for ((id, text) <- fTexts)
+      assert(fGot(id) == c4Oracle(text, 2), s"fuzz doc $id")
+  }
 }

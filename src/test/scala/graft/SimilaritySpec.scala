@@ -89,6 +89,38 @@ class SimilaritySpec extends AnyFunSuite {
     assert(sizes.sorted.takeRight(4).sum < 1000L, "4 lists must not hold everything")
   }
 
+  test("PQ ANN: recall@10 >= 0.8 vs exact cosine top-k; codes are m bytes") {
+    val e = genEmbeddings(1000)
+    val queries = Seq(0L, 7L, 123L, 500L, 999L)
+    val recalls = queries.map { q =>
+      val exact = PipelineOps.cosineTopK(e, q, 10)
+        .collect().map(_.getLong(0)).toSet
+      val pq = PipelineOps.pqTopK(e, q, 10, m = 8, rerank = 50)
+        .collect().map(_.getLong(0)).toSet
+      exact.intersect(pq).size.toDouble / exact.size
+    }
+    val mean = recalls.sum / recalls.size
+    info(f"PQ recall@10 per query: ${recalls.map(r => f"$r%.2f").mkString(", ")} (mean $mean%.3f)")
+    assert(mean >= 0.8, s"mean PQ recall@10 $mean below 0.8 gate")
+    // the scan payload really is m bytes per row (64x smaller than the
+    // 64-dim float64 embedding column), and every code byte indexes a
+    // real centroid
+    val books = PipelineOps.pqTrain(e, m = 8)
+    assert(books.length == 8 && books.forall(_.length == 256))
+    val codes = PipelineOps.pqEncode(e, books).collect()
+    assert(codes.length == 1000)
+    assert(codes.forall(_.getAs[Array[Byte]]("code").length == 8))
+    // PQ results carry exact cosines (re-rank stage): values match the
+    // exact scan for ids in both
+    val exact0 = PipelineOps.cosineTopK(e, 0L, 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val pq0 = PipelineOps.pqTopK(e, 0L, 10, m = 8, rerank = 50)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    pq0.keys.filter(exact0.contains).foreach { id =>
+      assert(pq0(id) == exact0(id), s"re-ranked cosine differs for $id")
+    }
+  }
+
   test("native vec_cosine / lsh_bucket kernels == HOF forms (bit-exact)") {
     val e = genEmbeddings(500)
     // cosine: native expression vs aggregate/zip_with fold, exact doubles
