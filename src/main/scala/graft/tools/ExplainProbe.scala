@@ -126,6 +126,25 @@ object ExplainProbe {
     val blPlan = bl.queryExecution.executedPlan.toString
     println(s"bloom: might_contain in plan = ${blPlan.contains("might_contain")}, " +
       s"anti join present = ${blPlan.contains("LeftAnti")}")
+
+    println("==== gopher / c4 rule batteries (single codegen map, no shuffle) ====")
+    val gq = graft.ops.PipelineOps.gopherQuality(docsDf)
+    val gqPlan = gq.queryExecution.executedPlan.toString
+    println(s"gopher: shuffle-free = ${!gqPlan.contains("Exchange")}")
+    val c4 = graft.ops.PipelineOps.c4LineFilter(docsDf)
+    val c4Plan = c4.queryExecution.executedPlan.toString
+    println(s"c4: shuffle-free = ${!c4Plan.contains("Exchange")}")
+
+    println("==== PQ ADC scan (corpus side: codes column only + bounded heaps; " +
+      "the ONE nested-loop join is the 1-row query broadcast inside the " +
+      "<=rerank-row exact re-rank, same as cosineTopK) ====")
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val pq = graft.ops.PipelineOps.pqTopK(emb, 0L, 10, m = 8, rerank = 50)
+    pq.explain("formatted")
+    val pqPlan = pq.queryExecution.executedPlan.toString
+    println(s"pq: Cartesian = ${pqPlan.contains("Cartesian")} (want false), " +
+      s"nested-loop joins = ${"BroadcastNestedLoop".r.findAllIn(pqPlan).size} " +
+      "(want 1: the bounded re-rank's 1-row query broadcast)")
     spark.stop()
   }
 }
