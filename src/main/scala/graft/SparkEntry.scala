@@ -397,6 +397,14 @@ object SparkEntry {
       .select("doc_id", "extracted_text")),
     // corpus-trained unigram-LM surprise (CCNet head/middle/tail signal)
     "q_lm_surprise" -> ((s, d) => PipelineOps.lmSurprise(docs(s, d))),
+    // bigram conditional surprise (the n=2 step toward the CCNet 5-gram
+    // KenLM filter; integer-exact floor-log2 conditional bits)
+    "q_bigram_lm" -> ((s, d) => PipelineOps.bigramSurprise(docs(s, d))),
+    // hybrid retrieval: RRF fusion of the BM25 sparse leg and the dense
+    // cosine leg (Cormack et al. 2009; the standard RAG hybrid combiner)
+    "q_hybrid_rrf" -> ((s, d) => PipelineOps.rrfFuse(Seq(
+      "sparse" -> bm25Df(s, docs(s, d), Seq("spark", "vector")),
+      "dense" -> PipelineOps.cosineTopK(embeddings(s, d), 0L, 50)), 10)),
     // span-level decontamination (GPT-3 appendix-C rule): benchmark =
     // doc_id % 97 = 0 slice, corpus = the rest; collided 3-gram spans are
     // surgically removed, the oracle rebuilds the text relationally
@@ -880,6 +888,8 @@ object SparkEntry {
     "q_url_dedup" -> OracleSql.urlDedup,
     "q_html_extract" -> OracleSql.htmlExtract,
     "q_lm_surprise" -> OracleSql.lmSurprise,
+    "q_bigram_lm" -> OracleSql.bigramSurprise,
+    "q_hybrid_rrf" -> OracleSql.hybridRrf(Seq("spark", "vector"), 0L, 10, 50, 60),
     "q_decontam_spans" -> OracleSql.decontaminateSpans,
     "q_token_shards" -> OracleSql.tokenShards,
     "q_bpe_tokens" -> OracleSql.bpeTokens,

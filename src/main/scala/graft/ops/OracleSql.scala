@@ -548,6 +548,47 @@ m AS (SELECT doc_id, n_toks, sum_bits,
 SELECT doc_id, n_toks, sum_bits, mean_millibits, $LmBucketExpr AS lm_bucket
 FROM m"""
 
+  /** q_bigram_lm: independent DuckDB formulation of the add-one-smoothed
+    * bigram conditional surprise — integer arithmetic end to end (floor-log2
+    * via length(bin(x)) - 1); context totals come off the distinct-bigram
+    * frame and V is the distinct-continuation vocabulary, so
+    * (cnt1 + V)/(cnt2 + 1) is the inverse smoothed conditional probability.
+    */
+  val bigramSurprise: String =
+    s"""WITH $T,
+b AS (SELECT doc_id, toks[i] AS p, toks[i+1] AS c
+      FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM t WHERE len(toks) >= 2)),
+lm2 AS (SELECT p, c, count(*)::BIGINT AS cnt2 FROM b GROUP BY p, c),
+ctx AS (SELECT p, sum(cnt2)::BIGINT AS cnt1 FROM lm2 GROUP BY p),
+v AS (SELECT count(DISTINCT c)::BIGINT AS vsz FROM lm2),
+s AS (SELECT doc_id, length(bin(((cnt1 + vsz) // (cnt2 + 1))::BIGINT)) - 1 AS bits
+      FROM b JOIN lm2 USING (p, c) JOIN ctx USING (p) CROSS JOIN v),
+a AS (SELECT doc_id, count(*)::BIGINT AS n_bigrams, sum(bits)::BIGINT AS sum_bits
+      FROM s GROUP BY doc_id),
+m AS (SELECT doc_id, n_bigrams, sum_bits,
+      ((sum_bits * 1000) // n_bigrams)::BIGINT AS mean_millibits FROM a)
+SELECT doc_id, n_bigrams, sum_bits, mean_millibits, $BigramBucketExpr AS ppx_bucket FROM m"""
+
+  /** q_hybrid_rrf: reciprocal-rank fusion of the BM25 sparse leg (the
+    * [[bm25Scores]] reformulation) and the dense cosine leg ([[cosineTopK]]).
+    * Each leg is cut to its top-legK by the leg op's own order, re-ranked by
+    * (4dp-rounded score DESC, id ASC) — the identical tie law to the Spark
+    * side — and fused with per-leg 1/(kRrf+rank) IEEE-double contributions
+    * summed in fixed leg order.
+    */
+  def hybridRrf(terms: Seq[String], queryVecId: Long, k: Int, legK: Int,
+      kRrf: Int): String =
+    s"""WITH sp AS (SELECT doc_id, bm25 AS s FROM (${bm25Scores(terms)})
+      ORDER BY bm25 DESC, doc_id LIMIT $legK),
+spr AS (SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id)::BIGINT AS r_sparse FROM sp),
+dn AS (SELECT vec_id AS doc_id, cos AS s FROM (${cosineTopK(queryVecId, legK)})),
+dnr AS (SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id)::BIGINT AS r_dense FROM dn),
+f AS (SELECT coalesce(spr.doc_id, dnr.doc_id) AS doc_id, spr.r_sparse, dnr.r_dense,
+      round(coalesce(1.0::DOUBLE / (${kRrf}::DOUBLE + spr.r_sparse), 0.0::DOUBLE)
+          + coalesce(1.0::DOUBLE / (${kRrf}::DOUBLE + dnr.r_dense), 0.0::DOUBLE), 6) AS rrf
+      FROM spr FULL OUTER JOIN dnr ON spr.doc_id = dnr.doc_id)
+SELECT doc_id, r_sparse, r_dense, rrf FROM f ORDER BY rrf DESC, doc_id LIMIT $k"""
+
   /** q_decontam_spans: span-level decontamination over 3-grams, benchmark =
     * doc_id % 97 = 0 subset, corpus = the rest. Independent relational
     * formulation: positional grams via a list comprehension + parallel

@@ -1225,6 +1225,61 @@ object PipelineOps {
       .withColumn("lm_bucket", expr(LmBucketExpr))
   }
 
+  /** Bigram-LM conditional surprise — the n-gram step past [[lmSurprise]]
+    * toward the CCNet/KenLM perplexity filter (Wenzek et al. 2020 score with
+    * a 5-gram KenLM; the conditional-probability structure is identical at
+    * n=2 and the arithmetic here stays integer-exact): each token position
+    * i >= 1 is scored by how surprising `toks[i]` is GIVEN `toks[i-1]` under
+    * the corpus bigram model with add-one (Laplace) smoothing — the same
+    * smoothing choice as [[dsirWeights]]' target LM, and necessary here:
+    * the unsmoothed MLE conditional scores a unique context's unique
+    * continuation as 0 bits, making never-seen-before gibberish look
+    * maximally predictable. Per-position bits =
+    * `floor(log2((cnt(prev) + V) / (cnt(prev, cur) + 1)))` computed as
+    * `length(bin((cnt1 + vsz) div (cnt2 + 1))) - 1` (no floating-point log
+    * anywhere); cnt(prev) is the context total — the number of bigram
+    * occurrences with that prefix — and V the distinct-continuation
+    * vocabulary, so the ratio is the inverse smoothed conditional
+    * probability. Per-doc mean is fixed-point millibits; docs with < 2
+    * tokens have no bigram and are excluded (a length filter catches those
+    * upstream).
+    *
+    * 100 TB shape: bigram extraction is a per-row codegen `transform` (no
+    * positional self-join, no shuffle); the LM is ONE groupBy((p, c)) with
+    * map-side combine (hot boilerplate bigrams collapse per task before the
+    * shuffle); context totals are a second groupBy over the much smaller
+    * distinct-bigram frame. The score join broadcasts the LM when the
+    * vocabulary is bounded (the CCNet case — LM trained on a fixed reference
+    * corpus); for an unbounded crawl vocabulary set `broadcastLm=false` and
+    * the equi-join on (p, c) shuffles with AQE splitting hot-bigram skew.
+    */
+  val BigramBucketExpr: String =
+    "CASE WHEN mean_millibits <= 4290 THEN 'head' " +
+      "WHEN mean_millibits <= 4352 THEN 'middle' ELSE 'tail' END"
+
+  def bigramSurprise(docs: DataFrame, broadcastLm: Boolean = true): DataFrame = {
+    val pairs = withTokens(docs)
+      .where(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(slice(toks, 1, size(toks) - 1)," +
+          " (x, i) -> struct(x AS p, element_at(toks, i + 2) AS c))")).as("bg"))
+      .select(col("doc_id"), col("bg.p").as("p"), col("bg.c").as("c"))
+    val lm2 = pairs.groupBy("p", "c").agg(count(lit(1)).as("cnt2"))
+    val ctx = lm2.groupBy("p").agg(sum("cnt2").as("cnt1"))
+    val vocab = lm2.agg(countDistinct("c").cast("long").as("vsz"))
+    val lm = lm2.join(ctx, "p")
+    val scored = pairs
+      .join(if (broadcastLm) broadcast(lm) else lm, Seq("p", "c"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("bits",
+        (length(bin(expr("(cnt1 + vsz) div (cnt2 + 1)"))) - 1).cast("long"))
+    scored.groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_bigrams"), sum("bits").as("sum_bits"))
+      .select(col("doc_id"), col("n_bigrams"), col("sum_bits"),
+        expr("(sum_bits * 1000) div n_bigrams").as("mean_millibits"))
+      .withColumn("ppx_bucket", expr(BigramBucketExpr))
+  }
+
   // --------------------------------------------- dedup cluster resolution
 
   /** Connected components over an undirected pair graph — the alternating
@@ -1384,6 +1439,50 @@ object PipelineOps {
       .where(col("rank") <= k)
       .select(col("query_id"), col("vec_id"), round(col("c"), 4).as("cos"),
         col("rank").cast("long").as("rank"))
+  }
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR 2009) of
+    * independently-ranked candidate lists — the standard hybrid-retrieval
+    * combiner (sparse BM25 leg + dense cosine leg in a RAG stack):
+    * `score(d) = Σ_legs 1 / (kRrf + rank_leg(d))`, a leg that missed `d`
+    * contributes 0.
+    *
+    * Each leg arrives as (id, score); it is cut to its own top-`legK` with
+    * orderBy+limit FIRST (TakeOrderedAndProject — a distributed per-partition
+    * top-k plus a bounded driver merge, never a global window over the
+    * corpus), and only the ≤ legK survivors are ranked with a window (the
+    * single-partition window is over a bounded frame, which is exactly when
+    * a global window is fine). Ranks beyond legK would contribute less than
+    * 1/(kRrf+legK) each, the standard per-leg-list truncation.
+    *
+    * Determinism across engines: scores are rounded to 4 dp BEFORE ranking
+    * so an f32-vs-double disagreement in the 5th decimal cannot flip a rank,
+    * and ties break by id ascending. The fused score is one double division
+    * per leg plus a fixed-order sum — bit-identical in any IEEE engine.
+    *
+    * Returns (doc_id, r_<leg> ranks..., rrf) — the global top `k` by
+    * (rrf desc, doc_id).
+    */
+  def rrfFuse(legs: Seq[(String, DataFrame)], k: Int, legK: Int = 50,
+      kRrf: Int = 60): DataFrame = {
+    require(legs.nonEmpty, "rrfFuse needs at least one leg")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("s").desc, col("doc_id"))
+    val ranked = legs.map { case (name, leg) =>
+      val Array(idc, sc) = leg.columns.take(2)
+      leg.select(col(idc).cast("long").as("doc_id"), round(col(sc), 4).as("s"))
+        .orderBy(col("s").desc, col("doc_id")).limit(legK)
+        .withColumn(s"r_$name", row_number().over(w).cast("long"))
+        .select(col("doc_id"), col(s"r_$name"))
+    }
+    val joined = ranked.reduce((a, b) => a.join(b, Seq("doc_id"), "full_outer"))
+    val contribs = legs.map { case (name, _) =>
+      coalesce(lit(1.0) / (lit(kRrf.toDouble) + col(s"r_$name")), lit(0.0))
+    }
+    joined
+      .withColumn("rrf", round(contribs.reduce(_ + _), 6))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(k)
   }
 
   /** SemDeDup — semantic deduplication (Abbas et al. 2023, "SemDeDup: Data-

@@ -145,6 +145,29 @@ object ExplainProbe {
     println(s"pq: Cartesian = ${pqPlan.contains("Cartesian")} (want false), " +
       s"nested-loop joins = ${"BroadcastNestedLoop".r.findAllIn(pqPlan).size} " +
       "(want 1: the bounded re-rank's 1-row query broadcast)")
+
+    println("==== bigram LM surprise (per-row pair transform — no positional " +
+      "self-join; LM broadcast to the score join; vocab = 1-row broadcast) ====")
+    val bg = graft.ops.PipelineOps.bigramSurprise(docsDf)
+    bg.explain("formatted")
+    val bgPlan = bg.queryExecution.executedPlan.toString
+    println(s"bigram: Cartesian = ${bgPlan.contains("Cartesian")} (want false), " +
+      s"LM broadcast-hash joins = ${"BroadcastHashJoin".r.findAllIn(bgPlan).size} " +
+      "(want >=1: pairs never shuffle for the score join), " +
+      s"1-row vocab nested-loop = ${"BroadcastNestedLoop".r.findAllIn(bgPlan).size} (want 1)")
+
+    println("==== RRF hybrid fusion (each leg cut via TakeOrderedAndProject — " +
+      "distributed top-k, no global window over the corpus; fusion joins " +
+      "bounded <=legK-row frames) ====")
+    val sparseLeg = graft.SparkEntry.bm25DfPublic(spark, docsDf, Seq("spark", "vector"))
+    val denseLeg = graft.ops.PipelineOps.cosineTopK(emb, 0L, 50)
+    val rrf = graft.ops.PipelineOps.rrfFuse(
+      Seq("sparse" -> sparseLeg, "dense" -> denseLeg), 10)
+    rrf.explain("formatted")
+    val rrfPlan = rrf.queryExecution.executedPlan.toString
+    println(s"rrf: TakeOrderedAndProject legs = " +
+      s"${"TakeOrderedAndProject".r.findAllIn(rrfPlan).size} (want >=2: one per " +
+      s"leg cut + the final top-k), Cartesian = ${rrfPlan.contains("Cartesian")} (want false)")
     spark.stop()
   }
 }

@@ -175,6 +175,51 @@ class CurationSpec extends AnyFunSuite {
     assert(got2 == expected)
   }
 
+  test("bigramSurprise: conditional floor-log2 bits match an independent model") {
+    // hot bigram (a b), rarer continuations of 'a', and unique-tail docs
+    val docs = Seq(
+      1L -> "a b a b a b a b",
+      2L -> "a b a c a d",
+      3L -> (1 to 50).map(i => s"u$i").mkString(" "),
+      4L -> "a b",
+      5L -> "x" // single token: no bigram — excluded
+    ).toDF("doc_id", "text")
+    val toks = Seq(
+      1L -> Seq("a", "b", "a", "b", "a", "b", "a", "b"),
+      2L -> Seq("a", "b", "a", "c", "a", "d"),
+      3L -> (1 to 50).map(i => s"u$i"),
+      4L -> Seq("a", "b"))
+    // independent model: plain Scala pair counts + bit arithmetic
+    val pairs = toks.flatMap { case (id, ts) => ts.sliding(2).map(p => (id, (p(0), p(1)))) }
+    val cnt2 = pairs.map(_._2).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val cnt1 = pairs.map(_._2._1).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val vsz = pairs.map(_._2._2).distinct.size.toLong
+    def bits(p: (String, String)): Long =
+      63L - java.lang.Long.numberOfLeadingZeros((cnt1(p._1) + vsz) / (cnt2(p) + 1))
+    val expected = toks.map { case (id, ts) =>
+      val bs = ts.sliding(2).map(p => bits((p(0), p(1)))).toSeq
+      val sum = bs.sum
+      val mean = sum * 1000 / bs.size
+      val bucket = if (mean <= 4290) "head" else if (mean <= 4352) "middle" else "tail"
+      (id, bs.size.toLong, sum, mean, bucket)
+    }.toSet
+    val cols = Seq("doc_id", "n_bigrams", "sum_bits", "mean_millibits", "ppx_bucket")
+    val got = PipelineOps.bigramSurprise(docs)
+      .select(cols.head, cols.tail: _*)
+      .as[(Long, Long, Long, Long, String)].collect().toSet
+    assert(got == expected)
+    assert(!got.exists(_._1 == 5L)) // bigram-less doc excluded
+    // doc 1's (a b) is the modal continuation of 'a' → cheapest mean;
+    // doc 3's all-unique chain is maximally surprising per position
+    val byId = got.map(r => r._1 -> r._4).toMap
+    assert(byId(1L) < byId(2L) && byId(2L) < byId(3L))
+    // non-broadcast (shuffle-join) path is result-identical
+    val got2 = PipelineOps.bigramSurprise(docs, broadcastLm = false)
+      .select(cols.head, cols.tail: _*)
+      .as[(Long, Long, Long, Long, String)].collect().toSet
+    assert(got2 == expected)
+  }
+
   test("piiRedact: emails and IPs replaced and counted; clean text untouched") {
     val docs = Seq(
       (1L, "write to alice@example.com or bob.smith+x@sub.domain.org today"),

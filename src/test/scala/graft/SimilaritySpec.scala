@@ -174,6 +174,45 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("rrfFuse: matches a driver-side RRF oracle; partitioning-invariant") {
+    import spark.implicits._
+    // two legs with partial overlap, score ties (broken by id), and ids
+    // unique to each leg — every RRF edge case in one fixture
+    val sparse = Seq((10L, 5.5), (11L, 5.5), (12L, 3.0), (13L, 2.0), (14L, 1.0),
+      (15L, 0.5)).toDF("doc_id", "score")
+    val dense = Seq((12L, 0.99), (10L, 0.90), (20L, 0.90), (21L, 0.10))
+      .toDF("vec_id", "cos")
+    val legK = 4 // cuts sparse to its top 4 — 14/15 fall out of the leg list
+    def oracle(k: Int): Seq[(Long, Option[Long], Option[Long], Double)] = {
+      def rank(xs: Seq[(Long, Double)]) = xs.map { case (id, s) =>
+        (id, BigDecimal(s).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }.sortBy { case (id, s) => (-s, id) }.take(legK).zipWithIndex
+        .map { case ((id, _), i) => id -> (i + 1L) }.toMap
+      val (rs, rd) = (rank(Seq((10L, 5.5), (11L, 5.5), (12L, 3.0), (13L, 2.0),
+        (14L, 1.0), (15L, 0.5))), rank(Seq((12L, 0.99), (10L, 0.90), (20L, 0.90), (21L, 0.10))))
+      (rs.keySet ++ rd.keySet).toSeq.map { id =>
+        val c = rs.get(id).map(r => 1.0 / (60.0 + r)).getOrElse(0.0) +
+          rd.get(id).map(r => 1.0 / (60.0 + r)).getOrElse(0.0)
+        (id, rs.get(id), rd.get(id),
+          BigDecimal(c).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }.sortBy { case (id, _, _, c) => (-c, id) }.take(k)
+    }
+    for (parts <- Seq(1, 5)) {
+      val got = PipelineOps.rrfFuse(Seq(
+          "sparse" -> sparse.repartition(parts), "dense" -> dense.repartition(parts)),
+          k = 5, legK = legK)
+        .collect().map(r => (r.getLong(0),
+          if (r.isNullAt(1)) None else Some(r.getLong(1)),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)),
+          r.getDouble(3))).toSeq.sortBy(t => (-t._4, t._1))
+      assert(got == oracle(5), s"parts=$parts")
+    }
+    // a dual-leg doc (10: ranks 1+2) must beat every single-leg doc
+    val top = PipelineOps.rrfFuse(Seq("sparse" -> sparse, "dense" -> dense), 1, legK)
+      .collect().head
+    assert(top.getLong(0) == 10L)
+  }
+
   test("semDedup: clusters equal a union-find oracle over the exact pairs") {
     val e = genEmbeddings(300)
     val threshold = 0.35
