@@ -430,6 +430,9 @@ object SparkEntry {
         .groupBy("doc_id").agg(sum(length(col("tok"))).cast("long").as("n_chars"))
         .join(pieces, "doc_id")
     }),
+    // BPE vocabulary TRAINING (Sennrich 2016): the first 3 learned merges
+    // with their pair counts; the oracle replays the full training loop
+    "q_bpe_train" -> ((s, d) => PipelineOps.bpeTrainDf(docs(s, d), 3)),
     // quality-classifier inference: weight table derived deterministically
     // from the corpus vocabulary (w = tokhash % 2001 - 1000) so the oracle
     // can rebuild the exact same model; integer-exact linear score + bias
@@ -893,6 +896,7 @@ object SparkEntry {
     "q_decontam_spans" -> OracleSql.decontaminateSpans,
     "q_token_shards" -> OracleSql.tokenShards,
     "q_bpe_tokens" -> OracleSql.bpeTokens,
+    "q_bpe_train" -> OracleSql.bpeTrain(3),
     "q_quality_classifier" -> OracleSql.qualityClassifier,
     "q_substr_dedup" -> OracleSql.substrDedup,
     "q_norm_text" -> OracleSql.normText,

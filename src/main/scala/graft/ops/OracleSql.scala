@@ -643,6 +643,41 @@ SELECT doc_id, sum(length(tok))::BIGINT AS n_chars,
   sum(length(tok) - (length(tok) - length(replace(tok, 'th', ''))) // 2)::BIGINT AS n_pieces
 FROM p GROUP BY doc_id"""
 
+  /** q_bpe_train: a FULL independent replay of Sennrich BPE training,
+    * unrolled to `numMerges` stages — each stage counts adjacent symbol
+    * pairs over the (distinct word, count) frame, takes the argmax under
+    * the identical (count desc, pair asc) tie law, and rewrites via a
+    * `list_reduce` fold with the same leftmost-non-overlapping merge
+    * semantics as the Spark side's `aggregate` fold.
+    */
+  def bpeTrain(numMerges: Int): String = {
+    def pairs(k: Int) =
+      s"""p$k AS (SELECT l[i] AS p, l[i+1] AS c, sum(cnt)::BIGINT AS n
+      FROM (SELECT string_split(syms, ' ') AS l, cnt,
+            unnest(range(1, len(string_split(syms, ' ')))) AS i FROM s$k)
+      GROUP BY p, c)"""
+    def arg(k: Int) =
+      s"m${k + 1} AS (SELECT p, c, n FROM p$k ORDER BY n DESC, p, c LIMIT 1)"
+    def rew(k: Int) =
+      s"""s${k + 1} AS (SELECT list_reduce(string_split(s$k.syms, ' '),
+      (acc, x) -> CASE WHEN x = m${k + 1}.c AND (acc = m${k + 1}.p
+                       OR ends_with(acc, ' ' || m${k + 1}.p))
+                  THEN acc || m${k + 1}.c ELSE acc || ' ' || x END) AS syms, s$k.cnt
+      FROM s$k CROSS JOIN m${k + 1})"""
+    val stages = (0 until numMerges).flatMap { k =>
+      Seq(pairs(k), arg(k)) ++ (if (k < numMerges - 1) Seq(rew(k)) else Nil)
+    }.mkString(",\n")
+    val sel = (1 to numMerges)
+      .map(i => s"SELECT ${i}::BIGINT AS rank, p, c, n AS pair_count FROM m$i")
+      .mkString("\nUNION ALL ")
+    s"""WITH $T,
+w AS (SELECT tok, count(*)::BIGINT AS cnt
+      FROM (SELECT unnest(toks) AS tok FROM t) GROUP BY tok),
+s0 AS (SELECT array_to_string([tok[i] for i in range(1, length(tok)+1)], ' ') AS syms, cnt FROM w),
+$stages
+$sel"""
+  }
+
   /** q_quality_classifier: linear classifier inference with the weight
     * table rebuilt from the same deterministic recipe (w = tokhash % 2001
     * - 1000 over the distinct corpus vocabulary, bias 17) — integer

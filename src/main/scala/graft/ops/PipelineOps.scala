@@ -1666,6 +1666,73 @@ object PipelineOps {
         graft.functions.BpeOps.bpe_tokens(col("text"), merges))
       .withColumn("n_bpe_tokens", size(col("bpe_toks")).cast("long"))
 
+  /** BPE vocabulary TRAINING (Sennrich, Haddow & Birch, ACL 2016 §3.2) —
+    * the learn-merges side of [[bpeEncode]]: start from characters, then
+    * `numMerges` times pick the corpus-wide most-frequent adjacent symbol
+    * pair (ties: count desc, then pair lexicographic — deterministic) and
+    * merge every non-overlapping leftmost occurrence. Returns the ranked
+    * merge table (p, c, pair_count) ready for [[bpeEncode]] /
+    * `functions.BpeOps.bpe_tokens`.
+    *
+    * 100 TB shape: training never iterates the corpus — it runs on the
+    * (distinct word, count) frame, which one groupBy with map-side combine
+    * produces and which is vocabulary-sized (millions of rows for a crawl,
+    * not billions of docs). Each merge round is one small job over that
+    * frame: a per-row codegen pair `transform` + groupBy + a 1-row argmax
+    * collect, then a per-row fold rewrite (`aggregate` over the symbol
+    * list with a string accumulator — leftmost non-overlapping, the
+    * paper's replace semantics). Rounds `localCheckpoint` so lineage stays
+    * flat across `numMerges` iterations. The driver holds only the merge
+    * table — the same bounded-model-artifact pattern as [[ivfTopK]]'s
+    * centroid training. Real pipelines additionally bound the word frame
+    * by training on a sample; pass a pre-sampled `docs` for that.
+    */
+  def bpeTrain(docs: DataFrame, numMerges: Int): Seq[(String, String, Long)] = {
+    val words = withTokens(docs)
+      .select(explode(col("toks")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .select(concat_ws(" ", expr("filter(split(w, ''), x -> x <> '')")).as("syms"),
+        col("cnt"))
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    var cur = words.localCheckpoint()
+    var round = 0
+    var exhausted = false
+    while (round < numMerges && !exhausted) {
+      val top = cur
+        .select(col("cnt"), explode(expr(
+          "transform(slice(split(syms, ' '), 1, size(split(syms, ' ')) - 1)," +
+            " (x, i) -> struct(x AS p, element_at(split(syms, ' '), i + 2) AS c))")).as("pr"))
+        .groupBy(col("pr.p").as("p"), col("pr.c").as("c"))
+        .agg(sum("cnt").as("n"))
+        .orderBy(col("n").desc, col("p"), col("c"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true // every word fully merged
+      else {
+        val (p, c, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((p, c, n))
+        val sy = split(col("syms"), " ")
+        cur = cur.withColumn("syms",
+          aggregate(slice(sy, lit(2), greatest(size(sy) - 1, lit(0))),
+            element_at(sy, 1),
+            (acc, x) => when(
+              x === lit(c) && (acc === lit(p) || acc.endsWith(lit(" " + p))),
+              concat(acc, lit(c))).otherwise(concat(acc, lit(" "), x))))
+          .localCheckpoint()
+      }
+      round += 1
+    }
+    merges.toSeq
+  }
+
+  /** [[bpeTrain]] as a (rank, p, c, pair_count) DataFrame. */
+  def bpeTrainDf(docs: DataFrame, numMerges: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    bpeTrain(docs, numMerges).zipWithIndex
+      .map { case ((p, c, n), i) => (i + 1L, p, c, n) }
+      .toDF("rank", "p", "c", "pair_count")
+  }
+
   /** Linear text-classifier inference — the quality-classifier scoring
     * step of the GPT-3 / LLaMA data pipelines (logistic regression /
     * fastText-style linear model over bag-of-words features; Brown et al.

@@ -93,4 +93,73 @@ class BpeSpec extends AnyFunSuite {
       .select("doc_id", "n_bpe_tokens").as[(Long, Long)].collect().toMap
     assert(n == direct.map { case (k, v) => k -> v.size.toLong })
   }
+
+  /** Independent Sennrich trainer: plain Scala symbol vectors, leftmost
+    * non-overlapping merge, (count desc, pair asc) tie law.
+    */
+  private def naiveTrain(words: Map[String, Long], k: Int): Seq[(String, String, Long)] = {
+    var vocab = words.toVector.map { case (w, c) => (w.map(_.toString).toVector, c) }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    var i = 0
+    var done = false
+    while (i < k && !done) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        .withDefaultValue(0L)
+      for ((syms, c) <- vocab; j <- 0 until syms.length - 1)
+        counts((syms(j), syms(j + 1))) += c
+      if (counts.isEmpty) done = true
+      else {
+        val ((p, cc), n) = counts.toSeq.minBy { case ((a, b), m) => (-m, a, b) }
+        out += ((p, cc, n))
+        vocab = vocab.map { case (syms, cn) =>
+          val nb = Vector.newBuilder[String]
+          var j = 0
+          while (j < syms.length) {
+            if (j + 1 < syms.length && syms(j) == p && syms(j + 1) == cc) {
+              nb += p + cc; j += 2
+            } else { nb += syms(j); j += 1 }
+          }
+          (nb.result(), cn)
+        }
+      }
+      i += 1
+    }
+    out.toSeq
+  }
+
+  test("bpeTrain: merge sequence matches an independent Sennrich trainer") {
+    // 'th' dominates, then 'the'; cascaded merges must re-count after each
+    val docs = Seq(
+      (1L, "the the the then there other"),
+      (2L, "thin myth math the"),
+      (3L, "banana bandana ban")
+    ).toDF("doc_id", "text")
+    val words = Seq("the", "the", "the", "then", "there", "other",
+      "thin", "myth", "math", "the", "banana", "bandana", "ban")
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val want = naiveTrain(words, 8)
+    val got = PipelineOps.bpeTrain(docs, 8)
+    assert(got == want)
+    assert(got.head._1 == "t" && got.head._2 == "h") // 'th' is the top pair
+    // learned merges feed the apply kernel directly
+    val pieces = PipelineOps.bpeEncode(docs, got.map(m => (m._1, m._2)))
+      .select("n_bpe_tokens").as[Long].collect().sum
+    val raw = PipelineOps.bpeEncode(docs, Nil)
+      .select("n_bpe_tokens").as[Long].collect().sum
+    assert(pieces < raw) // merges shrink the token budget
+  }
+
+  test("bpeTrain fuzz: random small-alphabet corpora match the naive trainer") {
+    val rnd = new scala.util.Random(20260820)
+    for (trial <- 0 until 8) {
+      val words = (0 until 12).map { _ =>
+        (1 to (1 + rnd.nextInt(6))).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString
+      }
+      val docs = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+      val wc = words.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val want = naiveTrain(wc, 6)
+      val got = PipelineOps.bpeTrain(docs, 6)
+      assert(got == want, s"trial=$trial words=$words")
+    }
+  }
 }
