@@ -250,6 +250,26 @@ object SparkEntry {
       labels.zip(counts).toDF("label", "cnt")
     }),
 
+    // delete-by-query lifecycle (IndexWriter::delete_query analog,
+    // `src/indexer/index_writer.rs:698`): ephemeral index -> tombstone an
+    // engine query -> merge physically purges -> surviving doc ids off the
+    // post-merge docmap. Oracle = docs NOT matching the deleted query.
+    "q_delete_query" -> ((s, d) => {
+      val digest = java.security.MessageDigest.getInstance("MD5")
+        .digest((d + "#delq1").getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val dir = s"/tmp/graft-delq-$digest"
+      val fs = org.apache.hadoop.fs.FileSystem.getLocal(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+      val in = docs(s, d).withColumn("warc_ts", lit("2025-01-01 00:00:00").cast("timestamp"))
+      IndexBuilder.build(s, in, dir,
+        IndexConfig(numPartitions = 4, keyField = "doc_id"))
+      graft.index.Deleter.deleteQuery(s, dir, "spark AND table")
+      graft.index.SegmentMerger.mergeUntilStable(s, dir,
+        graft.index.SegmentMerger.LogMergePolicy(minNumSegments = 2, maxFanIn = 16))
+      new Searcher(s, dir).docmapDF
+        .select(col("url").cast("long").as("doc_id"))
+    }),
+
     // --- snippets + more-like-this (engine-backed; no SQL-expressible
     // oracle -> rows-only driver check; semantics pinned by specs)
     // snippets: docs selected by the oracle-replicable double-BM25 ranking
@@ -836,6 +856,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q_search_term" -> OracleSql.containing("spark"),
     "q_search_and" -> OracleSql.searchAnd,
+    "q_delete_query" -> OracleSql.deleteQuery,
     "q_search_or" -> OracleSql.searchOr,
     "q_search_not" -> OracleSql.searchNot,
     "q_search_phrase" -> OracleSql.searchPhrase,

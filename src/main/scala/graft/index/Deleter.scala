@@ -32,6 +32,34 @@ object Deleter {
     out
   }
 
+  /** Delete-by-query — the reference's `IndexWriter::delete_query`
+    * (`src/indexer/index_writer.rs:698`): tombstone an arbitrary engine
+    * query. Resolution is LAZY and per segment, exactly like delete-by-term:
+    * the query string is parsed with the index's recorded analyzer and
+    * evaluated inside each kernel task against that segment's own postings
+    * (no doc-id lists ever cross the network or bloat the manifest), and
+    * the next merge physically purges the matches. Docs added after the
+    * tombstone's opstamp survive, matching the reference's semantics.
+    *
+    * The query must be expressible in the engine's parser syntax (terms,
+    * phrases, booleans, ranges, prefixes, ...) — it is parse-validated here
+    * so a typo fails at delete time, not at first search.
+    */
+  def deleteQuery(spark: SparkSession, indexDir: String, query: String)
+      : IndexManifest = WriterLock.withLock(spark, indexDir) {
+    val m = IndexManifest.read(spark, indexDir)
+      .getOrElse(throw new IllegalStateException(s"no manifest at $indexDir"))
+    // fail fast on unparseable input with the index's own analyzer chain
+    new graft.search.QueryParser(m.textField, analyzer = m.textAnalyzer,
+      fieldAnalyzers = m.textFieldAnalyzers).parse(query)
+    val opstamp = m.commitSeq + 1
+    val out = m.copy(
+      commitSeq = opstamp,
+      deletes = m.deletes :+ DeleteTerm(DeleteTerm.QueryField, query, opstamp))
+    IndexManifest.write(spark, indexDir, out)
+    out
+  }
+
   /** Delete by primary key (the keyField raw term). */
   def deleteKey(spark: SparkSession, indexDir: String, key: String): IndexManifest = {
     val m = IndexManifest.read(spark, indexDir)

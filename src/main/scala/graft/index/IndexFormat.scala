@@ -92,8 +92,24 @@ final case class SegmentMeta(
 /** One tombstone: delete-by-term recorded at `opstamp` (= the commitSeq the
   * delete was published with). Applies to a segment iff
   * `segment.createdSeq < opstamp` (docs added after the delete survive).
+  *
+  * Delete-by-QUERY tombstones (the reference's `IndexWriter::delete_query`,
+  * `src/indexer/index_writer.rs:698`) ride the SAME queue — the reference's
+  * `delete_queue.rs` also holds both op kinds uniformly as `DeleteOperation
+  * { opstamp, target: Weight }`. Here `field == DeleteTerm.QueryField` marks
+  * a query op and `term` carries the engine query string (parsed with the
+  * index's own recorded analyzer when resolved). Old readers treat the row
+  * as a term tombstone on a field no document has — harmless — so the
+  * manifest format is unchanged in both directions.
   */
 final case class DeleteTerm(field: String, term: String, opstamp: Long)
+
+object DeleteTerm {
+  /** Sentinel field marking a delete-by-query tombstone ("__" prefix is
+    * reserved for internal rows, so no user field can collide).
+    */
+  val QueryField = "__delete_query__"
+}
 
 /** Declared fast field: `name` is the docmap column the Searcher exposes,
   * `ftype` ∈ {"long","double","string","longs","strings"} picks the typed

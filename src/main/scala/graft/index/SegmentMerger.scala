@@ -122,33 +122,14 @@ object SegmentMerger {
     val byId = manifest.segments.map(m => m.segment -> m).toMap
     val oldSegsAll = groups.flatMap(_.oldSegments)
 
-    // dead docIds per old segment (from the tombstoned terms' own postings;
-    // one tiny pruned read, decoded on the driver — tombstone counts are
-    // small relative to segment data)
-    val deletedBySeg: Map[Int, Array[Int]] = {
-      val terms: Map[Int, Set[(String, String)]] = oldSegsAll
-        .map(s => s -> manifest.deletesFor(byId(s)).map(d => (d.field, d.term)).toSet)
-        .filter(_._2.nonEmpty).toMap
-      if (terms.isEmpty) Map.empty
-      else {
-        val pairs = terms.values.flatten.toSet
-        val cond = pairs.groupBy(_._1).map { case (f, ts) =>
-          col("field") === f && col("term").isin(ts.map(_._2).toSeq: _*)
-        }.reduce(_ || _)
-        spark.read.parquet(s"$indexDir/postings")
-          .where(col("segment").isin(terms.keys.toSeq: _*) && cond)
-          .as[PostingRow].collect()
-          .groupBy(_.segment)
-          .map { case (s, rs) =>
-            val applicable = terms(s)
-            val buf = rs.filter(r => applicable((r.field, r.term))).flatMap { r =>
-              PostingsCodec.decodeAll(r.docFreq, r.postings, r.skip, readFreqs = true)._1
-            }
-            s -> buf.distinct.sorted.toArray
-          }
-          .filter(_._2.nonEmpty)
-      }
-    }
+    // dead docIds per old segment — term AND delete-query tombstones,
+    // resolved through the Searcher's own per-segment assembly (one tiny
+    // pruned read of the tombstones' term/range/norms rows, decoded on the
+    // driver — tombstone resolution cost is proportional to the tombstoned
+    // terms' postings, not segment data)
+    val deletedBySeg: Map[Int, Array[Int]] =
+      if (oldSegsAll.forall(s => manifest.deletesFor(byId(s)).isEmpty)) Map.empty
+      else new graft.search.Searcher(spark, indexDir).resolveDeadDocs(oldSegsAll)
     @inline def aliveCount(s: Int): Int =
       byId(s).numDocs - deletedBySeg.get(s).map(_.length).getOrElse(0)
 

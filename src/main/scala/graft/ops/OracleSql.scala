@@ -19,6 +19,12 @@ object OracleSql {
 
   val searchAnd: String =
     s"WITH $T SELECT doc_id FROM t WHERE list_contains(toks, 'spark') AND list_contains(toks, 'table')"
+  /** Survivors of delete-by-query "spark AND table": the complement of
+    * [[searchAnd]] over the whole corpus (merge purged the matches).
+    */
+  val deleteQuery: String =
+    s"WITH $T SELECT doc_id FROM t WHERE NOT (list_contains(toks, 'spark') AND list_contains(toks, 'table'))"
+
   val searchOr: String =
     s"WITH $T SELECT doc_id FROM t WHERE list_contains(toks, 'vector') OR list_contains(toks, 'stream')"
   val searchNot: String =

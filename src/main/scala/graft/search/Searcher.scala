@@ -75,11 +75,38 @@ final class Searcher(spark: SparkSession, indexDir: String, asOfSeq: Option[Long
     */
   private val deleteTermsBySeg: Map[Int, Seq[(String, String)]] =
     manifest.segments
-      .map(m => m.segment -> manifest.deletesFor(m).map(d => (d.field, d.term)))
+      .map(m => m.segment -> manifest.deletesFor(m)
+        .filter(_.field != graft.index.DeleteTerm.QueryField)
+        .map(d => (d.field, d.term)))
       .filter(_._2.nonEmpty).toMap
-  private val allDeleteTerms: Set[(String, String)] =
-    deleteTermsBySeg.values.flatten.toSet
+
+  /** Delete-by-QUERY tombstones (`IndexWriter::delete_query` analog),
+    * applicable per segment: parsed with the index's recorded analyzer and
+    * compiled once per snapshot, then shipped to kernel tasks where each
+    * segment evaluates them against its own postings to extend the dead-doc
+    * set — lazy per-segment resolution, no doc-id lists cross the network.
+    */
+  private lazy val deleteQueriesBySeg: Map[Int, Seq[CQuery]] = {
+    val bySeg = manifest.segments
+      .map(m => m.segment -> manifest.deletesFor(m)
+        .filter(_.field == graft.index.DeleteTerm.QueryField).map(_.term))
+      .filter(_._2.nonEmpty)
+    if (bySeg.isEmpty) Map.empty
+    else {
+      val parser = new QueryParser(manifest.textField,
+        analyzer = manifest.textAnalyzer, fieldAnalyzers = manifest.textFieldAnalyzers)
+      val distinctQs = bySeg.flatMap(_._2).distinct
+      val planned = distinctQs.zip(planAll(distinctQs.map(parser.parse))).toMap
+      bySeg.map { case (s, qs) => s -> qs.map(planned) }.toMap
+    }
+  }
+  private lazy val deleteCqsAll: Seq[CQuery] =
+    deleteQueriesBySeg.values.flatten.toSeq.distinct
+  private lazy val allDeleteTerms: Set[(String, String)] =
+    deleteTermsBySeg.values.flatten.toSet ++
+      deleteCqsAll.flatMap(CQuery.termsOf)
   private lazy val bDeletes = spark.sparkContext.broadcast(deleteTermsBySeg)
+  private lazy val bDelQueries = spark.sparkContext.broadcast(deleteQueriesBySeg)
   // primary text field name, shipped to kernel tasks so per-field norms
   // resolution can fall back to it (json paths use the text field's norms)
   private lazy val bPrimaryField = spark.sparkContext.broadcast(manifest.textField)
@@ -346,15 +373,16 @@ final class Searcher(spark: SparkSession, indexDir: String, asOfSeq: Option[Long
     val bcq = spark.sparkContext.broadcast(live)
     val bNumDocs = spark.sparkContext.broadcast(numDocsBySeg)
     val bDel = bDeletes
+    val bDelQ = bDelQueries
     val ptf = bPrimaryField
     val allTerms = live.map(_._1).flatMap(CQuery.termsOf).toSet
     val termCond = termsCond(allTerms ++ allDeleteTerms)
     val normsCond = col("field") === PostingRow.NormsField // all text fields' norms rows (tiny: one row per field per segment)
     val baseCond = termCond || normsCond
-    val countCond = rangesCond(live.map(_._1)).map(baseCond || _).getOrElse(baseCond)
+    val countCond = rangesCond(live.map(_._1) ++ deleteCqsAll).map(baseCond || _).getOrElse(baseCond)
     val nShards = queryShardCount(live.size)
     def countShard(seg: Int, shard: Int, it: Iterator[PostingRow]): Iterator[(Int, Long)] = {
-      val ctx = Searcher.makeContext(it, bNumDocs.value, seg, bDel.value, ptf.value)
+      val ctx = Searcher.makeContext(it, bNumDocs.value, seg, bDel.value, ptf.value, bDelQ.value)
       bcq.value.iterator.zipWithIndex
         .filter { case (_, i) => i % nShards == shard }
         .map { case ((cq, qi), _) => (qi, QueryKernel.count(cq, ctx)) }
@@ -378,13 +406,14 @@ final class Searcher(spark: SparkSession, indexDir: String, asOfSeq: Option[Long
     val termCond = termsCond(allTerms ++ allDeleteTerms)
     val normsCond = col("field") === PostingRow.NormsField // all text fields' norms rows (tiny: one row per field per segment)
     val baseCond = termCond || normsCond
-    val rowCond = rangesCond(live.map(_._1)).map(baseCond || _).getOrElse(baseCond)
+    val rowCond = rangesCond(live.map(_._1) ++ deleteCqsAll).map(baseCond || _).getOrElse(baseCond)
     val rows = postingsDF.where(rowCond).as[PostingRow]
     val bDel = bDeletes
+    val bDelQ = bDelQueries
     val ptf = bPrimaryField
     val nShards = queryShardCount(live.size)
     def runShard(seg: Int, shard: Int, it: Iterator[PostingRow]): Iterator[(Int, Long, Float)] = {
-      val ctx = Searcher.makeContext(it, bNumDocs.value, seg, bDel.value, ptf.value)
+      val ctx = Searcher.makeContext(it, bNumDocs.value, seg, bDel.value, ptf.value, bDelQ.value)
       bcq.value.iterator.zipWithIndex
         .filter { case (_, i) => i % nShards == shard }
         .flatMap { case ((cq, qi), _) =>
@@ -548,7 +577,7 @@ final class Searcher(spark: SparkSession, indexDir: String, asOfSeq: Option[Long
     val termCond = termsCond(CQuery.termsOf(cq) ++ allDeleteTerms)
     val normsCond = col("field") === PostingRow.NormsField // all text fields' norms rows (tiny: one row per field per segment)
     val base = termCond || normsCond
-    val cond = rangesCond(Seq(cq)).map(base || _).getOrElse(base)
+    val cond = rangesCond(Seq(cq) ++ deleteCqsAll).map(base || _).getOrElse(base)
     postingsDF.where(cond).as[PostingRow]
   }
 
@@ -570,10 +599,11 @@ final class Searcher(spark: SparkSession, indexDir: String, asOfSeq: Option[Long
     val bcq = spark.sparkContext.broadcast(cq)
     val bNumDocs = spark.sparkContext.broadcast(numDocsBySeg)
     val bDel = bDeletes
+    val bDelQ = bDelQueries
     val ptf = bPrimaryField
     val kk = k + offset
     val localTopK = perSegment(kernelRows(cq)) { (seg, it) =>
-        val ctx = Searcher.makeContext(it, bNumDocs.value, seg, bDel.value, ptf.value)
+        val ctx = Searcher.makeContext(it, bNumDocs.value, seg, bDel.value, ptf.value, bDelQ.value)
         val topN = new TopNComputer(kk)
         QueryKernel.topK(bcq.value, ctx, kk, topN, seg.toLong << 32)
         topN.intoSortedVec().iterator.map { case (score, addr) =>
@@ -649,12 +679,13 @@ final class Searcher(spark: SparkSession, indexDir: String, asOfSeq: Option[Long
     val bcq = spark.sparkContext.broadcast(cq)
     val bNumDocs = spark.sparkContext.broadcast(numDocsBySeg)
     val bDel = bDeletes
+    val bDelQ = bDelQueries
     val ptf = bPrimaryField
     val sc = scored
     if (cq == CQuery.CEmpty)
       return Seq.empty[(Int, Int, Float)].toDF("segment", "docId", "score")
     perSegment(kernelRows(cq)) { (seg, it) =>
-        val ctx = Searcher.makeContext(it, bNumDocs.value, seg, bDel.value, ptf.value)
+        val ctx = Searcher.makeContext(it, bNumDocs.value, seg, bDel.value, ptf.value, bDelQ.value)
         QueryKernel.allMatches(bcq.value, ctx, sc).map { case (d, s) => (seg, d, s) }
       }.toDF("segment", "docId", "score")
   }
@@ -673,12 +704,13 @@ final class Searcher(spark: SparkSession, indexDir: String, asOfSeq: Option[Long
   def termDocsAndPositions(field: String, term: String): DataFrame = {
     val bNumDocs = spark.sparkContext.broadcast(numDocsBySeg)
     val bDel = bDeletes
+    val bDelQ = bDelQueries
     val ptf = bPrimaryField
     val cq = plan(Query.Term(field, term))
     val f0 = field
     val t0 = term
     perSegment(kernelRows(cq)) { (seg, it) =>
-      val ctx = Searcher.makeContext(it, bNumDocs.value, seg, bDel.value, ptf.value)
+      val ctx = Searcher.makeContext(it, bNumDocs.value, seg, bDel.value, ptf.value, bDelQ.value)
       val p = ctx.fresh(f0, t0)
       if (p == null) Iterator.empty
       else new Iterator[(Int, Int, Int, Array[Int])] {
@@ -720,7 +752,7 @@ final class Searcher(spark: SparkSession, indexDir: String, asOfSeq: Option[Long
     val cq = plan(q0)
     if (cq == CQuery.CEmpty) return None
     val rows = kernelRows(cq).where(col("segment") === segment).collect()
-    val ctx = Searcher.makeContext(rows.iterator, numDocsBySeg, segment, deleteTermsBySeg, manifest.textField)
+    val ctx = Searcher.makeContext(rows.iterator, numDocsBySeg, segment, deleteTermsBySeg, manifest.textField, deleteQueriesBySeg)
     QueryKernel.explain(cq, ctx, docId)
   }
 
@@ -728,6 +760,29 @@ final class Searcher(spark: SparkSession, indexDir: String, asOfSeq: Option[Long
   def explain(q0: Query, url: String): Option[Explanation] =
     docmapDF.where(col("url") === url).select("segment", "docId").collect()
       .headOption.flatMap(r => explain(q0, r.getInt(0), r.getInt(1)))
+
+  /** Driver-side dead-doc resolution for the merge purge: the full dead set
+    * (term tombstones + delete-query tombstones) per requested segment, off
+    * ONE pruned read of the tombstones' own term/range/norms rows — the
+    * same per-segment assembly the kernel tasks do, replayed locally so the
+    * merger never needs its own resolution logic.
+    */
+  def resolveDeadDocs(segments: Seq[Int]): Map[Int, Array[Int]] = {
+    val affected = segments.filter(s =>
+      deleteTermsBySeg.contains(s) || deleteQueriesBySeg.contains(s))
+    if (affected.isEmpty) return Map.empty
+    val base = termsCond(allDeleteTerms) ||
+      col("field") === PostingRow.NormsField
+    val cond = rangesCond(deleteCqsAll).map(base || _).getOrElse(base)
+    val rows = postingsDF
+      .where(col("segment").isin(affected: _*) && cond)
+      .as[PostingRow].collect()
+      .groupBy(_.segment)
+    affected.map { s =>
+      s -> Searcher.makeContext(rows.getOrElse(s, Array.empty[PostingRow]).iterator,
+        numDocsBySeg, s, deleteTermsBySeg, manifest.textField, deleteQueriesBySeg).deleted
+    }.filter(_._2.nonEmpty).toMap
+  }
 
   /** Hierarchical facet collector (`src/collector/facet_collector.rs:47-183`):
     * counts of `root`'s DIRECT children over the docs matching `q`. A doc
@@ -744,6 +799,7 @@ final class Searcher(spark: SparkSession, indexDir: String, asOfSeq: Option[Long
     val bcq = spark.sparkContext.broadcast(cq)
     val bNumDocs = spark.sparkContext.broadcast(numDocsBySeg)
     val bDel = bDeletes
+    val bDelQ = bDelQueries
     val ptf = bPrimaryField
     val fld = field
     val pfx = prefix
@@ -751,10 +807,10 @@ final class Searcher(spark: SparkSession, indexDir: String, asOfSeq: Option[Long
     val termCond = termsCond(CQuery.termsOf(cq) ++ allDeleteTerms)
     val normsCond = col("field") === PostingRow.NormsField // all text fields' norms rows (tiny: one row per field per segment)
     val base = termCond || normsCond || facetCond
-    val cond = rangesCond(Seq(cq)).map(base || _).getOrElse(base)
+    val cond = rangesCond(Seq(cq) ++ deleteCqsAll).map(base || _).getOrElse(base)
     perSegment(postingsDF.where(cond).as[PostingRow]) { (seg, it) =>
         val rows = it.toArray
-        val ctx = Searcher.makeContext(rows.iterator, bNumDocs.value, seg, bDel.value, ptf.value)
+        val ctx = Searcher.makeContext(rows.iterator, bNumDocs.value, seg, bDel.value, ptf.value, bDelQ.value)
         val matched = new java.util.BitSet(ctx.numDocs)
         QueryKernel.allMatches(bcq.value, ctx, scored = false)
           .foreach { case (d, _) => matched.set(d) }
@@ -798,10 +854,11 @@ final class Searcher(spark: SparkSession, indexDir: String, asOfSeq: Option[Long
       val bcq = spark.sparkContext.broadcast(cq)
       val bNumDocs = spark.sparkContext.broadcast(numDocsBySeg)
       val bDel = bDeletes
+    val bDelQ = bDelQueries
     val ptf = bPrimaryField
       perSegment(kernelRows(cq)) { (seg, it) =>
           Iterator.single(
-            QueryKernel.count(bcq.value, Searcher.makeContext(it, bNumDocs.value, seg, bDel.value, ptf.value)))
+            QueryKernel.count(bcq.value, Searcher.makeContext(it, bNumDocs.value, seg, bDel.value, ptf.value, bDelQ.value)))
         }.collect().sum
   }
 }
@@ -894,7 +951,8 @@ object Searcher {
     */
   def makeContext(rows: Iterator[PostingRow], numDocsBySeg: Map[Int, Int], seg: Int,
       deleteTermsBySeg: Map[Int, Seq[(String, String)]] = Map.empty,
-      primaryField: String = "text")
+      primaryField: String = "text",
+      deleteQueriesBySeg: Map[Int, Seq[CQuery]] = Map.empty)
       : QueryKernel.SegmentContext = {
     val byKey = new scala.collection.mutable.HashMap[(String, String), PostingRow]()
     val byField = new scala.collection.mutable.HashMap[String, scala.collection.mutable.ArrayBuffer[PostingRow]]()
@@ -944,21 +1002,40 @@ object Searcher {
         new graft.codec.ParsedSkip(r.skip, r.docFreq))
       new graft.codec.SegmentPostings(r.postings, ps, r.positions, readFreqs = true)
     }
-    new QueryKernel.SegmentContext(numDocs, norms,
+    val postingsFor: (String, String) => graft.codec.SegmentPostings =
       (f, t) => byKey.get((f, t)) match {
         case Some(r) => cursor(r)
         case None => null
-      }, deleted,
-      // segment-local dictionary range walk: the pruned scan already
-      // restricted rows to the union of the batch's term + range conditions,
-      // so re-filtering by THIS range's bounds is exact
+      }
+    // segment-local dictionary range walk: the pruned scan already
+    // restricted rows to the union of the batch's term + range conditions,
+    // so re-filtering by THIS range's bounds is exact
+    val rangeFor: (String, Option[String], Option[String], Boolean, Boolean) =>
+        Array[graft.codec.SegmentPostings] =
       (f, lo, hi, loInc, hiInc) => byField.get(f) match {
         case None => Array.empty[graft.codec.SegmentPostings]
         case Some(rs) => rs.iterator.filter { r =>
           lo.forall(v => if (loInc) r.term >= v else r.term > v) &&
             hi.forall(v => if (hiInc) r.term <= v else r.term < v)
         }.map(cursor).toArray
-      },
-      normsByField.toMap)
+      }
+    val nbf = normsByField.toMap
+    def build(dead: Array[Int]) =
+      new QueryKernel.SegmentContext(numDocs, norms, postingsFor, dead, rangeFor, nbf)
+    // delete-by-QUERY tombstones: evaluate each compiled query against this
+    // segment's own postings (unscored scorer walk — the same lazy local
+    // resolution as term tombstones, just with a richer matcher) and fold
+    // the matches into the dead set
+    deleteQueriesBySeg.getOrElse(seg, Nil) match {
+      case Nil => build(deleted)
+      case qs =>
+        val ctx0 = build(deleted)
+        val extra = scala.collection.mutable.ArrayBuffer.empty[Int]
+        qs.foreach { q =>
+          QueryKernel.allMatches(q, ctx0, scored = false).foreach(extra += _._1)
+        }
+        if (extra.isEmpty) ctx0
+        else build((deleted ++ extra).distinct.sorted)
+    }
   }
 }

@@ -137,6 +137,62 @@ class DeleteSpec extends AnyFunSuite {
       .isin(dead.toSeq: _*)).count() == 0)
   }
 
+  test("delete-by-query: lazy per-segment resolution, opstamp spares newer docs, merge purges") {
+    import spark.implicits._
+    val (dir, _) = freshIndex()
+    val s0 = new Searcher(spark, dir)
+    val qs = "alpha AND beta" // engine syntax, resolved inside kernel tasks
+    val targets = corpus.collect {
+      case (u, t) if t.contains("alpha") && t.contains("beta") => u
+    }.toSet
+    assert(targets.nonEmpty && targets.size < NumDocs)
+    assert(s0.count(new QueryParser(s0.manifest.textField,
+      analyzer = s0.manifest.textAnalyzer).parse(qs)) == targets.size.toLong)
+
+    Deleter.deleteQuery(spark, dir, qs)
+    val s1 = new Searcher(spark, dir)
+    // every matching doc is excluded from every collector path
+    assert(s1.count(Query.All) == (NumDocs - targets.size).toLong)
+    val aliveUrls = s1.allMatches(Query.Term("text", "alpha"), scored = false)
+      .join(s1.docmapDF, Seq("segment", "docId")).select("url").as[String].collect().toSet
+    assert(aliveUrls.intersect(targets).isEmpty)
+    // survivors keep exact f32 scores (stats unchanged until merge)
+    val beforeScores = s0.topDocs(Query.Term("text", "gamma"), 50)
+      .map(h => h.url -> h.score).toMap
+    s1.topDocs(Query.Term("text", "gamma"), 20).foreach { h =>
+      beforeScores.get(h.url).foreach(sc => assert(sc == h.score, h.url))
+    }
+
+    // opstamp: a NEW doc matching the dead query survives (added after)
+    val victim = targets.head
+    val idx = (0L until NumDocs.toLong).find(i => WebCorpus.genDoc(i).url == victim).get
+    val readd = WebCorpus.genDoc(idx)
+    IndexBuilder.build(spark,
+      Seq((readd.url, readd.text, readd.lang, readd.warc_ts))
+        .toDF("url", "text", "lang", "warc_ts"),
+      dir, IndexConfig(numPartitions = 4), segmentBase = 100000)
+    val s2 = new Searcher(spark, dir)
+    assert(s2.count(Query.All) == (NumDocs - targets.size + 1).toLong)
+    assert(s2.allMatches(Query.Term(s2.manifest.keyField, victim), scored = false)
+      .count() == 1)
+
+    // merge physically purges: tombstone drains, totals are the alive corpus
+    val m = SegmentMerger.mergeUntilStable(spark, dir,
+      SegmentMerger.LogMergePolicy(minNumSegments = 2, maxFanIn = 16))
+    assert(m.deletes.isEmpty)
+    assert(m.totalDocs == NumDocs - targets.size + 1)
+    val s3 = new Searcher(spark, dir)
+    val deadGone = s3.docmapDF
+      .where(org.apache.spark.sql.functions.col("url").isin((targets - victim).toSeq: _*))
+    assert(deadGone.count() == 0)
+    assert(s3.docmapDF.where(org.apache.spark.sql.functions.col("url") === victim)
+      .count() == 1)
+    // unparseable query fails at delete time, manifest untouched
+    val seqBefore = s3.manifest.commitSeq
+    intercept[Exception] { Deleter.deleteQuery(spark, dir, "\"unclosed phrase") }
+    assert(IndexManifest.read(spark, dir).get.commitSeq == seqBefore)
+  }
+
   test("merge across delete→re-add boundary keeps the re-added doc-map row") {
     import spark.implicits._
     val (dir, _) = freshIndex()
