@@ -366,6 +366,12 @@ object SparkEntry {
     }),
     "q_strat_sample" -> ((s, d) => PipelineOps.stratifiedSample(docs(s, d), "lang",
       Map("en" -> 0.5, "de" -> 0.25, "fr" -> 0.1)).select(col("doc_id"), col("lang"))),
+    // deterministic train/val/test split: per-row md5 permille buckets,
+    // no shuffle, membership a pure function of (doc_id, salt)
+    "q_hash_split" -> ((s, d) => PipelineOps.hashSplit(docs(s, d))),
+    // reproducible global shuffle: training-order position via the
+    // two-level bucket prefix sum (oracle = plain ROW_NUMBER full sort)
+    "q_global_shuffle" -> ((s, d) => PipelineOps.globalShuffle(docs(s, d))),
     // per-domain capping over a deterministic synthetic url (97 hosts);
     // Spark extracts the host back out of the url by regex, the oracle
     // constructs it arithmetically
@@ -906,6 +912,8 @@ object SparkEntry {
     "q_c4_filter" -> OracleSql.c4Filter,
     "q_contamination" -> OracleSql.contamination(3),
     "q_strat_sample" -> OracleSql.stratifiedSample,
+    "q_hash_split" -> OracleSql.hashSplit,
+    "q_global_shuffle" -> OracleSql.globalShuffle,
     "q_domain_cap" -> OracleSql.domainCap,
     "q_pii_redact" -> OracleSql.piiRedact,
     "q_para_dedup" -> OracleSql.paragraphDedup,

@@ -459,6 +459,29 @@ GROUP BY d.doc_id, b.bench_id HAVING count(*) >= $minShared"""
 WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000
   < (CASE WHEN lang = 'en' THEN 0.5 WHEN lang = 'de' THEN 0.25 WHEN lang = 'fr' THEN 0.1 ELSE 0.0 END) * 10000"""
 
+  /** q_hash_split: the same md5 permille-bucket arithmetic as
+    * `PipelineOps.hashSplit` (32 hex bits of md5(doc_id || '#' || salt) mod
+    * 1000; test < 10, val < 20, else train) rebuilt in DuckDB's dialect.
+    */
+  val hashSplit: String =
+    """WITH k AS (SELECT doc_id,
+  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#split'), 1, 8)) AS BIGINT) % 1000 AS b
+  FROM documents)
+SELECT doc_id,
+  CASE WHEN b < 10 THEN 'test' WHEN b < 20 THEN 'val' ELSE 'train' END AS split
+FROM k"""
+
+  /** q_global_shuffle: the reproducible training-order permutation —
+    * position by (md5 key, doc_id). The Spark side computes the rank with
+    * a two-level bucket prefix sum (no global window); here the plain
+    * ROW_NUMBER over the full sort is the independent formulation.
+    */
+  val globalShuffle: String =
+    """WITH k AS (SELECT doc_id,
+  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#shuffle'), 1, 8)) AS BIGINT) AS h
+  FROM documents)
+SELECT doc_id, ROW_NUMBER() OVER (ORDER BY h, doc_id) - 1 AS shuffle_pos FROM k"""
+
   /** q_domain_cap: 97 synthetic hosts (doc_id % 97), keep 5 docs per host
     * by doc_id order. The Spark side regex-extracts the host from the url;
     * here the host is rebuilt arithmetically.

@@ -1797,4 +1797,55 @@ object PipelineOps {
       .join(corpus.select(col("text")).distinct(), Seq("text"), "left_anti")
     definiteNew.select("doc_id").unionByName(verifiedNew.select("doc_id"))
   }
+
+  /** Shared md5 bucket arithmetic (Spark dialect) — 32 hex bits of
+    * md5(doc_id || '#' || salt) as a BIGINT, the same value
+    * `OracleSql` rebuilds in DuckDB. Row-wise deterministic: no RNG state,
+    * no partitioning dependence, reproducible across engines and runs.
+    */
+  private def md5Key(salt: String): Column =
+    expr(s"cast(conv(substr(md5(concat(cast(doc_id as string), '#$salt')), 1, 8), 16, 10) as bigint)")
+
+  /** Deterministic train/val/test assignment — the split every training
+    * pipeline freezes before anything else touches the corpus. The label is
+    * pure per-row hash arithmetic on (doc_id, salt): permille buckets of
+    * the md5 key, `test` lowest, then `val`, remainder `train`. Changing
+    * `salt` draws an independent split; nothing shuffles, the whole op is
+    * one codegen projection, and membership never drifts when the corpus
+    * is repartitioned or appended to (a doc's label depends only on its id).
+    */
+  def hashSplit(docs: DataFrame, valPermille: Int = 10, testPermille: Int = 10,
+      salt: String = "split"): DataFrame = {
+    require(valPermille >= 0 && testPermille >= 0 && valPermille + testPermille <= 1000)
+    val bucket = pmod(md5Key(salt), lit(1000L))
+    docs.select(col("doc_id"),
+      when(bucket < testPermille, lit("test"))
+        .when(bucket < testPermille + valPermille, lit("val"))
+        .otherwise(lit("train")).as("split"))
+  }
+
+  /** Reproducible global shuffle — the training-order permutation
+    * (position of each doc in the shuffled epoch), deterministic from
+    * (doc_id, salt) alone. Order = (md5 key, doc_id); the POSITION is
+    * computed without a global sort or single-reducer window: the top bits
+    * of the uniform hash key bucket the rows (buckets are balanced by
+    * construction), a bucket-partitioned window ranks within each bucket,
+    * and the per-bucket counts (≤4096 rows) take one tiny single-partition
+    * prefix sum broadcast back — the same two-level machinery as
+    * [[tokenShards]]. Returns (doc_id, shuffle_pos), a permutation of
+    * 0..n-1.
+    */
+  def globalShuffle(docs: DataFrame, salt: String = "shuffle"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keyed = docs.select(col("doc_id"), md5Key(salt).as("h"))
+      .withColumn("b", expr("h div 1048576")) // 2^32 / 2^20 = 4096 buckets
+    val inBucket = row_number()
+      .over(Window.partitionBy("b").orderBy(col("h"), col("doc_id")))
+    val bucketPrefix = keyed.groupBy("b").agg(count(lit(1)).as("bn"))
+      .withColumn("bp", sum(col("bn")).over(Window.orderBy("b")) - col("bn"))
+      .select("b", "bp")
+    keyed.join(broadcast(bucketPrefix), "b")
+      .select(col("doc_id"),
+        (col("bp") + inBucket.cast("long") - 1L).as("shuffle_pos"))
+  }
 }

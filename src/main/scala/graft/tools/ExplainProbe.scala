@@ -168,6 +168,22 @@ object ExplainProbe {
     println(s"rrf: TakeOrderedAndProject legs = " +
       s"${"TakeOrderedAndProject".r.findAllIn(rrfPlan).size} (want >=2: one per " +
       s"leg cut + the final top-k), Cartesian = ${rrfPlan.contains("Cartesian")} (want false)")
+
+    println("==== hashSplit (one codegen projection, no exchange) / globalShuffle " +
+      "(bucket-partitioned rank + broadcast bucket prefix — the only " +
+      "unpartitioned window is over the <=4096 bucket-count rows) ====")
+    val hs = graft.ops.PipelineOps.hashSplit(docsDf)
+    val hsPlan = hs.queryExecution.executedPlan.toString
+    println(s"hashSplit: shuffle-free = ${!hsPlan.contains("Exchange")}, " +
+      s"codegen = ${hsPlan.contains("*(")}")
+    val gs = graft.ops.PipelineOps.globalShuffle(docsDf)
+    gs.explain("formatted")
+    val gsPlan = gs.queryExecution.executedPlan.toString
+    println(s"globalShuffle: bucket-prefix broadcast join = " +
+      s"${"BroadcastHashJoin".r.findAllIn(gsPlan).size} (want 1: corpus rows " +
+      "never reshuffle for the prefix), corpus-wide single partitions = " +
+      s"${"SinglePartition".r.findAllIn(gsPlan).size} (bucket-count rows only), " +
+      s"Cartesian = ${gsPlan.contains("Cartesian")} (want false)")
     spark.stop()
   }
 }

@@ -54,6 +54,55 @@ class CurationSpec extends AnyFunSuite {
     assert(none.count() == 0L)
   }
 
+  test("hashSplit: deterministic disjoint labels, fractions near target, salt independence") {
+    val docs = (0L until 5000L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    val a = PipelineOps.hashSplit(docs, valPermille = 100, testPermille = 50)
+      .as[(Long, String)].collect().toMap
+    val b = PipelineOps.hashSplit(docs.repartition(13), valPermille = 100, testPermille = 50)
+      .as[(Long, String)].collect().toMap
+    assert(a == b) // pure function of (doc_id, salt): partitioning is irrelevant
+    assert(a.size == 5000 && a.values.forall(Set("train", "val", "test")))
+    // independent JVM oracle: same md5 arithmetic, zero Spark involvement
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def bucket(id: Long, salt: String): Long = {
+      val hex = md.digest(s"$id#$salt".getBytes("UTF-8")).take(4)
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex, 16) % 1000
+    }
+    a.foreach { case (id, lbl) =>
+      val want = bucket(id, "split") match {
+        case x if x < 50 => "test"
+        case x if x < 150 => "val"
+        case _ => "train"
+      }
+      assert(lbl == want, s"doc $id")
+    }
+    val frac = a.values.groupBy(identity).view.mapValues(_.size / 5000.0).toMap
+    assert(math.abs(frac("test") - 0.05) < 0.01 && math.abs(frac("val") - 0.1) < 0.015)
+    // a different salt draws an independent split (some docs move)
+    val c = PipelineOps.hashSplit(docs, 100, 50, salt = "other")
+      .as[(Long, String)].collect().toMap
+    assert(c.exists { case (id, l) => a(id) != l })
+  }
+
+  test("globalShuffle: permutation of 0..n-1, repartition-invariant, matches full-sort rank") {
+    val docs = (0L until 4096L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    val pos = PipelineOps.globalShuffle(docs).as[(Long, Long)].collect().toMap
+    assert(pos.size == 4096 && pos.values.toSet == (0L until 4096L).toSet)
+    val pos2 = PipelineOps.globalShuffle(docs.repartition(29)).as[(Long, Long)].collect().toMap
+    assert(pos == pos2)
+    // independent oracle: JVM md5 keys, plain sort, index = position
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(id: Long): Long = java.lang.Long.parseLong(
+      md.digest(s"$id#shuffle".getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString, 16)
+    val want = (0L until 4096L).sortBy(id => (h(id), id)).zipWithIndex
+      .map { case (id, i) => id -> i.toLong }.toMap
+    assert(pos == want)
+    // different salt, different permutation
+    val other = PipelineOps.globalShuffle(docs, salt = "epoch2").as[(Long, Long)].collect().toMap
+    assert(other != pos && other.values.toSet == (0L until 4096L).toSet)
+  }
+
   test("domainCap: keeps the cap lowest doc_ids per host, small hosts whole") {
     val docs = ((0L until 30L).map(i => (i, s"https://h${i % 3}.example/p$i")) :+
       (100L, "https://rare.example/only")).toDF("doc_id", "url")
