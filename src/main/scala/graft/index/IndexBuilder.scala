@@ -227,8 +227,12 @@ object IndexBuilder {
         // with a multi-valued source the scalar text column need not exist
         (if (cfg.textValuesField.isDefined) lit("")
          else coalesce(col(cfg.textField).cast("string"), lit(""))).as("text"),
-        col(cfg.langField).cast("string").as("lang"),
-        col(cfg.tsField).cast("timestamp").as("ts"),
+        // the built-in lang/ts fast-field columns are optional on the
+        // source (same null-lenient rule as a null value: absent == null)
+        (if (source.columns.contains(cfg.langField)) col(cfg.langField).cast("string")
+         else lit(null).cast("string")).as("lang"),
+        (if (source.columns.contains(cfg.tsField)) col(cfg.tsField).cast("timestamp")
+         else lit(null).cast("timestamp")).as("ts"),
         longsCol.as("longs"),
         jsonsCol.as("jsons"),
         facetsCol.as("facets"),

@@ -74,12 +74,16 @@ object IndexCli {
       println(new Searcher(spark, dir).count(q))
     case "merge" =>
       val fanIn = args.lift(2).map(_.toInt).getOrElse(16)
+      val minSegs = args.lift(3).map(_.toInt).getOrElse(8)
       val m = SegmentMerger.mergeUntilStable(spark, args(1),
-        SegmentMerger.LogMergePolicy(maxFanIn = fanIn))
+        SegmentMerger.LogMergePolicy(minNumSegments = minSegs, maxFanIn = fanIn))
       println(s"stable at seq=${m.commitSeq}: ${m.segments.size} segments, ${m.totalDocs} docs")
     case "delete" =>
       val m = Deleter.deleteTerm(spark, args(1), args(2), args(3))
       println(s"tombstone recorded at opstamp=${m.commitSeq} (${m.deletes.size} pending)")
+    case "delete-query" =>
+      val m = Deleter.deleteQuery(spark, args(1), args.drop(2).mkString(" "))
+      println(s"query tombstone recorded at opstamp=${m.commitSeq} (${m.deletes.size} pending)")
     case "rollback" =>
       val m = Snapshots.rollback(spark, args(1), args(2).toLong)
       println(s"rolled back to snapshot ${args(2)} as new commit seq=${m.commitSeq}")
@@ -124,8 +128,9 @@ object IndexCli {
   private val usage: String =
     """usage: IndexCli build <srcParquet> <indexDir> [numPartitions] [textCol] [keyCol] [analyzer]
       |       IndexCli search|count <indexDir> <query...>
-      |       IndexCli merge <indexDir> [maxFanIn]
+      |       IndexCli merge <indexDir> [maxFanIn] [minNumSegments]
       |       IndexCli delete <indexDir> <field> <term>
+      |       IndexCli delete-query <indexDir> <query...>
       |       IndexCli rollback <indexDir> <commitSeq>
       |       IndexCli terms <indexDir> [field] [prefix]
       |       IndexCli snapshots|stats <indexDir>""".stripMargin

@@ -193,6 +193,63 @@ class DeleteSpec extends AnyFunSuite {
     assert(IndexManifest.read(spark, dir).get.commitSeq == seqBefore)
   }
 
+  test("delete-by-query fuzz: stacked random boolean tombstones == independent evaluator") {
+    import spark.implicits._
+    val (dir, _) = freshIndex()
+    val rnd = new scala.util.Random(20260820L)
+    // vocabulary: mid-df words so random trees hit non-trivial subsets
+    val df = corpus.values.flatten.groupBy(identity).view.mapValues(_.size).toMap
+    val vocab = df.collect { case (w, n) if n > 20 && n < NumDocs / 2 => w }.toVector.sorted
+    assert(vocab.size >= 8)
+    sealed trait Ast
+    case class W(t: String) extends Ast
+    case class AndQ(a: Ast, b: Ast) extends Ast
+    case class OrQ(a: Ast, b: Ast) extends Ast
+    case class AndNotQ(a: Ast, b: Ast) extends Ast
+    def genAst(depth: Int): Ast =
+      if (depth == 0) W(vocab(rnd.nextInt(vocab.size)))
+      else rnd.nextInt(4) match {
+        case 0 => AndQ(genAst(depth - 1), genAst(depth - 1))
+        case 1 => OrQ(genAst(depth - 1), genAst(depth - 1))
+        case 2 => AndNotQ(genAst(depth - 1), genAst(depth - 1))
+        case _ => W(vocab(rnd.nextInt(vocab.size)))
+      }
+    def render(a: Ast): String = a match {
+      case W(t) => t
+      case AndQ(x, y) => s"(${render(x)} AND ${render(y)})"
+      case OrQ(x, y) => s"(${render(x)} OR ${render(y)})"
+      case AndNotQ(x, y) => s"(${render(x)} AND NOT ${render(y)})"
+    }
+    def eval(a: Ast, toks: Set[String]): Boolean = a match {
+      case W(t) => toks(t)
+      case AndQ(x, y) => eval(x, toks) && eval(y, toks)
+      case OrQ(x, y) => eval(x, toks) || eval(y, toks)
+      case AndNotQ(x, y) => eval(x, toks) && !eval(y, toks)
+    }
+    val tokSets = corpus.map { case (u, ts) => u -> ts.toSet }
+    var alive: Set[String] = corpus.keySet
+    (0 until 6).foreach { round =>
+      val ast = genAst(2)
+      Deleter.deleteQuery(spark, dir, render(ast))
+      alive = alive.filterNot(u => eval(ast, tokSets(u)))
+      val s = new Searcher(spark, dir)
+      assert(s.count(Query.All) == alive.size.toLong,
+        s"round $round: ${render(ast)}")
+      val probe = vocab(rnd.nextInt(vocab.size))
+      val got = s.allMatches(Query.Term("text", probe), scored = false)
+        .join(s.docmapDF, Seq("segment", "docId"))
+        .select("url").as[String].collect().toSet
+      assert(got == alive.filter(u => tokSets(u)(probe)), s"round $round probe $probe")
+    }
+    assert(alive.size < NumDocs) // the rounds actually deleted something
+    // merge drains all six stacked tombstones in one purge; survivors exact
+    val m = SegmentMerger.mergeUntilStable(spark, dir,
+      SegmentMerger.LogMergePolicy(minNumSegments = 2, maxFanIn = 16))
+    assert(m.deletes.isEmpty && m.totalDocs == alive.size)
+    assert(new Searcher(spark, dir).docmapDF
+      .select("url").as[String].collect().toSet == alive)
+  }
+
   test("merge across delete→re-add boundary keeps the re-added doc-map row") {
     import spark.implicits._
     val (dir, _) = freshIndex()
