@@ -364,6 +364,12 @@ object SparkEntry {
       val dd = docs(s, d)
       PipelineOps.contamination(dd, dd.where(col("doc_id") % 97 === 0), 3)
     }),
+    // composed funnel: first-failing-stage attribution over the dirty
+    // shell, bench = the doc_id % 97 subset of the same dirty corpus
+    "q_curation_funnel" -> ((s, d) => {
+      val dd = docs(s, d).withColumn("text", expr(dirtyShellSpark))
+      PipelineOps.curationFunnel(dd, dd.where(col("doc_id") % 97 === 0))
+    }),
     "q_strat_sample" -> ((s, d) => PipelineOps.stratifiedSample(docs(s, d), "lang",
       Map("en" -> 0.5, "de" -> 0.25, "fr" -> 0.1)).select(col("doc_id"), col("lang"))),
     // deterministic train/val/test split: per-row md5 permille buckets,
@@ -912,6 +918,7 @@ object SparkEntry {
     "q_c4_filter" -> OracleSql.c4Filter,
     "q_contamination" -> OracleSql.contamination(3),
     "q_strat_sample" -> OracleSql.stratifiedSample,
+    "q_curation_funnel" -> OracleSql.curationFunnel,
     "q_hash_split" -> OracleSql.hashSplit,
     "q_global_shuffle" -> OracleSql.globalShuffle,
     "q_domain_cap" -> OracleSql.domainCap,

@@ -451,6 +451,67 @@ SELECT d.doc_id, b.bench_id, count(*)::BIGINT AS n_shared
 FROM d JOIN b ON d.g = b.g WHERE d.doc_id <> b.bench_id
 GROUP BY d.doc_id, b.bench_id HAVING count(*) >= $minShared"""
 
+  /** q_curation_funnel: the composed first-failing-stage attribution —
+    * each stage CTE restates the matching single-op oracle (gopher, c4,
+    * repetition, contamination) over the SAME dirty shell, then one CASE
+    * walks the canonical order. Bench set = doc_id % 97 docs.
+    */
+  val curationFunnel: String = {
+    val dirtyToks = "list_filter(string_split_regex(lower(dirty), '[^a-z0-9]+'), " +
+      "x -> x <> '' AND length(x) < 40)"
+    s"""WITH dd AS (SELECT doc_id, $DirtyShellDuck AS dirty FROM documents),
+gw AS (SELECT doc_id, dirty,
+  list_filter(string_split_regex(dirty, '\\s+'), x -> x <> '') AS ws,
+  string_split(dirty, chr(10)) AS ls FROM dd),
+gst AS (SELECT doc_id,
+  len(ws)::BIGINT AS n_words,
+  list_sum(list_transform(ws, x -> length(x)))::BIGINT AS sum_word_len,
+  len(list_filter(ws, w -> regexp_matches(w, '[a-zA-Z]')))::BIGINT AS n_alpha_words,
+  (length(dirty) - length(replace(dirty, '#', ''))
+     + (length(dirty) - length(replace(dirty, '...', ''))) // 3)::BIGINT AS n_symbols,
+  len(list_filter(['the','be','to','of','and','that','have','with'],
+    sw -> list_contains(list_transform(ws, w -> lower(w)), sw)))::BIGINT AS n_stop_hits,
+  greatest(len(ls), 1)::BIGINT AS n_lines,
+  len(list_filter(ls, l -> ltrim(l) LIKE '- %' OR ltrim(l) LIKE '* %'
+    OR ltrim(l) LIKE '• %' OR ltrim(l) LIKE '# %'))::BIGINT AS n_bullet_lines,
+  len(list_filter(ls, l -> rtrim(l) LIKE '%...' OR rtrim(l) LIKE '%…'))::BIGINT AS n_ellipsis_lines
+ FROM gw WHERE len(ws) > 0),
+gk AS (SELECT doc_id,
+  (n_words BETWEEN 50 AND 100000)
+    AND (sum_word_len * 1000 // n_words BETWEEN 3000 AND 10000)
+    AND n_symbols * 1000 // n_words <= 100
+    AND n_bullet_lines * 1000 // n_lines <= 900
+    AND n_ellipsis_lines * 1000 // n_lines <= 300
+    AND n_alpha_words * 1000 // n_words >= 800
+    AND n_stop_hits >= 2 AS keep FROM gst),
+ck AS (SELECT doc_id,
+  (len(list_filter(string_split(dirty, chr(10)), l ->
+      (rtrim(l) LIKE '%.' OR rtrim(l) LIKE '%!' OR rtrim(l) LIKE '%?' OR rtrim(l) LIKE '%"')
+      AND len(list_filter(string_split(l, ' '), w -> w <> '')) >= 3
+      AND NOT lower(l) LIKE '%javascript%')) >= 5
+    AND NOT (contains(lower(dirty), 'lorem ipsum') OR contains(dirty, '{'))) AS keep
+ FROM dd),
+tk AS (SELECT doc_id, $dirtyToks AS toks FROM dd),
+shl AS (SELECT doc_id,
+  [array_to_string(toks[i:i+2], ' ') for i in range(1, greatest(len(toks)-2, 1) + 1)] AS sh
+ FROM tk),
+rk AS (SELECT doc_id,
+  round(1.0 - len(list_distinct(sh)) * 1.0 / len(sh), 4) <= 0.3 AS keep FROM shl),
+dg AS (SELECT doc_id, unnest(list_distinct(sh)) AS g FROM shl),
+bg AS (SELECT doc_id AS bench_id, unnest(list_distinct(sh)) AS g FROM shl WHERE doc_id % 97 = 0),
+cont AS (SELECT DISTINCT doc_id FROM (
+  SELECT d.doc_id FROM dg d JOIN bg b ON d.g = b.g WHERE d.doc_id <> b.bench_id
+  GROUP BY d.doc_id, b.bench_id HAVING count(*) >= 3))
+SELECT dd.doc_id,
+  CASE WHEN NOT coalesce(gk.keep, false) THEN 'gopher'
+       WHEN NOT coalesce(ck.keep, false) THEN 'c4'
+       WHEN NOT coalesce(rk.keep, false) THEN 'repetition'
+       WHEN cont.doc_id IS NOT NULL THEN 'contaminated'
+       ELSE 'kept' END AS stage
+FROM dd LEFT JOIN gk USING (doc_id) LEFT JOIN ck USING (doc_id)
+  LEFT JOIN rk USING (doc_id) LEFT JOIN cont USING (doc_id)"""
+  }
+
   /** Deterministic stratified sample: md5(doc_id) bucket under the
     * stratum's mix weight (en 0.5 / de 0.25 / fr 0.1, rest 0).
     */

@@ -1798,6 +1798,40 @@ object PipelineOps {
     definiteNew.select("doc_id").unionByName(verifiedNew.select("doc_id"))
   }
 
+  /** End-to-end curation funnel — the composed shape a real corpus release
+    * runs: every doc gets the FIRST pipeline stage that drops it (or
+    * 'kept'), in the canonical order quality-rules → line-cleaning →
+    * repetition → benchmark decontamination. Each stage is the existing
+    * proven op ([[gopherQuality]], [[c4LineFilter]], [[repetitionScore]],
+    * [[contamination]]); this composition adds only the attribution.
+    *
+    * 100 TB shape: the three rule stages are per-row codegen maps emitting
+    * (doc_id, bool) frames — their doc_id joins shuffle a handful of bytes
+    * per doc, never text (the same volume class as exact dedup's
+    * (fp, doc_id) shuffle); the benchmark side broadcasts inside
+    * [[contamination]], so the corpus never reshuffles for it.
+    */
+  def curationFunnel(docs: DataFrame, benchDocs: DataFrame,
+      dupFracMax: Double = 0.3, minShared: Int = 3): DataFrame = {
+    val gk = gopherQuality(docs).select(col("doc_id"), col("keep").as("gopher_keep"))
+    val ck = c4LineFilter(docs).select(col("doc_id"), col("keep").as("c4_keep"))
+    val rk = repetitionScore(docs).select(col("doc_id"),
+      (col("dup_ngram_frac") <= dupFracMax).as("rep_keep"))
+    val contam = contamination(docs, benchDocs, minShared)
+      .select("doc_id").distinct().withColumn("contam_hit", lit(true))
+    docs.select("doc_id")
+      .join(gk, Seq("doc_id"), "left")
+      .join(ck, Seq("doc_id"), "left")
+      .join(rk, Seq("doc_id"), "left")
+      .join(contam, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(!coalesce(col("gopher_keep"), lit(false)), lit("gopher"))
+          .when(!coalesce(col("c4_keep"), lit(false)), lit("c4"))
+          .when(!coalesce(col("rep_keep"), lit(false)), lit("repetition"))
+          .when(coalesce(col("contam_hit"), lit(false)), lit("contaminated"))
+          .otherwise(lit("kept")).as("stage"))
+  }
+
   /** Shared md5 bucket arithmetic (Spark dialect) — 32 hex bits of
     * md5(doc_id || '#' || salt) as a BIGINT, the same value
     * `OracleSql` rebuilds in DuckDB. Row-wise deterministic: no RNG state,

@@ -54,6 +54,35 @@ class CurationSpec extends AnyFunSuite {
     assert(none.count() == 0L)
   }
 
+  test("curationFunnel: each doc attributed to its FIRST failing stage") {
+    // lines of 10 words, optionally terminal-punctuated (c4's keep rule)
+    def mk(words: Seq[String], punct: Boolean): String =
+      words.grouped(10).map(g => g.mkString(" ") + (if (punct) "." else ""))
+        .mkString("\n")
+    val filler = (1 to 48).map(i => s"item${i}x")
+    val fillerE = (1 to 48).map(i => s"other${i}y")
+    val span = Seq("zebra", "quokka", "marmot", "badger", "weasel", "otter")
+    val docs = Seq(
+      (1L, "tiny doc the and."), // < 50 words -> gopher
+      (2L, mk(filler ++ Seq("the", "and"), punct = false)), // no terminal '.' -> c4
+      (3L, Seq.fill(6)("the black cats sat upon the soft mats and slept.")
+        .mkString("\n")), // passes gopher+c4, 10-token cycle -> repetition
+      // stop words lead so the line-terminal '.' never glues onto them
+      (4L, mk(Seq("the", "and") ++ filler ++ span, punct = true)), // bench span -> contaminated
+      (5L, mk(Seq("the", "and") ++ fillerE, punct = true)) // clean -> kept
+    ).toDF("doc_id", "text")
+    val bench = Seq((999L,
+      mk(span ++ Seq("ferret", "stoat", "mink", "the"), punct = true))).toDF("doc_id", "text")
+    val got = PipelineOps.curationFunnel(docs, bench)
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "gopher", 2L -> "c4", 3L -> "repetition",
+      4L -> "contaminated", 5L -> "kept"))
+    // partitioning-invariant (all stages row-deterministic)
+    val got2 = PipelineOps.curationFunnel(docs.repartition(7), bench)
+      .as[(Long, String)].collect().toMap
+    assert(got2 == got)
+  }
+
   test("hashSplit: deterministic disjoint labels, fractions near target, salt independence") {
     val docs = (0L until 5000L).map(i => (i, s"d$i")).toDF("doc_id", "text")
     val a = PipelineOps.hashSplit(docs, valPermille = 100, testPermille = 50)
