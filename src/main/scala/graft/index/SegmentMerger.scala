@@ -43,14 +43,25 @@ object SegmentMerger {
     * than `maxFanIn` posting rows per term in one round (the hot-term bound;
     * the hierarchy's next rounds finish the level).
     */
+  /** `delDocsRatioBeforeMerge`: a log level also becomes a merge candidate
+    * when ANY of its segments carries more than this fraction of deleted
+    * docs (`log_merge_policy.rs:62-90,123` — the reference's
+    * `del_docs_ratio_before_merge`); a single-segment level then expunges
+    * its deletes by rewriting alone. The default 1.0 disables the rule
+    * (a ratio can never exceed 1), exactly like the reference default.
+    */
   final case class LogMergePolicy(
       minNumSegments: Int = 8,
       maxDocsBeforeMerge: Int = 10000000,
       minLayerSize: Int = 10000,
       levelLogSize: Double = 0.75,
-      maxFanIn: Int = 16)
+      maxFanIn: Int = 16,
+      delDocsRatioBeforeMerge: Double = 1.0) {
+    require(delDocsRatioBeforeMerge > 0.0 && delDocsRatioBeforeMerge <= 1.0)
+  }
 
-  def planLog(manifest: IndexManifest, policy: LogMergePolicy): Seq[MergeGroup] = {
+  def planLog(manifest: IndexManifest, policy: LogMergePolicy,
+      deadBySeg: Map[Int, Int] = Map.empty): Seq[MergeGroup] = {
     val sorted = manifest.segments
       .filter(_.numDocs <= policy.maxDocsBeforeMerge)
       .sortBy(m => -m.numDocs.toLong)
@@ -66,10 +77,18 @@ object SegmentMerger {
       levels.last += m
     }
     var next = manifest.segments.map(_.segment).max + 1
-    levels.toSeq.filter(_.size >= policy.minNumSegments).flatMap { level =>
+    @inline def delRatio(m: SegmentMeta): Double =
+      if (m.numDocs == 0) 0.0
+      else deadBySeg.getOrElse(m.segment, 0).toDouble / m.numDocs
+    levels.toSeq.filter(level => level.size >= policy.minNumSegments ||
+        level.exists(s => delRatio(s) > policy.delDocsRatioBeforeMerge)).flatMap { level =>
       // merge in ascending-id order (global address determinism) and chunk
-      // wide levels to bound per-term reducer fan-in
-      level.map(_.segment).sorted.grouped(policy.maxFanIn).filter(_.size >= 2).map { g =>
+      // wide levels to bound per-term reducer fan-in. A level admitted only
+      // by the deletes threshold may merge a chunk of ONE — that rewrite is
+      // the reference's single-segment delete expunge.
+      val minGroup =
+        if (level.exists(s => delRatio(s) > policy.delDocsRatioBeforeMerge)) 1 else 2
+      level.map(_.segment).sorted.grouped(policy.maxFanIn).filter(_.size >= minGroup).map { g =>
         val id = next
         next += 1
         MergeGroup(id, g.toSeq)
@@ -86,10 +105,17 @@ object SegmentMerger {
       keepOld: Boolean = false): IndexManifest = {
     var m = IndexManifest.read(spark, indexDir)
       .getOrElse(throw new IllegalStateException(s"no manifest at $indexDir"))
-    var groups = planLog(m, policy)
+    // dead counts feed the deletes-ratio trigger; resolved only when the
+    // rule is armed AND tombstones exist (one pruned read, see resolveDeadDocs)
+    def deadCounts(mm: IndexManifest): Map[Int, Int] =
+      if (policy.delDocsRatioBeforeMerge >= 1.0 || mm.deletes.isEmpty) Map.empty
+      else new graft.search.Searcher(spark, indexDir)
+        .resolveDeadDocs(mm.segments.map(_.segment))
+        .map { case (s, dead) => s -> dead.length }
+    var groups = planLog(m, policy, deadCounts(m))
     while (groups.nonEmpty) {
       m = merge(spark, indexDir, groups, keepOld = keepOld, compression = compression)
-      groups = planLog(m, policy)
+      groups = planLog(m, policy, deadCounts(m))
     }
     m
   }

@@ -250,6 +250,39 @@ class DeleteSpec extends AnyFunSuite {
       .select("url").as[String].collect().toSet == alive)
   }
 
+  test("deletes-ratio merge trigger: tombstone-heavy levels expunge below minNumSegments") {
+    import spark.implicits._
+    val (dir, _) = freshIndex() // 4 equal segments -> one level, below min 8
+    val targets = corpus.collect {
+      case (u, t) if t.contains("alpha") || t.contains("beta") => u
+    }.toSet
+    assert(targets.size > NumDocs / 4) // ratio comfortably above 0.2 per segment
+    Deleter.deleteQuery(spark, dir, "alpha OR beta")
+    // rule disabled (default 1.0, the reference default): nothing merges
+    val mOff = SegmentMerger.mergeUntilStable(spark, dir, SegmentMerger.LogMergePolicy())
+    assert(mOff.deletes.nonEmpty && mOff.segments.size == 4)
+    // armed: the level qualifies via the ratio even at 4 < minNumSegments
+    val mOn = SegmentMerger.mergeUntilStable(spark, dir,
+      SegmentMerger.LogMergePolicy(delDocsRatioBeforeMerge = 0.2))
+    assert(mOn.deletes.isEmpty && mOn.totalDocs == NumDocs - targets.size)
+    val alive1 = corpus.keySet -- targets
+    assert(new Searcher(spark, dir).docmapDF
+      .select("url").as[String].collect().toSet == alive1)
+    // single-segment expunge: one segment left, tombstone it again
+    assert(mOn.segments.size == 1)
+    val gammaDead = alive1.filter(u => corpus(u).contains("gamma"))
+    assert(gammaDead.nonEmpty)
+    Deleter.deleteQuery(spark, dir, "gamma")
+    // arm at half the actual dead fraction so the single segment qualifies
+    val ratio = gammaDead.size.toDouble / alive1.size / 2
+    val m2 = SegmentMerger.mergeUntilStable(spark, dir,
+      SegmentMerger.LogMergePolicy(delDocsRatioBeforeMerge = ratio))
+    assert(m2.deletes.isEmpty && m2.segments.size == 1)
+    assert(m2.totalDocs == (alive1 -- gammaDead).size)
+    assert(new Searcher(spark, dir).docmapDF
+      .select("url").as[String].collect().toSet == alive1 -- gammaDead)
+  }
+
   test("merge across delete→re-add boundary keeps the re-added doc-map row") {
     import spark.implicits._
     val (dir, _) = freshIndex()
