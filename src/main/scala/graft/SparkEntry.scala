@@ -535,6 +535,11 @@ object SparkEntry {
     // per vector — 64x less scan payload than the embedding column
     "q_ann_pq" -> ((s, d) => PipelineOps.pqTopK(embeddings(s, d), 0L, 10,
       m = 8, rerank = 50)),
+    // IVFADC (FAISS IVFx,PQy): coarse cells + residual PQ codes, per-cell
+    // query LUTs over nprobe cells only; recall-gated like the other ANN
+    // variants (rows-only driver check)
+    "q_ann_ivfpq" -> ((s, d) => PipelineOps.ivfPqTopK(embeddings(s, d), 0L, 10,
+      nCentroids = 16, nprobe = 4, m = 8, rerank = 50)),
 
     // --- aggregations (collector / ES-agg equivalents)
     "q_terms_agg" -> ((s, d) => PipelineOps.withTokens(docs(s, d))

@@ -781,6 +781,155 @@ object PipelineOps {
     cosineTopK(embeddings.join(cands, "vec_id"), queryVecId, k)
   }
 
+  /** IVF-PQ — the composed billion-scale ANN index (Jégou et al. 2011,
+    * "Product Quantization for Nearest Neighbor Search", §V IVFADC; the
+    * FAISS `IVFx,PQy` architecture): the coarse spherical-k-means quantizer
+    * routes each vector to a cell and PQ encodes the RESIDUAL
+    * (vector − its cell centroid); a query probes only the `nprobe`
+    * nearest cells, scanning the m-byte codes with a PER-CELL lookup table
+    * built from the query's residual against that cell, then re-ranks the
+    * survivors exactly. Residual encoding is what separates IVFADC from
+    * the flat [[pqTopK]] scan: residual magnitudes are far smaller than
+    * raw vectors, so the same 8 bits/subspace quantize much finer.
+    *
+    * 100 TB shape: centroids and codebooks are driver-tiny and train on a
+    * bounded sample; assignment + residual + encode is ONE broadcast-
+    * centroids `mapPartitions` pass (no joins — the cell id rides on the
+    * code row); store (cluster, code) bucketed by cluster and the probe
+    * becomes a partition-pruned scan of nprobe/nCentroids of the data at
+    * m bytes/row; only P·rerank candidate ids leave the scan.
+    */
+  def ivfPqTopK(embeddings: DataFrame, queryVecId: Long, k: Int,
+      nCentroids: Int = 16, nprobe: Int = 4, m: Int = 8, rerank: Int = 50,
+      seed: Long = 20260820L, maxTrainSample: Int = 16384): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val v = col("embedding").cast("array<double>")
+    val norm = sqrt(aggregate(v, lit(0.0), (acc, x) => acc + x * x))
+    val normed = embeddings.select(col("vec_id").cast("long").as("vec_id"),
+      transform(v, x => x / norm).as("nv"))
+    // coarse quantizer + residual codebooks, both off the SAME bounded
+    // deterministic sample (one collect)
+    val sample: Array[Array[Double]] = normed
+      .orderBy(xxhash64(col("vec_id"))).limit(maxTrainSample)
+      .select("nv").as[Seq[Double]].collect().map(_.toArray)
+    require(sample.nonEmpty, "empty IVF-PQ training sample")
+    val dim = sample(0).length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val sub = dim / m
+    val centers = sphericalLloyd(sample, nCentroids, seed, iters = 10)
+    @inline def nearestCell(x: Array[Double]): Int = {
+      var best = 0; var bestD = Double.MaxValue; var c = 0
+      while (c < centers.length) {
+        val cc = centers(c)
+        var s = 0.0; var i = 0
+        while (i < x.length) { val d = cc(i) - x(i); s += d * d; i += 1 }
+        if (s < bestD) { bestD = s; best = c }
+        c += 1
+      }
+      best
+    }
+    @inline def residual(x: Array[Double], cell: Int): Array[Double] = {
+      val cc = centers(cell)
+      val r = new Array[Double](x.length)
+      var i = 0
+      while (i < x.length) { r(i) = x(i) - cc(i); i += 1 }
+      r
+    }
+    val residSample = sample.map(x => residual(x, nearestCell(x)))
+    val books: Array[Array[Array[Double]]] = Array.tabulate(m) { j =>
+      val slice = residSample.map(x => java.util.Arrays.copyOfRange(x, j * sub, (j + 1) * sub))
+      plainLloyd(slice, 256, seed + 1 + j, iters = 10)
+    }
+    val bcC = spark.sparkContext.broadcast(centers)
+    val bcB = spark.sparkContext.broadcast(books)
+    // assign + residual + encode in ONE pass; (cluster, code) per row
+    val codes = normed.as[(Long, Seq[Double])].mapPartitions { it =>
+      val cs = bcC.value
+      val bks = bcB.value
+      val mm = bks.length
+      val ss = bks(0)(0).length
+      it.map { case (id, nvSeq) =>
+        val x = nvSeq.toArray
+        var best = 0; var bestD = Double.MaxValue; var c = 0
+        while (c < cs.length) {
+          val cc = cs(c)
+          var s = 0.0; var i = 0
+          while (i < x.length) { val d = cc(i) - x(i); s += d * d; i += 1 }
+          if (s < bestD) { bestD = s; best = c }
+          c += 1
+        }
+        val cc = cs(best)
+        val code = new Array[Byte](mm)
+        var j = 0
+        while (j < mm) {
+          val book = bks(j)
+          val off = j * ss
+          var bc2 = 0; var bd = Double.MaxValue; var ci = 0
+          while (ci < book.length) {
+            val bv = book(ci)
+            var s = 0.0; var d = 0
+            while (d < ss) { val t = bv(d) - (x(off + d) - cc(off + d)); s += t * t; d += 1 }
+            if (s < bd) { bd = s; bc2 = ci }
+            ci += 1
+          }
+          code(j) = bc2.toByte
+          j += 1
+        }
+        (id, best, code)
+      }
+    }.toDF("vec_id", "cluster", "code")
+    // query: nprobe nearest cells, one residual LUT per probed cell
+    val qRaw = embeddings.where(col("vec_id") === queryVecId)
+      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0).toArray
+    val qn = math.sqrt(qRaw.map(x => x * x).sum)
+    val q = qRaw.map(_ / qn)
+    val probes: Array[Int] = centers.zipWithIndex.sortBy { case (c, _) =>
+      var s = 0.0; var i = 0
+      while (i < c.length) { val d = c(i) - q(i); s += d * d; i += 1 }
+      s
+    }.take(nprobe).map(_._2)
+    val kCent = books(0).length
+    val luts: Map[Int, Array[Double]] = probes.map { cell =>
+      val rq = residual(q, cell)
+      val lut = new Array[Double](m * kCent)
+      var j = 0
+      while (j < m) {
+        val off = j * sub
+        var c = 0
+        while (c < kCent) {
+          val bv = books(j)(c)
+          var s = 0.0; var d = 0
+          while (d < sub) { val t = bv(d) - rq(off + d); s += t * t; d += 1 }
+          lut(j * kCent + c) = s
+          c += 1
+        }
+        j += 1
+      }
+      cell -> lut
+    }.toMap
+    val bcLuts = spark.sparkContext.broadcast(luts)
+    val probeSeq = probes.toIndexedSeq
+    val cands = codes.where(col("cluster").isin(probeSeq: _*))
+      .as[(Long, Int, Array[Byte])].mapPartitions { it =>
+        val ls = bcLuts.value
+        val heap = new scala.collection.mutable.PriorityQueue[(Double, Long)]()(
+          Ordering.by[(Double, Long), Double](_._1))
+        it.foreach { case (id, cell, code) =>
+          val l = ls(cell)
+          var s = 0.0; var jj = 0
+          while (jj < code.length) { s += l(jj * kCent + (code(jj) & 0xff)); jj += 1 }
+          if (heap.size < rerank) heap.enqueue((s, id))
+          else if (s < heap.head._1) { heap.dequeue(); heap.enqueue((s, id)) }
+        }
+        heap.iterator
+      }.toDF("adc", "vec_id")
+      .orderBy(col("adc").asc, col("vec_id")).limit(rerank).select("vec_id")
+      .union(spark.range(1).select(lit(queryVecId).cast("long").as("vec_id")))
+      .distinct()
+    cosineTopK(embeddings.join(cands, "vec_id"), queryVecId, k)
+  }
+
   // ------------------------------------------------ quality / curation ops
 
   /** The full Gopher document-quality rule battery (Rae et al. 2021,

@@ -89,6 +89,22 @@ class SimilaritySpec extends AnyFunSuite {
     assert(sizes.sorted.takeRight(4).sum < 1000L, "4 lists must not hold everything")
   }
 
+  test("IVF-PQ ANN: recall@10 >= 0.8 vs exact cosine top-k (residual codes, partial probe)") {
+    val e = genEmbeddings(1000)
+    val queries = Seq(0L, 7L, 123L, 500L, 999L)
+    val recalls = queries.map { q =>
+      val exact = PipelineOps.cosineTopK(e, q, 10)
+        .collect().map(_.getLong(0)).toSet
+      val got = PipelineOps.ivfPqTopK(e, q, 10,
+        nCentroids = 16, nprobe = 4, m = 8, rerank = 50)
+        .collect().map(_.getLong(0)).toSet
+      exact.intersect(got).size.toDouble / exact.size
+    }
+    val mean = recalls.sum / recalls.size
+    info(f"IVF-PQ recall@10 per query: ${recalls.map(r => f"$r%.2f").mkString(", ")} (mean $mean%.3f)")
+    assert(mean >= 0.8, s"mean IVF-PQ recall@10 $mean below 0.8 gate")
+  }
+
   test("PQ ANN: recall@10 >= 0.8 vs exact cosine top-k; codes are m bytes") {
     val e = genEmbeddings(1000)
     val queries = Seq(0L, 7L, 123L, 500L, 999L)
