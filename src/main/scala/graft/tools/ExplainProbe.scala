@@ -146,6 +146,17 @@ object ExplainProbe {
       s"nested-loop joins = ${"BroadcastNestedLoop".r.findAllIn(pqPlan).size} " +
       "(want 1: the bounded re-rank's 1-row query broadcast)")
 
+    println("==== IVF-PQ ADC scan (probe filters codes on cluster BEFORE the " +
+      "heap scan; one nested-loop = the 1-row query broadcast in the exact " +
+      "re-rank, same as pqTopK) ====")
+    val ivfpq = graft.ops.PipelineOps.ivfPqTopK(emb, 0L, 10,
+      nCentroids = 16, nprobe = 4, m = 8, rerank = 50)
+    val ivfpqPlan = ivfpq.queryExecution.executedPlan.toString
+    println(s"ivfpq: Cartesian = ${ivfpqPlan.contains("Cartesian")} (want false), " +
+      s"cluster probe filter = ${ivfpqPlan.contains("cluster#")} (want true), " +
+      s"nested-loop joins = ${"BroadcastNestedLoop".r.findAllIn(ivfpqPlan).size} " +
+      "(want 1: the bounded re-rank's 1-row query broadcast)")
+
     println("==== bigram LM surprise (per-row pair transform — no positional " +
       "self-join; LM broadcast to the score join; vocab = 1-row broadcast) ====")
     val bg = graft.ops.PipelineOps.bigramSurprise(docsDf)

@@ -161,6 +161,42 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming fuzzy dedup: in-batch collapse, cross-batch screen, idempotent replay") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val surv = java.nio.file.Files.createTempDirectory("graft-fdedup").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-fdedup-ckpt").toString
+    // 10 tokens -> 8 shingles; one trailing-word swap changes exactly one
+    // shingle (jaccard 7/9 = 0.78 >= 0.5)
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    def variant(last: String) =
+      s"alpha beta gamma delta epsilon zeta eta theta iota $last"
+    def survivors(): Set[Long] =
+      spark.read.parquet(surv).select("doc_id").as[Long].collect().toSet
+    val q = graft.streaming.StreamingDedup.minHashDedup(
+      mem.toDF().toDF("doc_id", "text"), surv, ckpt, threshold = 0.5)
+    try {
+      // within-batch: 1 and 2 are near-dups (cluster collapses to min id 1)
+      mem.addData((1L, base), (2L, variant("lambda")),
+        (3L, "one two three four five six seven eight nine ten"))
+      q.processAllAvailable()
+      assert(survivors() == Set(1L, 3L))
+      // cross-batch: 10 is a near-dup of surviving 1 -> dropped; 11 fresh
+      mem.addData((10L, variant("mu")),
+        (11L, "totally different words appear in this second document here"))
+      q.processAllAvailable()
+      assert(survivors() == Set(1L, 3L, 11L))
+    } finally q.stop()
+    // replay: re-running batch 1's append (same payload, same id) against
+    // the final store rewrites only its own subdir — survivors unchanged
+    graft.streaming.StreamingDedup.appendMinHashBatch(spark,
+      Seq((10L, variant("mu")),
+        (11L, "totally different words appear in this second document here"))
+        .toDF("doc_id", "text"), surv, 1L, 0.5)
+    assert(survivors() == Set(1L, 3L, 11L))
+  }
+
   test("streaming sessionize: gap closes, event-time timeout flushes, late events merge") {
     import spark.implicits._
     import graft.streaming.{SessionEvent, StreamingSessionize}
