@@ -410,6 +410,22 @@ object SparkEntry {
         "when 1 then '?x=1&utm_campaign=c' when 2 then '?gclid=abc' " +
         "when 3 then '?x=1&y=2' else '' end, " +
         "case when doc_id % 11 = 0 then '#Sec2' else '' end)")))),
+    // UT1-style domain blocklist: mixed-case 4-label hosts; blocklist =
+    // parent domains (every 3rd hostN) + two exact w-hosts under host1.
+    // The oracle matches by suffix-LIKE — independent of the op's
+    // suffix-explode equi-join.
+    "q_url_blocklist" -> ((s, d) => {
+      val bl = s.range(0, 11)
+        .select(concat(lit("Host"), col("id"), lit(".Example.com")).as("domain"))
+        .where(col("id") % 3 === 0)
+        .unionByName(s.range(0, 5)
+          .select(concat(lit("w"), col("id"), lit(".host1.example.com")).as("domain"))
+          .where(col("id") % 2 === 1))
+      PipelineOps.urlBlocklistFilter(
+        docs(s, d).withColumn("url", expr(
+          "concat('https://W', doc_id % 5, '.Host', doc_id % 11, '.Example.COM', '/p', doc_id)")),
+        bl)
+    }),
     // HTML -> text extraction over deterministically messy synthetic markup
     // (script/style/comment/entity arms keyed on doc_id); the oracle
     // constructs the expected extraction arithmetically from the same
@@ -930,6 +946,7 @@ object SparkEntry {
     "q_pii_redact" -> OracleSql.piiRedact,
     "q_para_dedup" -> OracleSql.paragraphDedup,
     "q_url_dedup" -> OracleSql.urlDedup,
+    "q_url_blocklist" -> OracleSql.urlBlocklist,
     "q_html_extract" -> OracleSql.htmlExtract,
     "q_lm_surprise" -> OracleSql.lmSurprise,
     "q_bigram_lm" -> OracleSql.bigramSurprise,

@@ -592,6 +592,21 @@ FROM r GROUP BY doc_id"""
     * it from the group key). The Spark side parses and normalizes the messy
     * string; this oracle CONSTRUCTS the canonical form arithmetically.
     */
+  /** q_url_blocklist: the same block decision via suffix-LIKE matching —
+    * an independent formulation of the op's suffix-explode equi-join.
+    */
+  val urlBlocklist: String =
+    """WITH h AS (SELECT doc_id,
+  'w' || (doc_id % 5)::VARCHAR || '.host' || (doc_id % 11)::VARCHAR || '.example.com' AS host
+  FROM documents),
+bl AS (SELECT 'host' || i::VARCHAR || '.example.com' AS domain FROM range(0, 11) t(i) WHERE i % 3 = 0
+  UNION ALL
+  SELECT 'w' || i::VARCHAR || '.host1.example.com' FROM range(0, 5) t(i) WHERE i % 2 = 1)
+SELECT h.doc_id, h.host,
+  (SELECT min(domain) FROM bl WHERE h.host = bl.domain OR h.host LIKE '%.' || bl.domain) AS blocked_by,
+  EXISTS (SELECT 1 FROM bl WHERE h.host = bl.domain OR h.host LIKE '%.' || bl.domain) AS blocked
+FROM h"""
+
   val urlDedup: String =
     """WITH k AS (SELECT doc_id, doc_id % 120 AS k FROM documents),
 c AS (SELECT doc_id,

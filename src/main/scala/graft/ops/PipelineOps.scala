@@ -1291,6 +1291,37 @@ object PipelineOps {
         when(cleanQ === "", lit("")).otherwise(concat(lit("?"), cleanQ))))
   }
 
+  /** Domain-blocklist filter — the UT1-style category-blocklist step
+    * (RefinedWeb §3.1 filters URLs against the UT1 adult/malware domain
+    * lists before anything else touches the page): a doc is blocked when
+    * its host equals a blocked domain OR is a subdomain of one.
+    *
+    * 100 TB shape: the corpus side explodes each host into its ≥2-label
+    * suffixes (a handful per row — hosts have few labels) and equi-joins
+    * the blocklist on the suffix, so subdomain matching is a plain keyed
+    * join (shuffle carries short domain strings), never a LIKE scan and
+    * never a per-row loop over a multi-million-row list; a small list
+    * broadcasts automatically. One-label suffixes are never generated
+    * (a bare TLD in the list cannot block the world).
+    * Returns (doc_id, host, blocked_by, blocked).
+    */
+  def urlBlocklistFilter(docs: DataFrame, blocklist: DataFrame,
+      urlCol: String = "url"): DataFrame = {
+    val host = lower(regexp_extract(col(urlCol),
+      "^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)", 1))
+    val withHost = docs.select(col("doc_id"), host.as("host"))
+    val parts = "split(host, '\\\\.')"
+    val sfx = expr(s"filter(transform(sequence(1, size($parts)), " +
+      s"i -> array_join(slice($parts, i, size($parts) - i + 1), '.')), " +
+      "s -> instr(s, '.') > 0)")
+    val hits = withHost.select(col("doc_id"), explode(sfx).as("domain"))
+      .join(blocklist.select(lower(col("domain")).as("domain")).distinct(), "domain")
+      .groupBy("doc_id").agg(min(col("domain")).as("blocked_by"))
+    withHost.join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("host"), col("blocked_by"),
+        col("blocked_by").isNotNull.as("blocked"))
+  }
+
   /** Exact URL dedup over the canonical form: one row per canonical URL,
     * keeping the lowest doc_id and the duplicate count. groupBy(min, count)
     * rather than a window — map-side partial aggregation makes a hot URL

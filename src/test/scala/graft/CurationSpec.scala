@@ -54,6 +54,24 @@ class CurationSpec extends AnyFunSuite {
     assert(none.count() == 0L)
   }
 
+  test("urlBlocklistFilter: exact host, subdomain, case, and TLD-never-blocks") {
+    val docs = Seq(
+      (1L, "https://Bad.Example.COM/x"), // exact host match (case-folded)
+      (2L, "https://deep.sub.bad.example.com/y"), // subdomain of a blocked parent
+      (3L, "https://good.example.com/z"), // sibling, not blocked
+      (4L, "https://bad.example.com.evil.org/w"), // blocked string as a LEFT part: not a suffix
+      (5L, "https://com/q") // one-label host: never matches (no >=2-label suffix)
+    ).toDF("doc_id", "url")
+    val bl = Seq("BAD.example.com", "com").toDF("domain")
+    val got = PipelineOps.urlBlocklistFilter(docs, bl)
+      .select("doc_id", "blocked").as[(Long, Boolean)].collect().toMap
+    assert(got == Map(1L -> true, 2L -> true, 3L -> false, 4L -> false, 5L -> false))
+    val by = PipelineOps.urlBlocklistFilter(docs, bl)
+      .where(col("blocked")).select("doc_id", "blocked_by")
+      .as[(Long, String)].collect().toMap
+    assert(by == Map(1L -> "bad.example.com", 2L -> "bad.example.com"))
+  }
+
   test("curationFunnel: each doc attributed to its FIRST failing stage") {
     // lines of 10 words, optionally terminal-punctuated (c4's keep rule)
     def mk(words: Seq[String], punct: Boolean): String =
