@@ -93,8 +93,8 @@ class FunctionalSoakSpec extends AnyFunSuite {
     var history = Map(curSeq -> alive)
 
     var batch = 0L
-    for (op <- 1 to 12) {
-      rnd.nextInt(6) match {
+    for (op <- 1 to 14) {
+      rnd.nextInt(7) match {
         case 0 => // append
           appendDocs(80 + rnd.nextInt(120), batch); batch += 1
         case 1 => // delete a term (kills every doc containing it, older segments)
@@ -125,10 +125,29 @@ class FunctionalSoakSpec extends AnyFunSuite {
           } catch { case e: IllegalArgumentException =>
             assert(e.getMessage.contains("cannot roll back"), e.getMessage)
           }
+        case 6 => // delete-by-query (tombstones an arbitrary boolean)
+          val t1 = probeTerms(rnd.nextInt(probeTerms.size))
+          val t2 = probeTerms(rnd.nextInt(probeTerms.size))
+          val (qs, mq) =
+            if (rnd.nextBoolean())
+              (s"$t1 AND $t2", Query.must(Query.Term("text", t1), Query.Term("text", t2)))
+            else
+              (s"$t1 AND NOT $t2", Query.Bool(Seq(
+                Occur.Must -> Query.Term("text", t1),
+                Occur.MustNot -> Query.Term("text", t2))))
+          Deleter.deleteQuery(spark, dir, qs)
+          alive = alive -- modelMatches(alive, mq)
       }
       history += curSeq -> alive
       check(s"op $op")
     }
+
+    // guaranteed delete-query round (the random mix may skip case 6),
+    // checked both before and after the purge merge below
+    Deleter.deleteQuery(spark, dir, "alpha AND beta")
+    alive = alive -- modelMatches(alive,
+      Query.must(Query.Term("text", "alpha"), Query.Term("text", "beta")))
+    check("delete-query")
 
     // final: merge to one segment and re-check everything
     val mf = graft.index.IndexManifest.read(spark, dir).get
