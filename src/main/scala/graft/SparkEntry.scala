@@ -556,6 +556,30 @@ object SparkEntry {
     // variants (rows-only driver check)
     "q_ann_ivfpq" -> ((s, d) => PipelineOps.ivfPqTopK(embeddings(s, d), 0L, 10,
       nCentroids = 16, nprobe = 4, m = 8, rerank = 50)),
+    // k-means topic clustering (deterministic Lloyd's: k lowest ids init,
+    // 2 update rounds, shared 6dp tie law the oracle replays verbatim)
+    "q_kmeans" -> ((s, d) => PipelineOps.kmeansAssign(embeddings(s, d), 4, 2)),
+    // cluster-balanced subsample over the label strata (md5-permille rule)
+    "q_cluster_sample" -> ((s, d) => PipelineOps.clusterBalancedSample(
+      embeddings(s, d).select(col("vec_id"), col("label").cast("long").as("cluster")))),
+    // semantic decontamination: every 97th embedding plays the benchmark
+    "q_sem_contam" -> ((s, d) => {
+      val e = embeddings(s, d)
+      PipelineOps.semanticContamination(
+        e.where(col("vec_id") % 97 =!= 0), e.where(col("vec_id") % 97 === 0), 0.3)
+    }),
+
+    // --- link graph: synthesized host edges (home host -> 3 arithmetic
+    // targets per doc) -> PageRank authority prior
+    "q_pagerank" -> ((s, d) => {
+      val edges = docs(s, d)
+        .select(col("doc_id"), col("n_chars"), explode(expr("sequence(0, 2)")).as("j"))
+        .select(concat(lit("h"), (col("doc_id") % 40).cast("string")).as("src"),
+          concat(lit("h"),
+            ((col("doc_id") * 7 + col("j") * 11 + col("n_chars")) % 40).cast("string")).as("dst"))
+      PipelineOps.pageRank(edges, iters = 3, damping = 0.85)
+        .select(col("node"), round(col("rank"), 6).as("rank"))
+    }),
 
     // --- aggregations (collector / ES-agg equivalents)
     "q_terms_agg" -> ((s, d) => PipelineOps.withTokens(docs(s, d))
@@ -965,6 +989,10 @@ object SparkEntry {
     "q_cosine_topk" -> OracleSql.cosineTopK(0L, 10),
     "q_cosine_topk_batch" -> OracleSql.cosineTopKBatch(Seq(0L, 1L, 2L), 5),
     "q_sem_dedup" -> OracleSql.semDedup(0.35),
+    "q_kmeans" -> OracleSql.kmeans(4, 2, 64),
+    "q_cluster_sample" -> OracleSql.clusterSample,
+    "q_sem_contam" -> OracleSql.semContamination(0.3, 97),
+    "q_pagerank" -> OracleSql.pageRank(3, 0.85, 40),
     "q_embed_neardup" -> OracleSql.embeddingNearDup(0.35),
     // q_ann_lsh / q_ann_pq: approximate (random hyperplanes / PQ codes) ->
     // rows-only check; recall@10 >= 0.8 vs exact top-k gated by SimilaritySpec

@@ -950,6 +950,100 @@ SELECT e.vec_id, coalesce(least(e.vec_id, c.mn), e.vec_id) AS canonical_id,
   coalesce(least(e.vec_id, c.mn), e.vec_id) = e.vec_id AS is_kept
 FROM embeddings e LEFT JOIN comp c ON e.vec_id = c.vec_id"""
 
+  /** q_pagerank: unrolled power iteration over the synthesized host graph
+    * (each doc links its home host `h(doc_id%40)` to three arithmetic
+    * targets; parallel edges collapse, self-loops drop). Replays the exact
+    * [[PipelineOps.pageRank]] recurrence — uniform init, dangling mass
+    * redistributed uniformly — one CTE pair (dangling scalar + contribution
+    * sum) per iteration.
+    */
+  def pageRank(iters: Int, damping: Double, hosts: Int): String = {
+    val base = (1.0 - damping).toString
+    val sb = new StringBuilder
+    sb.append(s"""WITH raw AS (
+  SELECT 'h' || CAST(doc_id % $hosts AS VARCHAR) AS src,
+         'h' || CAST((doc_id * 7 + j * 11 + n_chars) % $hosts AS VARCHAR) AS dst
+  FROM documents, (SELECT unnest([0, 1, 2]) AS j)),
+e AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
+nodes AS (SELECT DISTINCT node FROM (SELECT src AS node FROM e UNION SELECT dst FROM e)),
+nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+o AS (SELECT src, count(*)::DOUBLE AS outdeg FROM e GROUP BY src),
+r0 AS (SELECT node, (SELECT 1.0 / n FROM nn) AS rank FROM nodes)""")
+    for (k <- 1 to iters) {
+      val prev = s"r${k - 1}"
+      sb.append(s""",
+d$k AS (SELECT coalesce(sum(r.rank), 0.0) AS m FROM $prev r
+  LEFT JOIN o ON r.node = o.src WHERE o.src IS NULL),
+c$k AS (SELECT e.dst AS node, sum(r.rank / o.outdeg) AS s FROM e
+  JOIN $prev r ON e.src = r.node JOIN o ON e.src = o.src GROUP BY e.dst),
+r$k AS (SELECT nd.node,
+  $base / nn.n + $damping * (coalesce(c.s, 0.0) + d.m / nn.n) AS rank
+  FROM nodes nd CROSS JOIN nn CROSS JOIN d$k d
+  LEFT JOIN c$k c ON c.node = nd.node)""")
+    }
+    sb.append(s"\nSELECT node, round(rank, 6) AS rank FROM r$iters")
+    sb.toString
+  }
+
+  /** q_kmeans: full unrolled replay of [[PipelineOps.kmeansAssign]] —
+    * init = vectors of the k lowest vec_ids, each round assigns under the
+    * shared 6-dp-rounded squared-distance / lowest-cid tie law then takes
+    * per-cluster per-dimension means (empty clusters keep the previous
+    * centroid), final assignment after `iters` rounds.
+    */
+  def kmeans(k: Int, iters: Int, dim: Int): String = {
+    def assign(a: String, c: String): String =
+      s"""$a AS (SELECT vec_id, cid FROM (
+  SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id ORDER BY
+    round(list_dot_product(e.v, e.v) - 2 * list_dot_product(e.v, c.v)
+      + list_dot_product(c.v, c.v), 6), c.cid) AS rn
+  FROM e CROSS JOIN $c c) WHERE rn = 1)"""
+    val sb = new StringBuilder
+    sb.append(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v
+  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT $k)),
+dims AS (SELECT unnest(range(1, ${dim + 1})) AS i)""")
+    for (r <- 1 to iters) {
+      sb.append(",\n").append(assign(s"a$r", s"c${r - 1}"))
+      sb.append(s""",
+m$r AS (SELECT a.cid, d.i, avg(e.v[d.i]) AS mv FROM a$r a
+  JOIN e USING (vec_id) CROSS JOIN dims d GROUP BY a.cid, d.i),
+c$r AS (SELECT p.cid, coalesce(m.v, p.v) AS v FROM c${r - 1} p LEFT JOIN
+  (SELECT cid, list(mv ORDER BY i) AS v FROM m$r GROUP BY cid) m
+  ON m.cid = p.cid)""")
+    }
+    sb.append(",\n").append(assign("afin", s"c$iters"))
+    sb.append("\nSELECT vec_id, cid::BIGINT AS cluster FROM afin")
+    sb.toString
+  }
+
+  /** q_cluster_sample: balanced downsample over the `label` strata — the
+    * same md5-permille keep rule as `PipelineOps.clusterBalancedSample`
+    * (keep fraction = floor(1000·minSize/size) permille of md5(vec_id#salt)).
+    */
+  val clusterSample: String =
+    """WITH a AS (SELECT vec_id, label::BIGINT AS cluster FROM embeddings),
+s AS (SELECT cluster, count(*) AS csize FROM a GROUP BY cluster),
+p AS (SELECT cluster,
+  CAST(floor(1000.0 * (SELECT min(csize) FROM s) / csize) AS BIGINT) AS pm FROM s)
+SELECT a.vec_id, a.cluster FROM a JOIN p USING (cluster)
+WHERE CAST(('0x' || substr(md5(CAST(a.vec_id AS VARCHAR) || '#balance'), 1, 8)) AS BIGINT) % 1000 < p.pm"""
+
+  /** q_sem_contam: per-corpus-row nearest benchmark embedding (cos desc,
+    * bench_id asc) + threshold flag — the brute-force restatement of the
+    * broadcast-block kernel.
+    */
+  def semContamination(threshold: Double, benchMod: Int): String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+b AS (SELECT vec_id AS bench_id, v AS bv FROM e WHERE vec_id % $benchMod = 0),
+c AS (SELECT vec_id, v FROM e WHERE vec_id % $benchMod <> 0),
+scored AS (SELECT c.vec_id, b.bench_id, ${cosineSql("c.v", "b.bv")} AS cc
+  FROM c CROSS JOIN b),
+r AS (SELECT vec_id, bench_id, cc, row_number() OVER
+  (PARTITION BY vec_id ORDER BY cc DESC, bench_id) AS rn FROM scored)
+SELECT vec_id, bench_id, round(cc, 4) AS cos, cc >= $threshold AS contaminated
+FROM r WHERE rn = 1"""
+
   def embeddingNearDup(threshold: Double): String =
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 p AS (SELECT a.vec_id AS ia, b.vec_id AS ib, ${cosineSql("a.v", "b.v")} AS c

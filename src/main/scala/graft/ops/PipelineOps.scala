@@ -2062,4 +2062,224 @@ object PipelineOps {
       .select(col("doc_id"),
         (col("bp") + inBucket.cast("long") - 1L).as("shuffle_pos"))
   }
+
+  // ------------------------------------------------------------ link graph
+
+  /** PageRank over a (src, dst) edge list — the host-level link-authority
+    * prior web pipelines attach to crawl curation (the Common Crawl
+    * host-ranking / RefinedWeb "domain quality" signal; Page et al. 1999).
+    *
+    * Semantics (deterministic): the graph is simplified first (parallel
+    * edges collapse, self-loops drop); `rank_0 = 1/|V|`; each iteration
+    *   `rank(v) = (1-d)/|V| + d * (Σ_{u→v} rank(u)/outdeg(u) + dangling/|V|)`
+    * where `dangling` is the rank mass sitting on nodes with no out-edges
+    * (redistributed uniformly, the standard correction that keeps Σrank=1).
+    *
+    * 100 TB shape: the rank frame is NODE-sized, not corpus-sized; each
+    * iteration is one equi-join of edges with ranks on src (AQE broadcasts
+    * the rank side when hosts are few) plus a map-side-combined
+    * groupBy(dst) sum, and one scalar aggregate for the dangling mass.
+    * `localCheckpoint` truncates the iterative lineage (the
+    * [[bpeTrainDf]] precedent). No collect of nodes or edges ever happens
+    * on the driver.
+    */
+  def pageRank(edges: DataFrame, iters: Int = 3, damping: Double = 0.85): DataFrame = {
+    val e = edges.select(col("src").cast("string").as("src"),
+        col("dst").cast("string").as("dst"))
+      .where(col("src") =!= col("dst")).distinct()
+      .localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().localCheckpoint()
+    val n = nodes.count().toDouble
+    val outdeg = e.groupBy("src").agg(count(lit(1)).cast("double").as("outdeg"))
+      .localCheckpoint()
+    var ranks = nodes.withColumn("rank", lit(1.0 / n)).localCheckpoint()
+    var it = 0
+    while (it < iters) {
+      val dangling = ranks.join(outdeg, ranks("node") === outdeg("src"), "left_anti")
+        .agg(coalesce(sum("rank"), lit(0.0))).head.getDouble(0)
+      val contribs = e.join(ranks.withColumnRenamed("node", "src"), "src")
+        .join(outdeg, "src")
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("rank") / col("outdeg")).as("s"))
+      ranks = nodes.join(contribs, Seq("node"), "left")
+        .select(col("node"),
+          (lit((1.0 - damping) / n) +
+            lit(damping) * (coalesce(col("s"), lit(0.0)) + lit(dangling / n)))
+            .as("rank"))
+        .localCheckpoint()
+      it += 1
+    }
+    ranks
+  }
+
+  // ------------------------------------------------------- embedding k-means
+
+  /** Nearest centroid under the shared cross-engine tie law: squared L2
+    * distance rounded to 6 dp (absorbs double-summation-order noise between
+    * engines), ties to the LOWEST cluster id.
+    */
+  private def nearestCentroid(cs: Array[Array[Double]], v: Array[Double]): Int = {
+    var best = 0; var bestD = Double.MaxValue
+    var ci = 0
+    while (ci < cs.length) {
+      val c = cs(ci); var d = 0.0; var j = 0
+      while (j < v.length) { val t = v(j) - c(j); d += t * t; j += 1 }
+      val dr = math.rint(d * 1e6) / 1e6
+      if (dr < bestD) { bestD = dr; best = ci }
+      ci += 1
+    }
+    best
+  }
+
+  /** Distributed Lloyd's k-means over an embedding column — the topic /
+    * domain clustering step of data-mixing pipelines (cluster-then-balance,
+    * e.g. SemDeDup's and DataComp's cluster stages). Deterministic end to
+    * end: init centroids are the vectors of the `k` LOWEST ids (bounded
+    * TakeOrderedAndProject, no RNG), assignment uses the 6-dp-rounded
+    * squared-distance tie law of [[nearestCentroid]] (lowest cluster wins
+    * ties) so an independent engine replays it exactly, and `iters` full
+    * update rounds run before the final assignment. Empty clusters keep
+    * their previous centroid.
+    *
+    * 100 TB shape: centroids (k×dim doubles) broadcast; each update round
+    * is ONE `mapPartitions` pass that assigns and accumulates per-partition
+    * partial (count, Σvec) per cluster — k×(dim+1) doubles per task, so
+    * only P×k tiny rows reach the driver (the MLlib KMeans shape); the
+    * corpus never shuffles. Returns (idCol, cluster).
+    */
+  def kmeansAssign(embeddings: DataFrame, k: Int, iters: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    require(k >= 1 && iters >= 0)
+    val e = embeddings.select(col(idCol).cast("long").as("id"),
+      col(vecCol).cast("array<double>").as("v")).as[(Long, Array[Double])]
+    var cents: Array[Array[Double]] =
+      e.orderBy("id").limit(k).collect().sortBy(_._1).map(_._2)
+    require(cents.nonEmpty, "kmeansAssign needs at least one vector")
+    val dim = cents(0).length
+    var round = 0
+    while (round < iters) {
+      val bc = spark.sparkContext.broadcast(cents)
+      val partials = e.mapPartitions { it =>
+        val cs = bc.value
+        val cnt = new Array[Long](cs.length)
+        val sums = Array.ofDim[Double](cs.length, dim)
+        it.foreach { case (_, v) =>
+          val c = nearestCentroid(cs, v)
+          cnt(c) += 1
+          var j = 0; while (j < dim) { sums(c)(j) += v(j); j += 1 }
+        }
+        Iterator.tabulate(cs.length)(ci => (ci, cnt(ci), sums(ci)))
+      }.collect()
+      val byC = partials.groupBy(_._1)
+      cents = Array.tabulate(cents.length) { ci =>
+        val parts = byC.getOrElse(ci, Array.empty)
+        val n = parts.map(_._2).sum
+        if (n == 0L) cents(ci) // empty cluster: centroid unchanged
+        else {
+          val s = new Array[Double](dim)
+          parts.foreach { case (_, _, ps) =>
+            var j = 0; while (j < dim) { s(j) += ps(j); j += 1 }
+          }
+          var j = 0; while (j < dim) { s(j) /= n; j += 1 }
+          s
+        }
+      }
+      round += 1
+    }
+    val bc = spark.sparkContext.broadcast(cents)
+    e.mapPartitions { it =>
+      val cs = bc.value
+      it.map { case (id, v) => (id, nearestCentroid(cs, v).toLong) }
+    }.toDF(idCol, "cluster")
+  }
+
+  /** Cluster-balanced subsampling — downsample every cluster to (about) the
+    * size of the SMALLEST one, the balance step after topic clustering
+    * (keeps one dominant topic from swamping the mixture). Deterministic
+    * md5-permille keep decision per row (the [[stratifiedSample]] rule,
+    * keyed on the id column + salt), so membership is reproducible across
+    * engines, runs and repartitionings; per-cluster keep fraction =
+    * `floor(1000·minSize/size)` permille. Cluster sizes are one tiny
+    * groupBy broadcast back — the corpus never shuffles. Returns the kept
+    * (idCol, cluster) rows.
+    */
+  def clusterBalancedSample(assign: DataFrame, idCol: String = "vec_id",
+      salt: String = "balance"): DataFrame = {
+    val sizes = assign.groupBy("cluster").agg(count(lit(1)).as("csize"))
+    val minSize = min(col("csize")).over(org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1)))
+    val permille = sizes.select(col("cluster"),
+      floor(lit(1000L) * minSize / col("csize")).as("pm"))
+    val bucket = expr(
+      s"cast(conv(substr(md5(concat(cast($idCol as string), '#$salt')), 1, 8), 16, 10) as bigint) % 1000")
+    assign.join(broadcast(permille), "cluster")
+      .where(bucket < col("pm"))
+      .select(col(idCol), col("cluster"))
+  }
+
+  // ------------------------------------------------- semantic decontamination
+
+  /** Semantic (embedding-space) benchmark decontamination — the dense twin
+    * of the n-gram [[contamination]] screen: flag corpus items whose
+    * embedding is too close (cosine ≥ threshold) to ANY benchmark item.
+    * Catches paraphrased leakage that exact n-gram overlap misses.
+    *
+    * 100 TB shape: the benchmark block (ids + flattened vectors + norms —
+    * bounded by the benchmark, not the corpus) broadcasts once; each corpus
+    * partition scores its rows against the whole block in one
+    * primitive-array kernel keeping only the per-row max (the
+    * [[cosineTopKBatch]] kernel with a max instead of heaps). One corpus
+    * scan, no shuffle, no per-pair Catalyst eval. Ties on the max break to
+    * the lowest benchmark id. Returns (idCol, bench_id, cos 4dp,
+    * contaminated).
+    */
+  def semanticContamination(corpus: DataFrame, bench: DataFrame,
+      threshold: Double, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val bRows = bench.select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .as[(Long, Array[Double])].collect().sortBy(_._1)
+    require(bRows.nonEmpty, "semanticContamination needs a non-empty benchmark")
+    val dim = bRows(0)._2.length
+    val m = bRows.length
+    val bIds = bRows.map(_._1)
+    val bFlat = new Array[Double](m * dim)
+    val bNorms = new Array[Double](m)
+    var bi = 0
+    while (bi < m) {
+      val v = bRows(bi)._2
+      var j = 0; var s = 0.0
+      while (j < dim) { val x = v(j); bFlat(bi * dim + j) = x; s += x * x; j += 1 }
+      bNorms(bi) = math.sqrt(s)
+      bi += 1
+    }
+    val bc = spark.sparkContext.broadcast((bIds, bFlat, bNorms))
+    corpus.select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        val (ids, bf, bn) = bc.value
+        it.map { case (vid, v) =>
+          var s = 0.0; var j = 0
+          while (j < dim) { val x = v(j); s += x * x; j += 1 }
+          val norm = math.sqrt(s)
+          var bestC = Double.NegativeInfinity; var bestId = 0L
+          var q = 0
+          while (q < ids.length) {
+            var dot = 0.0; var p = q * dim; var i = 0
+            while (i < dim) { dot += bf(p) * v(i); p += 1; i += 1 }
+            val cos = dot / (bn(q) * norm)
+            if (cos > bestC) { bestC = cos; bestId = ids(q) }
+            q += 1
+          }
+          (vid, bestId, bestC, bestC >= threshold)
+        }
+      }
+      .toDF(idCol, "bench_id", "c", "contaminated")
+      .select(col(idCol), col("bench_id"), round(col("c"), 4).as("cos"),
+        col("contaminated"))
+  }
 }

@@ -1,0 +1,207 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.ops.PipelineOps
+
+/** Link-graph PageRank, embedding k-means, cluster-balanced sampling and
+  * semantic decontamination — each checked against an independent
+  * driver-side implementation (never against itself).
+  */
+class GraphClusterSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.spark
+
+  // ------------------------------------------------------------- PageRank
+
+  /** Independent PageRank oracle: plain Scala maps, same published
+    * recurrence (uniform init, dangling mass redistributed uniformly).
+    */
+  private def pageRankOracle(edges: Seq[(String, String)], iters: Int,
+      d: Double): Map[String, Double] = {
+    val e = edges.filter { case (a, b) => a != b }.distinct
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct.sorted
+    val n = nodes.size.toDouble
+    val out = e.groupBy(_._1).map { case (s, es) => s -> es.size.toDouble }
+    var r = nodes.map(_ -> 1.0 / n).toMap
+    for (_ <- 1 to iters) {
+      val dangling = nodes.filterNot(out.contains).map(r).sum
+      val contrib = e.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (src, _) => r(src) / out(src) }.sum
+      }
+      r = nodes.map(v =>
+        v -> ((1 - d) / n + d * (contrib.getOrElse(v, 0.0) + dangling / n))).toMap
+    }
+    r
+  }
+
+  // a→b, a→c, b→c, c→a, c→e; e is DANGLING (no out-edges); plus a parallel
+  // duplicate of a→b and a self-loop d→d (d participates only via d→a)
+  private val testEdges = Seq(
+    "a" -> "b", "a" -> "c", "b" -> "c", "c" -> "a", "c" -> "e",
+    "a" -> "b", "d" -> "d", "d" -> "a")
+
+  test("pageRank matches independent power iteration (dangling + dup edges + self-loop)") {
+    import spark.implicits._
+    val edges = testEdges.toDF("src", "dst")
+    val got = PipelineOps.pageRank(edges, iters = 5, damping = 0.85)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val want = pageRankOracle(testEdges, 5, 0.85)
+    assert(got.keySet === want.keySet)
+    for ((k, v) <- want) assert(math.abs(got(k) - v) < 1e-12, s"node $k")
+    // rank is a probability distribution
+    assert(math.abs(got.values.sum - 1.0) < 1e-9)
+    // the hub pointed to by everything outranks the dangling leaf's source
+    assert(got("c") > got("e"))
+  }
+
+  test("pageRank is invariant under input partitioning") {
+    import spark.implicits._
+    val e1 = testEdges.toDF("src", "dst").repartition(7)
+    val e2 = testEdges.toDF("src", "dst").coalesce(1)
+    val a = PipelineOps.pageRank(e1, 3).collect()
+      .map(r => r.getString(0) -> math.rint(r.getDouble(1) * 1e9)).toMap
+    val b = PipelineOps.pageRank(e2, 3).collect()
+      .map(r => r.getString(0) -> math.rint(r.getDouble(1) * 1e9)).toMap
+    assert(a === b)
+  }
+
+  // -------------------------------------------------------------- k-means
+
+  private def genVectors(n: Int, dim: Int, nClusters: Int,
+      noise: Double): Seq[(Long, Array[Double])] = {
+    val rnd = new scala.util.Random(7)
+    val centroids = Array.fill(nClusters, dim)(rnd.nextGaussian())
+    (0L until n.toLong).map { i =>
+      val r = new scala.util.Random(500 + i)
+      val c = centroids((i % nClusters).toInt)
+      i -> Array.tabulate(dim)(j => c(j) + noise * r.nextGaussian())
+    }
+  }
+
+  /** Independent Lloyd's: sequential, same init (k lowest ids), same
+    * 6dp-rounded-distance/lowest-cid tie law, empty clusters keep their
+    * centroid.
+    */
+  private def kmeansOracle(vs: Seq[(Long, Array[Double])], k: Int,
+      iters: Int): Map[Long, Int] = {
+    val dim = vs.head._2.length
+    var cents = vs.sortBy(_._1).take(k).map(_._2.clone).toArray
+    def nearest(v: Array[Double]): Int = {
+      var best = 0; var bestD = Double.MaxValue
+      for (ci <- cents.indices) {
+        var d = 0.0
+        var j = 0
+        while (j < dim) { val t = v(j) - cents(ci)(j); d += t * t; j += 1 }
+        val dr = math.rint(d * 1e6) / 1e6
+        if (dr < bestD) { bestD = dr; best = ci }
+      }
+      best
+    }
+    for (_ <- 1 to iters) {
+      val byC = vs.groupBy { case (_, v) => nearest(v) }
+      cents = Array.tabulate(k) { ci =>
+        byC.get(ci) match {
+          case None => cents(ci)
+          case Some(members) =>
+            val s = new Array[Double](dim)
+            members.foreach { case (_, v) =>
+              var j = 0; while (j < dim) { s(j) += v(j); j += 1 }
+            }
+            var j = 0; while (j < dim) { s(j) /= members.size; j += 1 }
+            s
+        }
+      }
+    }
+    vs.map { case (id, v) => id -> nearest(v) }.toMap
+  }
+
+  test("kmeansAssign matches independent sequential Lloyd's exactly") {
+    import spark.implicits._
+    val vs = genVectors(240, 16, 5, 0.3)
+    val df = vs.map { case (id, v) => (id, v.toSeq) }.toDF("vec_id", "embedding")
+      .repartition(9)
+    val got = PipelineOps.kmeansAssign(df, k = 5, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1).toInt).toMap
+    val want = kmeansOracle(vs, 5, 3)
+    assert(got === want)
+    assert(got.values.toSet.size > 1, "should use more than one cluster")
+  }
+
+  test("kmeansAssign keeps empty clusters' centroids (k > distinct points)") {
+    import spark.implicits._
+    // 3 distinct points, k=4: cluster of the 4th init vector (a duplicate
+    // of an earlier point) can never win under the lowest-cid tie law
+    val pts = Seq(
+      0L -> Array(0.0, 0.0), 1L -> Array(10.0, 0.0), 2L -> Array(0.0, 10.0),
+      3L -> Array(0.0, 0.0), 4L -> Array(10.1, 0.0), 5L -> Array(0.0, 9.9))
+    val df = pts.map { case (id, v) => (id, v.toSeq) }.toDF("vec_id", "embedding")
+    val got = PipelineOps.kmeansAssign(df, k = 4, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1).toInt).toMap
+    val want = kmeansOracle(pts, 4, 2)
+    assert(got === want)
+    assert(!got.values.toSet.contains(3), "duplicate-init cluster stays empty")
+  }
+
+  // ------------------------------------------------- cluster-balanced sample
+
+  test("clusterBalancedSample keep-set equals the JVM md5 rule; partitioning-invariant") {
+    import spark.implicits._
+    val assign = (0L until 400L).map(i => (i, (i % 7) * (i % 7) % 5)) // skewed sizes
+    val df = assign.toDF("vec_id", "cluster")
+    val got = PipelineOps.clusterBalancedSample(df.repartition(11))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // independent restatement: md5 permille < floor(1000*min/size)
+    val sizes = assign.groupBy(_._2).map { case (c, xs) => c -> xs.size }
+    val minSize = sizes.values.min
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def permille(id: Long): Long = {
+      val hex = md.digest(s"$id#balance".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 8)
+      java.lang.Long.parseLong(hex, 16) % 1000
+    }
+    val want = assign.filter { case (id, c) =>
+      permille(id) < math.floor(1000.0 * minSize / sizes(c)).toLong
+    }.toSet
+    assert(got === want)
+    // every cluster is downsampled towards the min size (fraction rule)
+    val gotSizes = got.groupBy(_._2).map { case (c, xs) => c -> xs.size }
+    for ((c, n) <- gotSizes) assert(n <= sizes(c))
+    val got2 = PipelineOps.clusterBalancedSample(df.coalesce(1))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got2 === got)
+  }
+
+  // --------------------------------------------- semantic decontamination
+
+  test("semanticContamination matches brute-force nearest-benchmark scan") {
+    import spark.implicits._
+    val vs = genVectors(150, 24, 6, 0.25)
+    val (bench, corpus) = vs.partition(_._1 % 10 == 0)
+    val bDF = bench.map { case (id, v) => (id, v.toSeq) }.toDF("vec_id", "embedding")
+    val cDF = corpus.map { case (id, v) => (id, v.toSeq) }.toDF("vec_id", "embedding")
+      .repartition(5)
+    val t = 0.8
+    val got = PipelineOps.semanticContamination(cDF, bDF, t)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2), r.getBoolean(3))))
+      .toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var j = 0
+      while (j < a.length) { dot += a(j) * b(j); na += a(j) * a(j); nb += b(j) * b(j); j += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    assert(got.size === corpus.size)
+    for ((id, v) <- corpus) {
+      val scored = bench.map { case (bid, bv) => (bid, cos(v, bv)) }
+      val (bestId, bestC) = scored.maxBy { case (bid, c) => (c, -bid) }
+      val (gBid, gCos, gFlag) = got(id)
+      assert(gBid === bestId, s"corpus $id")
+      assert(math.abs(gCos - math.rint(bestC * 1e4) / 1e4) < 1e-9, s"corpus $id")
+      assert(gFlag === (bestC >= t), s"corpus $id")
+    }
+    // the threshold actually splits the corpus (test is non-vacuous)
+    assert(got.values.exists(_._3) && got.values.exists(!_._3))
+  }
+}
