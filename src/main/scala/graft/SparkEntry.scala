@@ -562,6 +562,12 @@ object SparkEntry {
     // cluster-balanced subsample over the label strata (md5-permille rule)
     "q_cluster_sample" -> ((s, d) => PipelineOps.clusterBalancedSample(
       embeddings(s, d).select(col("vec_id"), col("label").cast("long").as("cluster")))),
+    // exact kNN graph (block-pair heap kernel; IVF-celled at scale)
+    "q_knn_graph" -> ((s, d) => PipelineOps.knnGraph(embeddings(s, d), 3)),
+    // α=0.7 temperature-rebalanced domain mixture over languages
+    "q_mixture_weights" -> ((s, d) => PipelineOps.mixtureWeights(docs(s, d), "lang", 0.7)),
+    // within-doc token-distribution entropy + type-token ratio
+    "q_token_entropy" -> ((s, d) => PipelineOps.tokenEntropy(docs(s, d))),
     // semantic decontamination: every 97th embedding plays the benchmark
     "q_sem_contam" -> ((s, d) => {
       val e = embeddings(s, d)
@@ -990,6 +996,9 @@ object SparkEntry {
     "q_cosine_topk_batch" -> OracleSql.cosineTopKBatch(Seq(0L, 1L, 2L), 5),
     "q_sem_dedup" -> OracleSql.semDedup(0.35),
     "q_kmeans" -> OracleSql.kmeans(4, 2, 64),
+    "q_knn_graph" -> OracleSql.knnGraph(3),
+    "q_mixture_weights" -> OracleSql.mixtureWeights(0.7),
+    "q_token_entropy" -> OracleSql.tokenEntropy,
     "q_cluster_sample" -> OracleSql.clusterSample,
     "q_sem_contam" -> OracleSql.semContamination(0.3, 97),
     "q_pagerank" -> OracleSql.pageRank(3, 0.85, 40),

@@ -1044,6 +1044,43 @@ r AS (SELECT vec_id, bench_id, cc, row_number() OVER
 SELECT vec_id, bench_id, round(cc, 4) AS cos, cc >= $threshold AS contaminated
 FROM r WHERE rn = 1"""
 
+  /** q_knn_graph: exact per-vector top-k neighbors via a window over the
+    * full cross score — the brute-force restatement of the block-pair heap
+    * kernel (same full-precision ordering cos DESC, nb_id ASC).
+    */
+  def knnGraph(k: Int): String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+s AS (SELECT a.vec_id, b.vec_id AS nb_id, ${cosineSql("a.v", "b.v")} AS c
+  FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+r AS (SELECT vec_id, nb_id, c, row_number() OVER
+  (PARTITION BY vec_id ORDER BY c DESC, nb_id) AS rank FROM s)
+SELECT vec_id, nb_id, round(c, 4) AS cos, rank::BIGINT AS rank
+FROM r WHERE rank <= $k"""
+
+  /** q_mixture_weights: per-domain token totals → natural share and
+    * α-scaled weight (p_d ∝ n_d^α), same double pow/normalize as the
+    * Spark side, 6dp.
+    */
+  def mixtureWeights(alpha: Double): String =
+    s"""WITH d AS (SELECT lang, $TokensExprDuck AS toks FROM documents),
+t AS (SELECT lang AS domain, sum(len(toks))::BIGINT AS tokens FROM d GROUP BY lang)
+SELECT domain, tokens,
+  round(tokens / (SELECT sum(tokens) FROM t), 6) AS share,
+  round(pow(tokens, $alpha) / (SELECT sum(pow(tokens, $alpha)) FROM t), 6) AS weight
+FROM t"""
+
+  /** q_token_entropy: per-doc histogram entropy in the same stable form
+    * `log2(N) − Σc·log2(c)/N` plus type-token ratio, 4dp.
+    */
+  val tokenEntropy: String =
+    s"""WITH $T,
+hist AS (SELECT doc_id, tok, count(*)::DOUBLE AS c
+  FROM (SELECT doc_id, unnest(toks) AS tok FROM t) GROUP BY doc_id, tok),
+a AS (SELECT doc_id, sum(c) AS n, sum(c * log2(c)) AS s,
+  count(*)::BIGINT AS types FROM hist GROUP BY doc_id)
+SELECT doc_id, n::BIGINT AS n_toks, types,
+  round(log2(n) - s / n, 4) AS entropy, round(types / n, 4) AS ttr FROM a"""
+
   def embeddingNearDup(threshold: Double): String =
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 p AS (SELECT a.vec_id AS ia, b.vec_id AS ib, ${cosineSql("a.v", "b.v")} AS c

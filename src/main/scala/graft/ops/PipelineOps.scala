@@ -2220,6 +2220,147 @@ object PipelineOps {
       .select(col(idCol), col("cluster"))
   }
 
+  // ----------------------------------------------------------- kNN graph
+
+  /** Exact k-nearest-neighbor graph over the embedding column — the
+    * all-rows generalization of [[cosineTopKBatch]] and the standard
+    * building block for graph-based corpus clustering (SemDeDup-style
+    * cluster stages, label propagation, diversity analysis). For every
+    * vector: its `k` highest-cosine neighbors (self excluded), ties to the
+    * lower neighbor id.
+    *
+    * Shape: the [[embeddingNearDupPairs]] block-pair kernel, but each of
+    * the B(B+1)/2 block-pair tasks keeps per-row bounded top-k heaps for
+    * BOTH blocks (memory = blockRows × k per task) instead of thresholded
+    * pairs, so only n×B×k candidate rows reach the per-vector merge
+    * (window rank ≤ k) — never the n² score matrix. Still the exact O(n²)
+    * flops pass at memory bandwidth; the sub-quadratic 100 TB path is the
+    * same heap kernel run within [[ivfAssignments]] cells.
+    */
+  def knnGraph(embeddings: DataFrame, k: Int, blocks: Int = 0): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val nb = if (blocks > 0) blocks else math.max(8, spark.sparkContext.defaultParallelism)
+    val packed = embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
+        pmod(col("vec_id"), lit(nb)).cast("int").as("bid"))
+      .as[(Long, Array[Double], Int)]
+      .groupByKey(_._3)
+      .mapGroups { (bid, it) =>
+        val rows = it.toArray.sortBy(_._1)
+        val n = rows.length
+        val dim = if (n == 0) 0 else rows(0)._2.length
+        val ids = new Array[Long](n)
+        val flat = new Array[Double](n * dim)
+        val norms = new Array[Double](n)
+        var i = 0
+        while (i < n) {
+          ids(i) = rows(i)._1
+          val v = rows(i)._2
+          var s = 0.0; var j = 0
+          while (j < dim) { val x = v(j); flat(i * dim + j) = x; s += x * x; j += 1 }
+          norms(i) = math.sqrt(s)
+          i += 1
+        }
+        VecBlock(bid, ids, flat, norms, dim)
+      }
+    val cand = packed.as("a").joinWith(packed.as("b"), $"a.bid" <= $"b.bid", "inner")
+      .repartition(nb)
+      .flatMap { case (a, b) =>
+        val same = a.bid == b.bid
+        val dim = a.dim
+        // worst entry first: lowest cos, then HIGHEST neighbor id (inverse
+        // of the result order cos desc / id asc)
+        val worstFirst = Ordering.by((t: (Double, Long)) => (-t._1, t._2))
+        def mkHeaps(n: Int) = Array.fill(n)(
+          scala.collection.mutable.PriorityQueue.empty[(Double, Long)](worstFirst))
+        val ha = mkHeaps(a.ids.length)
+        val hb = if (same) ha else mkHeaps(b.ids.length)
+        def push(h: scala.collection.mutable.PriorityQueue[(Double, Long)],
+            cos: Double, id: Long): Unit = {
+          if (h.size < k) h.enqueue((cos, id))
+          else {
+            val (wc, wid) = h.head
+            if (cos > wc || (cos == wc && id < wid)) { h.dequeue(); h.enqueue((cos, id)) }
+          }
+        }
+        var i = 0
+        while (i < a.ids.length) {
+          var j = if (same) i + 1 else 0
+          while (j < b.ids.length) {
+            var dot = 0.0; var p = i * dim; var q = j * dim; var z = 0
+            while (z < dim) { dot += a.flat(p) * b.flat(q); p += 1; q += 1; z += 1 }
+            val cos = dot / (a.norms(i) * b.norms(j))
+            push(ha(i), cos, b.ids(j))
+            push(hb(j), cos, a.ids(i))
+            j += 1
+          }
+          i += 1
+        }
+        ha.iterator.zipWithIndex.flatMap { case (h, i) =>
+          h.iterator.map { case (c, id) => (a.ids(i), id, c) }
+        } ++ (if (same) Iterator.empty
+              else hb.iterator.zipWithIndex.flatMap { case (h, j) =>
+                h.iterator.map { case (c, id) => (b.ids(j), id, c) } })
+      }
+      .toDF("vec_id", "nb_id", "c")
+    cand
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("vec_id")).orderBy(col("c").desc, col("nb_id"))))
+      .where(col("rank") <= k)
+      .select(col("vec_id"), col("nb_id"), round(col("c"), 4).as("cos"),
+        col("rank").cast("long").as("rank"))
+  }
+
+  // ------------------------------------------------------ mixture weights
+
+  /** Temperature-scaled domain mixture weights — the α-reweighting step of
+    * multilingual / multi-domain training mixes (p_d ∝ n_d^α with
+    * temperature α ∈ [0,1]: α=1 keeps the natural token share, α=0 is
+    * uniform over domains; the standard "α=0.7" rebalance). Token counts
+    * come from the analyzer token array; output carries (domain, tokens,
+    * share, weight) where `share` is the natural token fraction and
+    * `weight` the α-scaled sampling fraction — feed `weight/share` ratios
+    * into [[stratifiedSample]] fractions to materialize the mix. One
+    * map-side-combined groupBy(domain); weights are a domain-count-sized
+    * second aggregate.
+    */
+  def mixtureWeights(docs: DataFrame, domainCol: String, alpha: Double): DataFrame = {
+    val toks = docs.select(col(domainCol).as("domain"),
+      expr(s"size($TokensExprSpark)").cast("long").as("n"))
+      .groupBy("domain").agg(sum("n").as("tokens"))
+    val tot = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+    toks.select(col("domain"), col("tokens"),
+        (col("tokens") / sum(col("tokens")).over(tot)).as("share_raw"),
+        (pow(col("tokens"), lit(alpha)) /
+          sum(pow(col("tokens"), lit(alpha))).over(tot)).as("weight_raw"))
+      .select(col("domain"), col("tokens"),
+        round(col("share_raw"), 6).as("share"), round(col("weight_raw"), 6).as("weight"))
+  }
+
+  // -------------------------------------------------------- token entropy
+
+  /** Per-document token-distribution Shannon entropy + type-token ratio —
+    * the within-doc diversity quality signal (keyword stuffing and
+    * boilerplate repeat few types → low entropy / low TTR; natural prose
+    * sits near log2 of the doc length). Uses the numerically stable form
+    * `H = log2(N) − (Σ c·log2 c)/N` over the doc's token histogram; TTR =
+    * distinct/total. Two map-side-combined groupBys keyed (doc_id, tok)
+    * then (doc_id) — the same shuffle class as exact dedup; no UDFs.
+    */
+  def tokenEntropy(docs: DataFrame): DataFrame = {
+    val hist = withTokens(docs)
+      .select(col("doc_id"), explode(col("toks")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).cast("double").as("c"))
+    hist.groupBy("doc_id")
+      .agg(sum("c").as("n"), sum(col("c") * log2(col("c"))).as("s"),
+        count(lit(1)).cast("long").as("types"))
+      .select(col("doc_id"), col("n").cast("long").as("n_toks"), col("types"),
+        round(log2(col("n")) - col("s") / col("n"), 4).as("entropy"),
+        round(col("types") / col("n"), 4).as("ttr"))
+  }
+
   // ------------------------------------------------- semantic decontamination
 
   /** Semantic (embedding-space) benchmark decontamination — the dense twin

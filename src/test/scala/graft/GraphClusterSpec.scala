@@ -173,6 +173,101 @@ class GraphClusterSpec extends AnyFunSuite {
     assert(got2 === got)
   }
 
+  // ------------------------------------------------------------ kNN graph
+
+  test("knnGraph matches brute-force per-vector top-k; block-count invariant") {
+    import spark.implicits._
+    val vs = genVectors(120, 16, 8, 0.4)
+    val df = vs.map { case (id, v) => (id, v.toSeq) }.toDF("vec_id", "embedding")
+      .repartition(6)
+    val k = 4
+    def run(blocks: Int) = PipelineOps.knnGraph(df, k, blocks)
+      .collect().map(r => (r.getLong(0), r.getLong(3)) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    val got = run(5)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var j = 0
+      while (j < a.length) { dot += a(j) * b(j); na += a(j) * a(j); nb += b(j) * b(j); j += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    for ((id, v) <- vs) {
+      val want = vs.filter(_._1 != id)
+        .map { case (nid, nv) => (nid, cos(v, nv)) }
+        .sortBy { case (nid, c) => (-c, nid) }.take(k)
+      want.zipWithIndex.foreach { case ((nid, c), i) =>
+        val (gNid, gCos) = got((id, i + 1L))
+        assert(gNid === nid, s"vec $id rank ${i + 1}")
+        assert(math.abs(gCos - math.rint(c * 1e4) / 1e4) < 1e-9, s"vec $id rank ${i + 1}")
+      }
+    }
+    assert(run(17) === got, "result depends on block count")
+  }
+
+  // ------------------------------------------------------ mixture weights
+
+  test("mixtureWeights matches independent computation; α=1 natural, α=0 uniform") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "aa bb cc dd", "en"), (1L, "aa bb cc dd ee ff", "en"),
+      (2L, "aa bb", "de"), (3L, "aa", "fr"), (4L, "aa bb cc", "fr"))
+      .toDF("doc_id", "text", "lang")
+    val toks = Map("en" -> 10L, "de" -> 2L, "fr" -> 4L)
+    def runAt(alpha: Double) = PipelineOps.mixtureWeights(docs, "lang", alpha)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    val a7 = runAt(0.7)
+    val totA = toks.values.map(math.pow(_, 0.7)).sum
+    val tot = toks.values.sum.toDouble
+    for ((d, n) <- toks) {
+      val (gN, gShare, gW) = a7(d)
+      assert(gN === n)
+      assert(math.abs(gShare - math.rint(n / tot * 1e6) / 1e6) < 1e-9)
+      assert(math.abs(gW - math.rint(math.pow(n, 0.7) / totA * 1e6) / 1e6) < 1e-9)
+    }
+    // α=1: weight == natural share; α=0: uniform over domains
+    val a1 = runAt(1.0)
+    for ((_, (_, s, w)) <- a1) assert(math.abs(s - w) < 1e-9)
+    val a0 = runAt(0.0)
+    for ((_, (_, _, w)) <- a0) assert(math.abs(w - 1.0 / 3) < 1e-6)
+  }
+
+  // -------------------------------------------------------- token entropy
+
+  test("tokenEntropy matches independent histogram computation + edge cases") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "x x x x"),                   // constant: H = 0, ttr = 1/4
+      (1L, "a b c d"),                   // uniform distinct: H = 2
+      (2L, "a a b b c c d d"),           // uniform pairs: H = 2
+      (3L, "a a a b"),                   // skewed
+      (4L, "spark table spark vector spark"))
+      .toDF("doc_id", "text")
+    val got = PipelineOps.tokenEntropy(docs)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    def oracle(text: String): (Long, Long, Double, Double) = {
+      val toks = text.split(" ").toSeq
+      val n = toks.size.toDouble
+      val hist = toks.groupBy(identity).map(_._2.size.toDouble)
+      val h = (math.log(n) - hist.map(c => c * math.log(c)).sum / n) / math.log(2.0)
+      (toks.size.toLong, hist.size.toLong,
+        math.rint(h * 1e4) / 1e4, math.rint(hist.size / n * 1e4) / 1e4)
+    }
+    val texts = Map(0L -> "x x x x", 1L -> "a b c d", 2L -> "a a b b c c d d",
+      3L -> "a a a b", 4L -> "spark table spark vector spark")
+    for ((id, t) <- texts) {
+      val (n, types, h, ttr) = oracle(t)
+      val (gN, gTypes, gH, gTtr) = got(id)
+      assert(gN === n, s"doc $id"); assert(gTypes === types, s"doc $id")
+      assert(math.abs(gH - h) < 1e-9, s"doc $id entropy")
+      assert(math.abs(gTtr - ttr) < 1e-9, s"doc $id ttr")
+    }
+    assert(got(0L)._3 === 0.0)
+    assert(got(1L)._3 === 2.0)
+    assert(got(2L)._3 === 2.0)
+  }
+
   // --------------------------------------------- semantic decontamination
 
   test("semanticContamination matches brute-force nearest-benchmark scan") {
