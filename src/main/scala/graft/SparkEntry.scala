@@ -564,6 +564,8 @@ object SparkEntry {
       embeddings(s, d).select(col("vec_id"), col("label").cast("long").as("cluster")))),
     // exact kNN graph (block-pair heap kernel; IVF-celled at scale)
     "q_knn_graph" -> ((s, d) => PipelineOps.knnGraph(embeddings(s, d), 3)),
+    // mutual-kNN clustering: k-less corpus clustering over mutual edges
+    "q_mutual_knn" -> ((s, d) => PipelineOps.mutualKnnClusters(embeddings(s, d), 3)),
     // α=0.7 temperature-rebalanced domain mixture over languages
     "q_mixture_weights" -> ((s, d) => PipelineOps.mixtureWeights(docs(s, d), "lang", 0.7)),
     // within-doc token-distribution entropy + type-token ratio
@@ -997,6 +999,7 @@ object SparkEntry {
     "q_sem_dedup" -> OracleSql.semDedup(0.35),
     "q_kmeans" -> OracleSql.kmeans(4, 2, 64),
     "q_knn_graph" -> OracleSql.knnGraph(3),
+    "q_mutual_knn" -> OracleSql.mutualKnn(3),
     "q_mixture_weights" -> OracleSql.mixtureWeights(0.7),
     "q_token_entropy" -> OracleSql.tokenEntropy,
     "q_cluster_sample" -> OracleSql.clusterSample,

@@ -1057,6 +1057,27 @@ r AS (SELECT vec_id, nb_id, c, row_number() OVER
 SELECT vec_id, nb_id, round(c, 4) AS cos, rank::BIGINT AS rank
 FROM r WHERE rank <= $k"""
 
+  /** q_mutual_knn: kNN edges both ways → INTERSECT keeps mutual pairs →
+    * recursive reachability closure → cluster id = min member (the
+    * [[semDedup]] closure pattern over the [[knnGraph]] edge rule).
+    */
+  def mutualKnn(k: Int): String =
+    s"""WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+s AS (SELECT a.vec_id, b.vec_id AS nb_id, ${cosineSql("a.v", "b.v")} AS c
+  FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+r AS (SELECT vec_id, nb_id, row_number() OVER
+  (PARTITION BY vec_id ORDER BY c DESC, nb_id) AS rank FROM s),
+g AS (SELECT vec_id, nb_id FROM r WHERE rank <= $k),
+m AS (SELECT vec_id AS ia, nb_id AS ib FROM
+  (SELECT vec_id, nb_id FROM g INTERSECT SELECT nb_id, vec_id FROM g)
+  WHERE vec_id < nb_id),
+edges AS (SELECT ia AS u, ib AS w FROM m UNION SELECT ib AS u, ia AS w FROM m),
+walk(u, w) AS (SELECT u, w FROM edges
+  UNION SELECT k.u, e2.w FROM walk k JOIN edges e2 ON k.w = e2.u),
+comp AS (SELECT u AS vec_id, min(w) AS mn FROM walk GROUP BY u)
+SELECT e.vec_id, coalesce(least(e.vec_id, c.mn), e.vec_id) AS cluster_id
+FROM e LEFT JOIN comp c ON e.vec_id = c.vec_id"""
+
   /** q_mixture_weights: per-domain token totals → natural share and
     * α-scaled weight (p_d ∝ n_d^α), same double pow/normalize as the
     * Spark side, 6dp.

@@ -2313,6 +2313,26 @@ object PipelineOps {
         col("rank").cast("long").as("rank"))
   }
 
+  /** Mutual-kNN graph clustering — corpus clustering WITHOUT choosing k:
+    * keep only edges where both endpoints list each other in their top-k
+    * ([[knnGraph]] both directions — the standard density trick that cuts
+    * hub links between unrelated regions), then fold the mutual edges into
+    * clusters with the proven [[connectedComponents]] large-star/small-star
+    * closure; cluster id = smallest member id (singletons are their own
+    * cluster). Same volume classes as its two building blocks: n×B×k
+    * candidates for the graph, O(log n) CC rounds over edge-sized frames.
+    * Returns (idCol, cluster_id).
+    */
+  def mutualKnnClusters(embeddings: DataFrame, k: Int, blocks: Int = 0): DataFrame = {
+    val g = knnGraph(embeddings, k, blocks).select(col("vec_id"), col("nb_id"))
+    val mutual = g.intersect(
+        g.select(col("nb_id").as("vec_id"), col("vec_id").as("nb_id")))
+      .where(col("vec_id") < col("nb_id"))
+      .select(col("vec_id").as("ia"), col("nb_id").as("ib"))
+    dedupResolve(embeddings.select(col("vec_id").as("doc_id")), mutual)
+      .select(col("doc_id").as("vec_id"), col("canonical_id").as("cluster_id"))
+  }
+
   // ------------------------------------------------------ mixture weights
 
   /** Temperature-scaled domain mixture weights — the α-reweighting step of

@@ -195,6 +195,54 @@ object ExplainProbe {
       "never reshuffle for the prefix), corpus-wide single partitions = " +
       s"${"SinglePartition".r.findAllIn(gsPlan).size} (bucket-count rows only), " +
       s"Cartesian = ${gsPlan.contains("Cartesian")} (want false)")
+    println("==== pageRank iteration (rank frame is node-sized; contribution " +
+      "join + map-side-combined groupBy(dst) sum; no cartesian) ====")
+    val edges = docsDf
+      .select(col("doc_id"), col("n_chars"), explode(expr("sequence(0, 2)")).as("j"))
+      .select(concat(lit("h"), (col("doc_id") % 40).cast("string")).as("src"),
+        concat(lit("h"),
+          ((col("doc_id") * 7 + col("j") * 11 + col("n_chars")) % 40).cast("string")).as("dst"))
+    val pr = graft.ops.PipelineOps.pageRank(edges, iters = 2)
+    val prPlan = pr.queryExecution.executedPlan.toString
+    println(s"pagerank: Cartesian = ${prPlan.contains("Cartesian")} (want false)")
+
+    println("==== kNN graph (block-pair kernel: the ONE nested-loop is the " +
+      "bid<=bid join over the B-row packed-block frames, never corpus rows; " +
+      "candidate merge is a bucket-partitioned window) ====")
+    val knn = graft.ops.PipelineOps.knnGraph(emb, 3)
+    knn.explain("formatted")
+    val knnPlan = knn.queryExecution.executedPlan.toString
+    println(s"knn: Cartesian = ${knnPlan.contains("Cartesian")} (want false), " +
+      s"block-frame nested-loops = ${"BroadcastNestedLoop".r.findAllIn(knnPlan).size} " +
+      "(want 1: B-row block frames only), window partitioned by vec_id = " +
+      s"${knnPlan.contains("hashpartitioning(vec_id")} (want true)")
+
+    println("==== semantic decontamination (benchmark block broadcast inside the " +
+      "kernel; corpus pass is shuffle-free) ====")
+    val sc2 = graft.ops.PipelineOps.semanticContamination(
+      emb.where(col("vec_id") % 97 =!= 0), emb.where(col("vec_id") % 97 === 0), 0.3)
+    val scPlan = sc2.queryExecution.executedPlan.toString
+    println(s"semcontam: shuffle-free = ${!scPlan.contains("Exchange")}, " +
+      s"Cartesian = ${scPlan.contains("Cartesian")} (want false)")
+
+    println("==== mixture weights / token entropy (map-side-combined partial " +
+      "aggregates; entropy shuffles (doc_id,tok) histogram rows, never text) ====")
+    val mw = graft.ops.PipelineOps.mixtureWeights(docsDf, "lang", 0.7)
+    val mwPlan = mw.queryExecution.executedPlan.toString
+    println(s"mixture: partial agg = ${mwPlan.contains("partial_sum") ||
+      mwPlan.contains("HashAggregate")} (want true)")
+    val te = graft.ops.PipelineOps.tokenEntropy(docsDf)
+    val tePlan = te.queryExecution.executedPlan.toString
+    println(s"entropy: partial agg = ${tePlan.contains("HashAggregate")} (want true), " +
+      s"Cartesian = ${tePlan.contains("Cartesian")} (want false)")
+
+    println("==== cluster-balanced sample (per-cluster permille broadcast back; " +
+      "assignment rows never reshuffle) ====")
+    val cbs = graft.ops.PipelineOps.clusterBalancedSample(
+      emb.select(col("vec_id"), col("label").cast("long").as("cluster")))
+    val cbsPlan = cbs.queryExecution.executedPlan.toString
+    println(s"clustersample: broadcast join = ${cbsPlan.contains("BroadcastHashJoin")} " +
+      s"(want true), Cartesian = ${cbsPlan.contains("Cartesian")} (want false)")
     spark.stop()
   }
 }

@@ -204,6 +204,65 @@ class GraphClusterSpec extends AnyFunSuite {
     assert(run(17) === got, "result depends on block count")
   }
 
+  test("mutualKnnClusters matches brute-force mutual-edge union-find") {
+    import spark.implicits._
+    val vs = genVectors(100, 12, 6, 0.3)
+    val df = vs.map { case (id, v) => (id, v.toSeq) }.toDF("vec_id", "embedding")
+      .repartition(7)
+    val k = 3
+    val got = PipelineOps.mutualKnnClusters(df, k)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var j = 0
+      while (j < a.length) { dot += a(j) * b(j); na += a(j) * a(j); nb += b(j) * b(j); j += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val knn = vs.map { case (id, v) =>
+      id -> vs.filter(_._1 != id).map { case (nid, nv) => (nid, cos(v, nv)) }
+        .sortBy { case (nid, c) => (-c, nid) }.take(k).map(_._1).toSet
+    }.toMap
+    val mutual = for {
+      (a, nbs) <- knn.toSeq; b <- nbs if a < b && knn(b).contains(a)
+    } yield (a, b)
+    // union-find closure
+    val parent = scala.collection.mutable.Map(vs.map(v => v._1 -> v._1): _*)
+    def find(x: Long): Long = if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    for ((a, b) <- mutual) {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = vs.map { case (id, _) => id -> find(id) }.toMap
+    assert(got === want)
+    assert(got.values.toSet.size > 1 && got.values.toSet.size < vs.size,
+      "clustering is non-trivial")
+  }
+
+  test("kmeansAssign fuzz: random configs match the sequential oracle") {
+    import spark.implicits._
+    for (trial <- 0 until 4) {
+      val rnd = new scala.util.Random(900 + trial)
+      val n = 60 + rnd.nextInt(120)
+      val dim = 4 + rnd.nextInt(20)
+      val k = 2 + rnd.nextInt(5)
+      val iters = rnd.nextInt(4)
+      val vs = {
+        val r0 = new scala.util.Random(3000 + trial)
+        val cents = Array.fill(k + 1, dim)(r0.nextGaussian())
+        (0L until n.toLong).map { i =>
+          val r = new scala.util.Random(7000 + 31 * trial + i)
+          val c = cents((i % (k + 1)).toInt)
+          i -> Array.tabulate(dim)(j => c(j) + 0.4 * r.nextGaussian())
+        }
+      }
+      val df = vs.map { case (id, v) => (id, v.toSeq) }.toDF("vec_id", "embedding")
+        .repartition(1 + rnd.nextInt(8))
+      val got = PipelineOps.kmeansAssign(df, k, iters)
+        .collect().map(r => r.getLong(0) -> r.getLong(1).toInt).toMap
+      assert(got === kmeansOracle(vs, k, iters), s"trial $trial (n=$n dim=$dim k=$k iters=$iters)")
+    }
+  }
+
   // ------------------------------------------------------ mixture weights
 
   test("mixtureWeights matches independent computation; α=1 natural, α=0 uniform") {
