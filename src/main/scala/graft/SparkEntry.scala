@@ -564,6 +564,10 @@ object SparkEntry {
       embeddings(s, d).select(col("vec_id"), col("label").cast("long").as("cluster")))),
     // exact kNN graph (block-pair heap kernel; IVF-celled at scale)
     "q_knn_graph" -> ((s, d) => PipelineOps.knnGraph(embeddings(s, d), 3)),
+    // approximate kNN graph through IVF cells — the sub-quadratic scale
+    // path of q_knn_graph as real code; recall-gated (rows-only check)
+    "q_knn_graph_ivf" -> ((s, d) => PipelineOps.knnGraphIvf(embeddings(s, d), 3,
+      nCentroids = 16, nprobe = 4)),
     // mutual-kNN clustering: k-less corpus clustering over mutual edges
     "q_mutual_knn" -> ((s, d) => PipelineOps.mutualKnnClusters(embeddings(s, d), 3)),
     // α=0.7 temperature-rebalanced domain mixture over languages

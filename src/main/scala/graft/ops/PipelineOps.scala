@@ -2313,6 +2313,128 @@ object PipelineOps {
         col("rank").cast("long").as("rank"))
   }
 
+  /** Approximate kNN graph through IVF cells — the sub-quadratic 100 TB
+    * path [[knnGraph]] documents, as real code: vectors bucket into
+    * [[ivfAssignments]] coarse cells; each vector PROBES its own `nprobe`
+    * nearest cells and exact-scores only those cells' members (the FAISS
+    * IVF recipe applied all-rows). Work drops from n²/2 to
+    * ≈ n·nprobe·(n/C) dot products, and every (probe-cell, member-cell)
+    * pairing is one bounded block-kernel task — per-prober heaps, corpus
+    * rows never shuffle beyond the cell bucketing. Ties and output shape
+    * match [[knnGraph]]; recall@k vs the exact graph is spec-gated
+    * (GraphClusterSpec), same regime as the ANN point-query variants.
+    */
+  def knnGraphIvf(embeddings: DataFrame, k: Int, nCentroids: Int = 16,
+      nprobe: Int = 4): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val (assigned, centers) = ivfAssignments(embeddings, nCentroids)
+    val bc = spark.sparkContext.broadcast(centers)
+    val e = embeddings.select(col("vec_id").cast("long").as("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+    // member blocks: one packed VecBlock per cell
+    val members = e.join(assigned, "vec_id")
+      .select(col("cluster"), col("vec_id"), col("v"))
+      .as[(Int, Long, Array[Double])]
+      .groupByKey(_._1)
+      .mapGroups { (cell, it) =>
+        val rows = it.toArray.sortBy(_._2)
+        val n = rows.length
+        val dim = if (n == 0) 0 else rows(0)._3.length
+        val ids = new Array[Long](n)
+        val flat = new Array[Double](n * dim)
+        val norms = new Array[Double](n)
+        var i = 0
+        while (i < n) {
+          ids(i) = rows(i)._2
+          val v = rows(i)._3
+          var s = 0.0; var j = 0
+          while (j < dim) { val x = v(j); flat(i * dim + j) = x; s += x * x; j += 1 }
+          norms(i) = math.sqrt(s)
+          i += 1
+        }
+        VecBlock(cell, ids, flat, norms, dim)
+      }
+    // probe rows: each vector fans out to its nprobe nearest cells
+    // (L2 over the normalized vector, the assignment metric)
+    val probes = e.as[(Long, Array[Double])].mapPartitions { it =>
+      val cs = bc.value
+      it.flatMap { case (id, v) =>
+        var s = 0.0; var j = 0
+        while (j < v.length) { s += v(j) * v(j); j += 1 }
+        val nrm = math.sqrt(s)
+        val nv = if (nrm > 0) v.map(_ / nrm) else v
+        val ds = Array.tabulate(cs.length) { c =>
+          val cc = cs(c)
+          var d = 0.0; var i = 0
+          while (i < nv.length) { val t = cc(i) - nv(i); d += t * t; i += 1 }
+          (d, c)
+        }
+        ds.sortBy(t => (t._1, t._2)).take(math.min(nprobe, cs.length))
+          .iterator.map { case (_, c) => (c, id, v) }
+      }
+    }.toDF("cluster", "vec_id", "v")
+      .as[(Int, Long, Array[Double])]
+      .groupByKey(_._1)
+      .mapGroups { (cell, it) =>
+        val rows = it.toArray.sortBy(_._2)
+        val n = rows.length
+        val dim = if (n == 0) 0 else rows(0)._3.length
+        val ids = new Array[Long](n)
+        val flat = new Array[Double](n * dim)
+        val norms = new Array[Double](n)
+        var i = 0
+        while (i < n) {
+          ids(i) = rows(i)._2
+          val v = rows(i)._3
+          var s = 0.0; var j = 0
+          while (j < dim) { val x = v(j); flat(i * dim + j) = x; s += x * x; j += 1 }
+          norms(i) = math.sqrt(s)
+          i += 1
+        }
+        VecBlock(cell, ids, flat, norms, dim)
+      }
+    val cand = probes.as("p").joinWith(members.as("m"), $"p.bid" === $"m.bid", "inner")
+      .flatMap { case (p, m) =>
+        val dim = p.dim
+        val worstFirst = Ordering.by((t: (Double, Long)) => (-t._1, t._2))
+        val heaps = Array.fill(p.ids.length)(
+          scala.collection.mutable.PriorityQueue.empty[(Double, Long)](worstFirst))
+        var i = 0
+        while (i < p.ids.length) {
+          val h = heaps(i)
+          var j = 0
+          while (j < m.ids.length) {
+            if (m.ids(j) != p.ids(i)) {
+              var dot = 0.0; var a = i * dim; var b = j * dim; var z = 0
+              while (z < dim) { dot += p.flat(a) * m.flat(b); a += 1; b += 1; z += 1 }
+              val cos = dot / (p.norms(i) * m.norms(j))
+              if (h.size < k) h.enqueue((cos, m.ids(j)))
+              else {
+                val (wc, wid) = h.head
+                if (cos > wc || (cos == wc && m.ids(j) < wid)) {
+                  h.dequeue(); h.enqueue((cos, m.ids(j)))
+                }
+              }
+            }
+            j += 1
+          }
+          i += 1
+        }
+        heaps.iterator.zipWithIndex.flatMap { case (h, i) =>
+          h.iterator.map { case (c, id) => (p.ids(i), id, c) }
+        }
+      }
+      .toDF("vec_id", "nb_id", "c")
+    cand
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("vec_id")).orderBy(col("c").desc, col("nb_id"))))
+      .where(col("rank") <= k)
+      .select(col("vec_id"), col("nb_id"), round(col("c"), 4).as("cos"),
+        col("rank").cast("long").as("rank"))
+  }
+
   /** Mutual-kNN graph clustering — corpus clustering WITHOUT choosing k:
     * keep only edges where both endpoints list each other in their top-k
     * ([[knnGraph]] both directions — the standard density trick that cuts

@@ -17,7 +17,7 @@ class DriverContractSpec extends AnyFunSuite {
 
   test("every query has an oracle unless approximate") {
     val approximateOk = Set("q_ann_lsh", "q_ann_ivf", "q_ann_pq", "q_ann_ivfpq",
-      "q_percentiles_sketch", "q_snippets", "q_mlt")
+      "q_knn_graph_ivf", "q_percentiles_sketch", "q_snippets", "q_mlt")
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- approximateOk
     assert(missing.isEmpty, s"queries without oracle: $missing")
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet

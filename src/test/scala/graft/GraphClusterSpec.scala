@@ -204,6 +204,36 @@ class GraphClusterSpec extends AnyFunSuite {
     assert(run(17) === got, "result depends on block count")
   }
 
+  test("knnGraphIvf recall@k >= 0.8 vs the exact graph; same tie/output law") {
+    import spark.implicits._
+    val vs = genVectors(400, 16, 10, 0.35)
+    val df = vs.map { case (id, v) => (id, v.toSeq) }.toDF("vec_id", "embedding")
+      .repartition(8)
+    val k = 5
+    val exact = PipelineOps.knnGraph(df, k).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).groupBy(_._1)
+      .map { case (id, xs) => id -> xs.map(_._2).toSet }
+    val approx = PipelineOps.knnGraphIvf(df, k, nCentroids = 12, nprobe = 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).groupBy(_._1)
+      .map { case (id, xs) => id -> xs.map(_._2).toSet }
+    assert(approx.keySet === exact.keySet, "every vector gets neighbors")
+    val recalls = exact.map { case (id, nbs) =>
+      (nbs intersect approx(id)).size.toDouble / nbs.size
+    }
+    val meanRecall = recalls.sum / recalls.size
+    info(f"knnGraphIvf mean recall@$k = $meanRecall%.3f")
+    assert(meanRecall >= 0.8, f"recall $meanRecall%.3f below gate")
+    // approximate edges that ARE reported carry exact cosines (verify one)
+    val exactRows = PipelineOps.knnGraph(df, k).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val sample = PipelineOps.knnGraphIvf(df, k, 12, 4).collect().take(50)
+    sample.foreach { r =>
+      exactRows.get((r.getLong(0), r.getLong(1))).foreach { c =>
+        assert(math.abs(c - r.getDouble(2)) < 1e-9)
+      }
+    }
+  }
+
   test("mutualKnnClusters matches brute-force mutual-edge union-find") {
     import spark.implicits._
     val vs = genVectors(100, 12, 6, 0.3)
