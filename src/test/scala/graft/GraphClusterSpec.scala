@@ -67,6 +67,28 @@ class GraphClusterSpec extends AnyFunSuite {
     assert(a === b)
   }
 
+  test("pageRank fuzz: random graphs (disconnected, cycles, dangling) match the oracle") {
+    import spark.implicits._
+    for (trial <- 0 until 4) {
+      val rnd = new scala.util.Random(600 + trial)
+      val nNodes = 5 + rnd.nextInt(20)
+      val nEdges = 1 + rnd.nextInt(3 * nNodes)
+      val edges = Seq.fill(nEdges)(
+        (s"n${rnd.nextInt(nNodes)}", s"n${rnd.nextInt(nNodes)}"))
+        .filter { case (a, b) => a != b } // op drops self-loops anyway
+      if (edges.nonEmpty) {
+        val iters = 1 + rnd.nextInt(5)
+        val got = PipelineOps.pageRank(edges.toDF("src", "dst"), iters)
+          .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+        val want = pageRankOracle(edges, iters, 0.85)
+        assert(got.keySet === want.keySet, s"trial $trial")
+        for ((k, v) <- want)
+          assert(math.abs(got(k) - v) < 1e-12, s"trial $trial node $k")
+        assert(math.abs(got.values.sum - 1.0) < 1e-9, s"trial $trial mass")
+      }
+    }
+  }
+
   // -------------------------------------------------------------- k-means
 
   private def genVectors(n: Int, dim: Int, nClusters: Int,
