@@ -36,11 +36,25 @@ object StreamingIndexer {
   /** Start the streaming ingestion query. */
   def start(stream: DataFrame, indexDir: String, cfg: IndexConfig,
       checkpointDir: String): StreamingQuery =
+    startCurated(stream, indexDir, cfg, checkpointDir, identity)
+
+  /** Curate-then-index in one stream: `curate` runs on each micro-batch
+    * BEFORE the segment append — inside `foreachBatch` the batch is a plain
+    * DataFrame, so the full batch curation toolkit (gopher/C4 rule
+    * batteries, repetition scoring, PII redaction, dedup screens, ...)
+    * composes unchanged, including aggregating ops that Structured
+    * Streaming would reject on an unbounded stream. A doc dropped by
+    * curation never reaches a segment; replays stay idempotent because the
+    * filter is deterministic and [[appendBatch]] keys the segment range by
+    * the checkpointed batch id.
+    */
+  def startCurated(stream: DataFrame, indexDir: String, cfg: IndexConfig,
+      checkpointDir: String, curate: DataFrame => DataFrame): StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        appendBatch(batch.sparkSession, batch, indexDir, cfg, batchId)
+        appendBatch(batch.sparkSession, curate(batch), indexDir, cfg, batchId)
         ()
       }
       .start()

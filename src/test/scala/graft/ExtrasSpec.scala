@@ -137,6 +137,53 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("streaming curate-then-index: gopher-filtered micro-batches reach segments") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-curated").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-curated-ckpt").toString
+    implicit val sq = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[WebDoc]
+    def curate(b: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      val withId = b.withColumn("doc_id", xxhash64(col("url")))
+      val keep = graft.ops.PipelineOps.gopherQuality(withId)
+        .where(col("keep")).select("doc_id")
+      withId.join(keep, "doc_id").drop("doc_id")
+    }
+    val query = graft.streaming.StreamingIndexer.startCurated(
+      mem.toDF(), dir, IndexConfig(numPartitions = 2), ckpt, curate)
+    try {
+      // prose with >=50 words, sane word lengths and >=2 distinct stop
+      // words (the synthetic w-token corpus fails the Gopher stopword rule
+      // by construction, which is itself the rule working)
+      val clause = "the table holds data of many kinds and every row should " +
+        "have some value with meaning"
+      val good = (0 until 40).map { i =>
+        WebDoc(s"u_good$i", new java.sql.Timestamp(1700000000000L + i * 1000L),
+          Array.emptyByteArray, s"$clause $clause $clause $clause doc number $i", "en")
+      }
+      val junk = Seq("u_short" -> "tiny text", "u_short2" -> "x y",
+        "u_ellipsis" -> Seq.fill(60)("word...").mkString(" "))
+        .map { case (u, t) =>
+          WebDoc(u, new java.sql.Timestamp(1700000000000L), Array.emptyByteArray, t, "en")
+        }
+      mem.addData(good ++ junk: _*)
+      query.processAllAvailable()
+      // expected = the BATCH op's verdict over the same rows
+      val static = (good ++ junk).toDF().withColumn("doc_id", xxhash64(col("url")))
+      val expectedUrls = static.join(
+          graft.ops.PipelineOps.gopherQuality(static).where(col("keep")).select("doc_id"),
+          "doc_id")
+        .select("url").as[String].collect().toSet
+      assert(expectedUrls.nonEmpty && expectedUrls.size < good.size + junk.size,
+        "filter must be non-trivial in both directions")
+      val s = new Searcher(spark, dir)
+      val indexedUrls = s.docmapDF.select("url").as[String].collect().toSet
+      assert(indexedUrls === expectedUrls)
+      assert(!indexedUrls.contains("u_short") && !indexedUrls.contains("u_ellipsis"))
+    } finally query.stop()
+  }
+
   test("streaming exact dedup: first occurrence per fingerprint survives batches") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
