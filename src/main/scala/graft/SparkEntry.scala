@@ -574,6 +574,13 @@ object SparkEntry {
     "q_mixture_weights" -> ((s, d) => PipelineOps.mixtureWeights(docs(s, d), "lang", 0.7)),
     // within-doc token-distribution entropy + type-token ratio
     "q_token_entropy" -> ((s, d) => PipelineOps.tokenEntropy(docs(s, d))),
+    // unicode script mix over a deterministic multiscript shell
+    "q_script_mix" -> ((s, d) => PipelineOps.scriptMix(
+      docs(s, d).withColumn("text", concat(col("text"),
+        when(col("doc_id") % 5 === 0, lit(" привет мир")).otherwise(lit("")),
+        when(col("doc_id") % 7 === 0, lit(" 你好世界")).otherwise(lit("")),
+        when(col("doc_id") % 11 === 0, lit(" γειά σου")).otherwise(lit("")),
+        when(col("doc_id") % 13 === 0, lit(" مرحبا")).otherwise(lit("")))))),
     // semantic decontamination: every 97th embedding plays the benchmark
     "q_sem_contam" -> ((s, d) => {
       val e = embeddings(s, d)
@@ -1006,6 +1013,7 @@ object SparkEntry {
     "q_mutual_knn" -> OracleSql.mutualKnn(3),
     "q_mixture_weights" -> OracleSql.mixtureWeights(0.7),
     "q_token_entropy" -> OracleSql.tokenEntropy,
+    "q_script_mix" -> OracleSql.scriptMix,
     "q_cluster_sample" -> OracleSql.clusterSample,
     "q_sem_contam" -> OracleSql.semContamination(0.3, 97),
     "q_pagerank" -> OracleSql.pageRank(3, 0.85, 40),

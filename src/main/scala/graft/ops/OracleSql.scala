@@ -1090,6 +1090,38 @@ SELECT domain, tokens,
   round(pow(tokens, $alpha) / (SELECT sum(pow(tokens, $alpha)) FROM t), 6) AS weight
 FROM t"""
 
+  /** q_script_mix: the same literal-codepoint-range counting chain over the
+    * multiscript shell (DuckDB regexp_replace needs the 'g' flag to match
+    * Spark's replace-all); main script = first in range order achieving
+    * the max (the Spark fold's strictly-greater replacement law).
+    */
+  val scriptMix: String = {
+    val counts = PipelineOps.ScriptRanges.map { case (n, cls) =>
+      s"length(t) - length(regexp_replace(t, '$cls', '', 'g')) AS n_$n"
+    }.mkString(",\n  ")
+    val names = PipelineOps.ScriptRanges.map(_._1)
+    val total = names.map(n => s"n_$n").mkString(" + ")
+    val milli = names.map(n =>
+      s"n_$n * 1000 // greatest(n_script_chars, 1) AS ${n}_milli").mkString(",\n  ")
+    val mainCase = names.init.zipWithIndex.map { case (n, i) =>
+      val rest = names.drop(i + 1).map(m => s"n_$n >= n_$m").mkString(" AND ")
+      s"WHEN $rest THEN '$n'"
+    }.mkString("\n    ") + s"\n    ELSE '${names.last}'"
+    s"""WITH w AS (SELECT doc_id, text ||
+  CASE WHEN doc_id % 5 = 0 THEN ' привет мир' ELSE '' END ||
+  CASE WHEN doc_id % 7 = 0 THEN ' 你好世界' ELSE '' END ||
+  CASE WHEN doc_id % 11 = 0 THEN ' γειά σου' ELSE '' END ||
+  CASE WHEN doc_id % 13 = 0 THEN ' مرحبا' ELSE '' END AS t FROM documents),
+c AS (SELECT doc_id,
+  $counts
+  FROM w),
+tot AS (SELECT *, $total AS n_script_chars FROM c)
+SELECT doc_id, n_script_chars,
+  $milli,
+  CASE $mainCase END AS main_script
+FROM tot"""
+  }
+
   /** q_token_entropy: per-doc histogram entropy in the same stable form
     * `log2(N) − Σc·log2(c)/N` plus type-token ratio, 4dp.
     */

@@ -2481,6 +2481,53 @@ object PipelineOps {
         round(col("share_raw"), 6).as("share"), round(col("weight_raw"), 6).as("weight"))
   }
 
+  // ---------------------------------------------------------- script mix
+
+  /** Codepoint ranges per script (BMP literal ranges so the SAME character
+    * class compiles in both java.util.regex and RE2 — no \\p{...} dialect
+    * divergence). Latin covers ASCII letters; CJK = Han + Kana + Hangul.
+    */
+  val ScriptRanges: Seq[(String, String)] = Seq(
+    "latin" -> "[A-Za-z]",
+    "cyrillic" -> "[Ѐ-ӿ]",
+    "greek" -> "[Ͱ-Ͽ]",
+    "arabic" -> "[؀-ۿ]",
+    "cjk" -> "[一-鿿぀-ヿ가-힯]")
+
+  /** Unicode script-mix detection — the routing signal next to [[langId]]:
+    * per-doc character counts per script (Latin / Cyrillic / Greek /
+    * Arabic / CJK) as integer permille of all script characters, plus the
+    * dominant script (count desc, [[ScriptRanges]] order on ties). Catches
+    * mixed-script spam and mislabeled languages that token-level
+    * heuristics miss. Counting is `length(t) − length(regexp_replace(t,
+    * class, ''))` per class — a pure per-row codegen regexp chain, no
+    * shuffle, and integer arithmetic end to end so any engine agrees
+    * exactly.
+    */
+  def scriptMix(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val base = ScriptRanges.foldLeft(docs.select(col("doc_id"), col(textCol).as("t"))) {
+      case (df, (n, cls)) =>
+        df.withColumn(s"n_$n",
+          expr(s"cast(length(t) - length(regexp_replace(t, '$cls', '')) as bigint)"))
+    }
+    val total = ScriptRanges.map { case (n, _) => col(s"n_$n") }.reduce(_ + _)
+    val withTotal = base.withColumn("n_script_chars", total)
+    val milli = ScriptRanges.foldLeft(withTotal) { case (df, (n, _)) =>
+      df.withColumn(s"${n}_milli",
+        expr(s"n_$n * 1000 div greatest(n_script_chars, 1)"))
+    }
+    // dominant script: max count, ties resolved in ScriptRanges order
+    val main = ScriptRanges.tail.foldLeft(
+      (lit(ScriptRanges.head._1), col(s"n_${ScriptRanges.head._1}"))) {
+      case ((nameAcc, cntAcc), (n, _)) =>
+        (when(col(s"n_$n") > cntAcc, lit(n)).otherwise(nameAcc),
+          when(col(s"n_$n") > cntAcc, col(s"n_$n")).otherwise(cntAcc))
+    }._1
+    milli.select(col("doc_id") +: col("n_script_chars") +:
+      ScriptRanges.map { case (n, _) => col(s"${n}_milli") } :+
+      main.as("main_script"): _*)
+  }
+
   // -------------------------------------------------------- token entropy
 
   /** Per-document token-distribution Shannon entropy + type-token ratio —

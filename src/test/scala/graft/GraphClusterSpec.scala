@@ -379,6 +379,31 @@ class GraphClusterSpec extends AnyFunSuite {
     assert(got(2L)._3 === 2.0)
   }
 
+  // ------------------------------------------------------------ script mix
+
+  test("scriptMix counts, permilles and dominant script match hand computation") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "hello world"),                      // pure latin: 10 letters
+      (1L, "привет мир"),                       // pure cyrillic: 9
+      (2L, "hello мир 你好"),                    // latin 5, cyr 3, cjk 2
+      (3L, "abc абв"),                          // tie 3-3: latin wins (range order)
+      (4L, "… 123 !!!"),                        // no script chars at all
+      (5L, "مرحبا γειά"))                       // arabic 5, greek 4
+      .toDF("doc_id", "text")
+    val got = PipelineOps.scriptMix(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getString(7)))
+      .toMap
+    // columns: n_script_chars, latin/cyrillic/greek/arabic/cjk milli, main
+    assert(got(0L) === ((10L, 1000L, 0L, 0L, 0L, 0L, "latin")))
+    assert(got(1L) === ((9L, 0L, 1000L, 0L, 0L, 0L, "cyrillic")))
+    assert(got(2L) === ((10L, 500L, 300L, 0L, 0L, 200L, "latin")))
+    assert(got(3L) === ((6L, 500L, 500L, 0L, 0L, 0L, "latin")))
+    assert(got(4L) === ((0L, 0L, 0L, 0L, 0L, 0L, "latin")))
+    assert(got(5L) === ((9L, 0L, 0L, 444L, 555L, 0L, "arabic")))
+  }
+
   // --------------------------------------------- semantic decontamination
 
   test("semanticContamination matches brute-force nearest-benchmark scan") {
