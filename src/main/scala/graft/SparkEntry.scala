@@ -568,6 +568,11 @@ object SparkEntry {
     // path of q_knn_graph as real code; recall-gated (rows-only check)
     "q_knn_graph_ivf" -> ((s, d) => PipelineOps.knnGraphIvf(embeddings(s, d), 3,
       nCentroids = 16, nprobe = 4)),
+    // contrastive pair mining: positives in [0.3,0.9), hard negatives in
+    // [0.1,0.3), two of each per anchor
+    "q_contrastive_pairs" -> ((s, d) => PipelineOps.contrastivePairs(
+      embeddings(s, d), kPos = 2, posLo = 0.3, posHi = 0.9,
+      kNeg = 2, negLo = 0.1, negHi = 0.3)),
     // mutual-kNN clustering: k-less corpus clustering over mutual edges
     "q_mutual_knn" -> ((s, d) => PipelineOps.mutualKnnClusters(embeddings(s, d), 3)),
     // α=0.7 temperature-rebalanced domain mixture over languages
@@ -1011,6 +1016,7 @@ object SparkEntry {
     "q_kmeans" -> OracleSql.kmeans(4, 2, 64),
     "q_knn_graph" -> OracleSql.knnGraph(3),
     "q_mutual_knn" -> OracleSql.mutualKnn(3),
+    "q_contrastive_pairs" -> OracleSql.contrastivePairs(2, 0.3, 0.9, 2, 0.1, 0.3),
     "q_mixture_weights" -> OracleSql.mixtureWeights(0.7),
     "q_token_entropy" -> OracleSql.tokenEntropy,
     "q_script_mix" -> OracleSql.scriptMix,

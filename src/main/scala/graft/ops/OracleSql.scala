@@ -1057,6 +1057,24 @@ r AS (SELECT vec_id, nb_id, c, row_number() OVER
 SELECT vec_id, nb_id, round(c, 4) AS cos, rank::BIGINT AS rank
 FROM r WHERE rank <= $k"""
 
+  /** q_contrastive_pairs: band-classified cross scores, per-(anchor, kind)
+    * window rank — the brute-force restatement of the dual-heap block
+    * kernel (same full-precision ordering c DESC, pair_id ASC).
+    */
+  def contrastivePairs(kPos: Int, posLo: Double, posHi: Double,
+      kNeg: Int, negLo: Double, negHi: Double): String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+s AS (SELECT a.vec_id, b.vec_id AS pair_id, ${cosineSql("a.v", "b.v")} AS c
+  FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+banded AS (SELECT vec_id, pair_id, c,
+  CASE WHEN c >= $posLo AND c < $posHi THEN 'pos'
+       WHEN c >= $negLo AND c < $negHi THEN 'neg' END AS kind FROM s),
+r AS (SELECT vec_id, pair_id, c, kind, row_number() OVER
+  (PARTITION BY vec_id, kind ORDER BY c DESC, pair_id) AS rank
+  FROM banded WHERE kind IS NOT NULL)
+SELECT vec_id, pair_id, round(c, 4) AS cos, kind, rank::BIGINT AS rank
+FROM r WHERE (kind = 'pos' AND rank <= $kPos) OR (kind = 'neg' AND rank <= $kNeg)"""
+
   /** q_mutual_knn: kNN edges both ways → INTERSECT keeps mutual pairs →
     * recursive reachability closure → cluster id = min member (the
     * [[semDedup]] closure pattern over the [[knnGraph]] edge rule).

@@ -2435,6 +2435,109 @@ object PipelineOps {
         col("rank").cast("long").as("rank"))
   }
 
+  /** Contrastive pair mining for embedding-model training — per anchor:
+    * up to `kPos` POSITIVES (highest cosine inside [posLo, posHi) — the
+    * ceiling excludes near-exact duplicates, which teach nothing) and up
+    * to `kNeg` HARD NEGATIVES (highest cosine inside [negLo, negHi) — the
+    * just-below-the-band examples that make contrastive training work;
+    * Xiong et al. 2021 (ANCE) / the E5 recipe). Ties to the lower pair
+    * id; ranks are per-(anchor, kind).
+    *
+    * Same execution shape as [[knnGraph]]: block-pair kernel holding TWO
+    * bounded heaps per row (one per band), so n×B×(kPos+kNeg) candidate
+    * rows reach the per-anchor window merge — never the n² matrix; the
+    * sub-quadratic path is the same kernel within [[ivfAssignments]]
+    * cells. Returns (vec_id, pair_id, cos, kind, rank).
+    */
+  def contrastivePairs(embeddings: DataFrame, kPos: Int, posLo: Double,
+      posHi: Double, kNeg: Int, negLo: Double, negHi: Double,
+      blocks: Int = 0): DataFrame = {
+    require(posLo <= posHi && negLo <= negHi && negHi <= posLo,
+      "bands must be ordered: [negLo,negHi) below [posLo,posHi)")
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val nb = if (blocks > 0) blocks else math.max(8, spark.sparkContext.defaultParallelism)
+    val packed = embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
+        pmod(col("vec_id"), lit(nb)).cast("int").as("bid"))
+      .as[(Long, Array[Double], Int)]
+      .groupByKey(_._3)
+      .mapGroups { (bid, it) =>
+        val rows = it.toArray.sortBy(_._1)
+        val n = rows.length
+        val dim = if (n == 0) 0 else rows(0)._2.length
+        val ids = new Array[Long](n)
+        val flat = new Array[Double](n * dim)
+        val norms = new Array[Double](n)
+        var i = 0
+        while (i < n) {
+          ids(i) = rows(i)._1
+          val v = rows(i)._2
+          var s = 0.0; var j = 0
+          while (j < dim) { val x = v(j); flat(i * dim + j) = x; s += x * x; j += 1 }
+          norms(i) = math.sqrt(s)
+          i += 1
+        }
+        VecBlock(bid, ids, flat, norms, dim)
+      }
+    val cand = packed.as("a").joinWith(packed.as("b"), $"a.bid" <= $"b.bid", "inner")
+      .repartition(nb)
+      .flatMap { case (a, b) =>
+        val same = a.bid == b.bid
+        val dim = a.dim
+        val worstFirst = Ordering.by((t: (Double, Long)) => (-t._1, t._2))
+        def mkHeaps(n: Int) = Array.fill(2 * n)(
+          scala.collection.mutable.PriorityQueue.empty[(Double, Long)](worstFirst))
+        // heap layout: [2i] = positives of row i, [2i+1] = negatives
+        val ha = mkHeaps(a.ids.length)
+        val hb = if (same) ha else mkHeaps(b.ids.length)
+        def push(h: scala.collection.mutable.PriorityQueue[(Double, Long)],
+            cap: Int, cos: Double, id: Long): Unit = {
+          if (cap > 0) {
+            if (h.size < cap) h.enqueue((cos, id))
+            else {
+              val (wc, wid) = h.head
+              if (cos > wc || (cos == wc && id < wid)) { h.dequeue(); h.enqueue((cos, id)) }
+            }
+          }
+        }
+        def route(hs: Array[scala.collection.mutable.PriorityQueue[(Double, Long)]],
+            row: Int, cos: Double, id: Long): Unit = {
+          if (cos >= posLo && cos < posHi) push(hs(2 * row), kPos, cos, id)
+          else if (cos >= negLo && cos < negHi) push(hs(2 * row + 1), kNeg, cos, id)
+        }
+        var i = 0
+        while (i < a.ids.length) {
+          var j = if (same) i + 1 else 0
+          while (j < b.ids.length) {
+            var dot = 0.0; var p = i * dim; var q = j * dim; var z = 0
+            while (z < dim) { dot += a.flat(p) * b.flat(q); p += 1; q += 1; z += 1 }
+            val cos = dot / (a.norms(i) * b.norms(j))
+            route(ha, i, cos, b.ids(j))
+            route(hb, j, cos, a.ids(i))
+            j += 1
+          }
+          i += 1
+        }
+        def emit(hs: Array[scala.collection.mutable.PriorityQueue[(Double, Long)]],
+            ids: Array[Long]) =
+          hs.iterator.zipWithIndex.flatMap { case (h, slot) =>
+            val kind = if (slot % 2 == 0) "pos" else "neg"
+            h.iterator.map { case (c, id) => (ids(slot / 2), id, c, kind) }
+          }
+        emit(ha, a.ids) ++ (if (same) Iterator.empty else emit(hb, b.ids))
+      }
+      .toDF("vec_id", "pair_id", "c", "kind")
+    cand
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("vec_id"), col("kind")).orderBy(col("c").desc, col("pair_id"))))
+      .where((col("kind") === "pos" && col("rank") <= kPos) ||
+        (col("kind") === "neg" && col("rank") <= kNeg))
+      .select(col("vec_id"), col("pair_id"), round(col("c"), 4).as("cos"),
+        col("kind"), col("rank").cast("long").as("rank"))
+  }
+
   /** Mutual-kNN graph clustering — corpus clustering WITHOUT choosing k:
     * keep only edges where both endpoints list each other in their top-k
     * ([[knnGraph]] both directions — the standard density trick that cuts

@@ -256,6 +256,46 @@ class GraphClusterSpec extends AnyFunSuite {
     }
   }
 
+  test("contrastivePairs matches brute-force band ranking; block-count invariant") {
+    import spark.implicits._
+    val vs = genVectors(140, 16, 7, 0.5)
+    val df = vs.map { case (id, v) => (id, v.toSeq) }.toDF("vec_id", "embedding")
+      .repartition(6)
+    val (kPos, posLo, posHi) = (2, 0.5, 0.95)
+    val (kNeg, negLo, negHi) = (3, 0.0, 0.5)
+    def run(blocks: Int) = PipelineOps.contrastivePairs(
+        df, kPos, posLo, posHi, kNeg, negLo, negHi, blocks)
+      .collect().map(r => (r.getLong(0), r.getString(3), r.getLong(4)) ->
+        (r.getLong(1), r.getDouble(2))).toMap
+    val got = run(4)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var j = 0
+      while (j < a.length) { dot += a(j) * b(j); na += a(j) * a(j); nb += b(j) * b(j); j += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    var nPos = 0; var nNeg = 0
+    for ((id, v) <- vs) {
+      val scored = vs.filter(_._1 != id).map { case (pid, pv) => (pid, cos(v, pv)) }
+      def band(lo: Double, hi: Double, k: Int, kind: String): Unit = {
+        val want = scored.filter { case (_, c) => c >= lo && c < hi }
+          .sortBy { case (pid, c) => (-c, pid) }.take(k)
+        want.zipWithIndex.foreach { case ((pid, c), i) =>
+          val (gPid, gCos) = got((id, kind, i + 1L))
+          assert(gPid === pid, s"anchor $id $kind rank ${i + 1}")
+          assert(math.abs(gCos - math.rint(c * 1e4) / 1e4) < 1e-9)
+          if (kind == "pos") nPos += 1 else nNeg += 1
+        }
+        // no extra ranks beyond the band population
+        assert(!got.contains((id, kind, want.size + 1L)) || want.size == k)
+      }
+      band(posLo, posHi, kPos, "pos")
+      band(negLo, negHi, kNeg, "neg")
+    }
+    assert(nPos > 0 && nNeg > 0, "both bands must be exercised")
+    assert(run(13) === got, "result depends on block count")
+  }
+
   test("mutualKnnClusters matches brute-force mutual-edge union-find") {
     import spark.implicits._
     val vs = genVectors(100, 12, 6, 0.3)
