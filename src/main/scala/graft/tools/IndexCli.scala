@@ -24,6 +24,7 @@ import graft.search.{Query, QueryParser, Searcher}
   *   build  <srcParquet> <indexDir> [numPartitions=32] [textCol=text] [keyCol=url] [analyzer=default]
   *   search <indexDir> <query...>           (QueryParser syntax; top-10)
   *   count  <indexDir> <query...>
+  *   aggregate <indexDir> <query...> <aggJson>  (search + ES aggs, one request)
   *   merge  <indexDir> [maxFanIn=16]        (log-policy rounds until stable)
   *   delete <indexDir> <field> <term>
   *   rollback <indexDir> <commitSeq>
@@ -96,6 +97,13 @@ object IndexCli {
         println(s"seq=$s segments=${m.map(_.segments.size).getOrElse(-1)} " +
           s"docs=${m.map(_.totalDocs).getOrElse(-1L)}$mark")
       }
+    case "aggregate" =>
+      // search + ES-style aggregations in one request: the last arg is the
+      // agg-request JSON, everything between is the engine query
+      val dir = args(1)
+      require(args.length >= 4, "aggregate <indexDir> <query...> <aggJson>")
+      val q = parse(spark, dir, args.drop(2).dropRight(1).mkString(" "))
+      println(new Searcher(spark, dir).aggregate(q, args.last))
     case "terms" =>
       // dictionary walk (prefix-pruned like the FST seek): term + global df
       val dir = args(1)
@@ -128,6 +136,7 @@ object IndexCli {
   private val usage: String =
     """usage: IndexCli build <srcParquet> <indexDir> [numPartitions] [textCol] [keyCol] [analyzer]
       |       IndexCli search|count <indexDir> <query...>
+      |       IndexCli aggregate <indexDir> <query...> <aggJson>
       |       IndexCli merge <indexDir> [maxFanIn] [minNumSegments]
       |       IndexCli delete <indexDir> <field> <term>
       |       IndexCli delete-query <indexDir> <query...>
