@@ -316,6 +316,49 @@ object PipelineOps {
   final case class VecBlock(bid: Int, ids: Array[Long], flat: Array[Double],
       norms: Array[Double], dim: Int)
 
+  /** Packs one block for the pair kernels — THE canonical id-sort /
+    * flatten / sequential-self-dot-norm fold every blocked kernel shares
+    * (a second copy with a different fold order would silently break the
+    * bit-identical-cosine cross-engine contract above).
+    */
+  private[ops] def packBlock(bid: Int, rows: Array[(Long, Array[Double])]): VecBlock = {
+    val sorted = rows.sortBy(_._1)
+    val n = sorted.length
+    val dim = if (n == 0) 0 else sorted(0)._2.length
+    val ids = new Array[Long](n)
+    val flat = new Array[Double](n * dim)
+    val norms = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      ids(i) = sorted(i)._1
+      val v = sorted(i)._2
+      var s = 0.0; var j = 0
+      while (j < dim) { val x = v(j); flat(i * dim + j) = x; s += x * x; j += 1 }
+      norms(i) = math.sqrt(s)
+      i += 1
+    }
+    VecBlock(bid, ids, flat, norms, dim)
+  }
+
+  /** Worst-first ordering for bounded top heaps: lowest cos, then HIGHEST
+    * id — the inverse of the result order (cos desc, id asc).
+    */
+  private[ops] val WorstFirst: Ordering[(Double, Long)] =
+    Ordering.by((t: (Double, Long)) => (-t._1, t._2))
+
+  /** Bounded-heap insert under the shared (cos desc, id asc) result law. */
+  private[ops] def heapPush(
+      h: scala.collection.mutable.PriorityQueue[(Double, Long)],
+      cap: Int, cos: Double, id: Long): Unit = {
+    if (cap > 0) {
+      if (h.size < cap) h.enqueue((cos, id))
+      else {
+        val (wc, wid) = h.head
+        if (cos > wc || (cos == wc && id < wid)) { h.dequeue(); h.enqueue((cos, id)) }
+      }
+    }
+  }
+
   /** Exact embedding near-dup pairs above a cosine threshold, as a
     * block-matrix kernel: vectors hash into `blocks` blocks, each of the
     * B(B+1)/2 block pairs is one task computing its dense dot products over
@@ -341,28 +384,7 @@ object PipelineOps {
       .as[(Long, Array[Double], Int)]
       .groupByKey(_._3)
       .mapGroups { (bid, it) =>
-        val rows = it.toArray.sortBy(_._1)
-        val n = rows.length
-        val dim = if (n == 0) 0 else rows(0)._2.length
-        val ids = new Array[Long](n)
-        val flat = new Array[Double](n * dim)
-        val norms = new Array[Double](n)
-        var i = 0
-        while (i < n) {
-          ids(i) = rows(i)._1
-          val v = rows(i)._2
-          var s = 0.0
-          var j = 0
-          while (j < dim) {
-            val x = v(j)
-            flat(i * dim + j) = x
-            s += x * x
-            j += 1
-          }
-          norms(i) = math.sqrt(s)
-          i += 1
-        }
-        VecBlock(bid, ids, flat, norms, dim)
+        packBlock(bid, it.map(t => (t._1, t._2)).toArray)
       }
     packed.as("a").joinWith(packed.as("b"), $"a.bid" <= $"b.bid", "inner")
       .repartition(nb)
@@ -1586,9 +1608,8 @@ object PipelineOps {
         val m = ids.length
         // per-query bounded heap; dequeue removes the WORST entry
         // (lowest cos, then highest vec_id — the inverse of the result order)
-        val worstFirst = Ordering.by((t: (Double, Long)) => (-t._1, t._2))
         val heaps = Array.fill(m)(
-          scala.collection.mutable.PriorityQueue.empty[(Double, Long)](worstFirst))
+          scala.collection.mutable.PriorityQueue.empty[(Double, Long)](WorstFirst))
         it.foreach { case (vid, v) =>
           var s = 0.0; var j = 0
           while (j < d) { val x = v(j); s += x * x; j += 1 }
@@ -1597,13 +1618,7 @@ object PipelineOps {
           while (q < m) {
             var dot = 0.0; var p = q * d; var i = 0
             while (i < d) { dot += qf(p) * v(i); p += 1; i += 1 }
-            val cos = dot / (qn(q) * norm)
-            val h = heaps(q)
-            if (h.size < k) h.enqueue((cos, vid))
-            else if (h.nonEmpty) {
-              val (wc, wid) = h.head
-              if (cos > wc || (cos == wc && vid < wid)) { h.dequeue(); h.enqueue((cos, vid)) }
-            }
+            heapPush(heaps(q), k, dot / (qn(q) * norm), vid)
             q += 1
           }
         }
@@ -2247,43 +2262,17 @@ object PipelineOps {
       .as[(Long, Array[Double], Int)]
       .groupByKey(_._3)
       .mapGroups { (bid, it) =>
-        val rows = it.toArray.sortBy(_._1)
-        val n = rows.length
-        val dim = if (n == 0) 0 else rows(0)._2.length
-        val ids = new Array[Long](n)
-        val flat = new Array[Double](n * dim)
-        val norms = new Array[Double](n)
-        var i = 0
-        while (i < n) {
-          ids(i) = rows(i)._1
-          val v = rows(i)._2
-          var s = 0.0; var j = 0
-          while (j < dim) { val x = v(j); flat(i * dim + j) = x; s += x * x; j += 1 }
-          norms(i) = math.sqrt(s)
-          i += 1
-        }
-        VecBlock(bid, ids, flat, norms, dim)
+        packBlock(bid, it.map(t => (t._1, t._2)).toArray)
       }
     val cand = packed.as("a").joinWith(packed.as("b"), $"a.bid" <= $"b.bid", "inner")
       .repartition(nb)
       .flatMap { case (a, b) =>
         val same = a.bid == b.bid
         val dim = a.dim
-        // worst entry first: lowest cos, then HIGHEST neighbor id (inverse
-        // of the result order cos desc / id asc)
-        val worstFirst = Ordering.by((t: (Double, Long)) => (-t._1, t._2))
         def mkHeaps(n: Int) = Array.fill(n)(
-          scala.collection.mutable.PriorityQueue.empty[(Double, Long)](worstFirst))
+          scala.collection.mutable.PriorityQueue.empty[(Double, Long)](WorstFirst))
         val ha = mkHeaps(a.ids.length)
         val hb = if (same) ha else mkHeaps(b.ids.length)
-        def push(h: scala.collection.mutable.PriorityQueue[(Double, Long)],
-            cos: Double, id: Long): Unit = {
-          if (h.size < k) h.enqueue((cos, id))
-          else {
-            val (wc, wid) = h.head
-            if (cos > wc || (cos == wc && id < wid)) { h.dequeue(); h.enqueue((cos, id)) }
-          }
-        }
         var i = 0
         while (i < a.ids.length) {
           var j = if (same) i + 1 else 0
@@ -2291,8 +2280,8 @@ object PipelineOps {
             var dot = 0.0; var p = i * dim; var q = j * dim; var z = 0
             while (z < dim) { dot += a.flat(p) * b.flat(q); p += 1; q += 1; z += 1 }
             val cos = dot / (a.norms(i) * b.norms(j))
-            push(ha(i), cos, b.ids(j))
-            push(hb(j), cos, a.ids(i))
+            heapPush(ha(i), k, cos, b.ids(j))
+            heapPush(hb(j), k, cos, a.ids(i))
             j += 1
           }
           i += 1
@@ -2338,22 +2327,7 @@ object PipelineOps {
       .as[(Int, Long, Array[Double])]
       .groupByKey(_._1)
       .mapGroups { (cell, it) =>
-        val rows = it.toArray.sortBy(_._2)
-        val n = rows.length
-        val dim = if (n == 0) 0 else rows(0)._3.length
-        val ids = new Array[Long](n)
-        val flat = new Array[Double](n * dim)
-        val norms = new Array[Double](n)
-        var i = 0
-        while (i < n) {
-          ids(i) = rows(i)._2
-          val v = rows(i)._3
-          var s = 0.0; var j = 0
-          while (j < dim) { val x = v(j); flat(i * dim + j) = x; s += x * x; j += 1 }
-          norms(i) = math.sqrt(s)
-          i += 1
-        }
-        VecBlock(cell, ids, flat, norms, dim)
+        packBlock(cell, it.map(t => (t._2, t._3)).toArray)
       }
     // probe rows: each vector fans out to its nprobe nearest cells
     // (L2 over the normalized vector, the assignment metric)
@@ -2377,29 +2351,13 @@ object PipelineOps {
       .as[(Int, Long, Array[Double])]
       .groupByKey(_._1)
       .mapGroups { (cell, it) =>
-        val rows = it.toArray.sortBy(_._2)
-        val n = rows.length
-        val dim = if (n == 0) 0 else rows(0)._3.length
-        val ids = new Array[Long](n)
-        val flat = new Array[Double](n * dim)
-        val norms = new Array[Double](n)
-        var i = 0
-        while (i < n) {
-          ids(i) = rows(i)._2
-          val v = rows(i)._3
-          var s = 0.0; var j = 0
-          while (j < dim) { val x = v(j); flat(i * dim + j) = x; s += x * x; j += 1 }
-          norms(i) = math.sqrt(s)
-          i += 1
-        }
-        VecBlock(cell, ids, flat, norms, dim)
+        packBlock(cell, it.map(t => (t._2, t._3)).toArray)
       }
     val cand = probes.as("p").joinWith(members.as("m"), $"p.bid" === $"m.bid", "inner")
       .flatMap { case (p, m) =>
         val dim = p.dim
-        val worstFirst = Ordering.by((t: (Double, Long)) => (-t._1, t._2))
         val heaps = Array.fill(p.ids.length)(
-          scala.collection.mutable.PriorityQueue.empty[(Double, Long)](worstFirst))
+          scala.collection.mutable.PriorityQueue.empty[(Double, Long)](WorstFirst))
         var i = 0
         while (i < p.ids.length) {
           val h = heaps(i)
@@ -2408,14 +2366,7 @@ object PipelineOps {
             if (m.ids(j) != p.ids(i)) {
               var dot = 0.0; var a = i * dim; var b = j * dim; var z = 0
               while (z < dim) { dot += p.flat(a) * m.flat(b); a += 1; b += 1; z += 1 }
-              val cos = dot / (p.norms(i) * m.norms(j))
-              if (h.size < k) h.enqueue((cos, m.ids(j)))
-              else {
-                val (wc, wid) = h.head
-                if (cos > wc || (cos == wc && m.ids(j) < wid)) {
-                  h.dequeue(); h.enqueue((cos, m.ids(j)))
-                }
-              }
+              heapPush(h, k, dot / (p.norms(i) * m.norms(j)), m.ids(j))
             }
             j += 1
           }
@@ -2463,48 +2414,22 @@ object PipelineOps {
       .as[(Long, Array[Double], Int)]
       .groupByKey(_._3)
       .mapGroups { (bid, it) =>
-        val rows = it.toArray.sortBy(_._1)
-        val n = rows.length
-        val dim = if (n == 0) 0 else rows(0)._2.length
-        val ids = new Array[Long](n)
-        val flat = new Array[Double](n * dim)
-        val norms = new Array[Double](n)
-        var i = 0
-        while (i < n) {
-          ids(i) = rows(i)._1
-          val v = rows(i)._2
-          var s = 0.0; var j = 0
-          while (j < dim) { val x = v(j); flat(i * dim + j) = x; s += x * x; j += 1 }
-          norms(i) = math.sqrt(s)
-          i += 1
-        }
-        VecBlock(bid, ids, flat, norms, dim)
+        packBlock(bid, it.map(t => (t._1, t._2)).toArray)
       }
     val cand = packed.as("a").joinWith(packed.as("b"), $"a.bid" <= $"b.bid", "inner")
       .repartition(nb)
       .flatMap { case (a, b) =>
         val same = a.bid == b.bid
         val dim = a.dim
-        val worstFirst = Ordering.by((t: (Double, Long)) => (-t._1, t._2))
         def mkHeaps(n: Int) = Array.fill(2 * n)(
-          scala.collection.mutable.PriorityQueue.empty[(Double, Long)](worstFirst))
+          scala.collection.mutable.PriorityQueue.empty[(Double, Long)](WorstFirst))
         // heap layout: [2i] = positives of row i, [2i+1] = negatives
         val ha = mkHeaps(a.ids.length)
         val hb = if (same) ha else mkHeaps(b.ids.length)
-        def push(h: scala.collection.mutable.PriorityQueue[(Double, Long)],
-            cap: Int, cos: Double, id: Long): Unit = {
-          if (cap > 0) {
-            if (h.size < cap) h.enqueue((cos, id))
-            else {
-              val (wc, wid) = h.head
-              if (cos > wc || (cos == wc && id < wid)) { h.dequeue(); h.enqueue((cos, id)) }
-            }
-          }
-        }
         def route(hs: Array[scala.collection.mutable.PriorityQueue[(Double, Long)]],
             row: Int, cos: Double, id: Long): Unit = {
-          if (cos >= posLo && cos < posHi) push(hs(2 * row), kPos, cos, id)
-          else if (cos >= negLo && cos < negHi) push(hs(2 * row + 1), kNeg, cos, id)
+          if (cos >= posLo && cos < posHi) heapPush(hs(2 * row), kPos, cos, id)
+          else if (cos >= negLo && cos < negHi) heapPush(hs(2 * row + 1), kNeg, cos, id)
         }
         var i = 0
         while (i < a.ids.length) {

@@ -102,6 +102,14 @@ class GraphClusterSpec extends AnyFunSuite {
     }
   }
 
+  /** Brute-force double cosine shared by every oracle in this spec. */
+  private def cos(a: Array[Double], b: Array[Double]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var j = 0
+    while (j < a.length) { dot += a(j) * b(j); na += a(j) * a(j); nb += b(j) * b(j); j += 1 }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
   /** Independent Lloyd's: sequential, same init (k lowest ids), same
     * 6dp-rounded-distance/lowest-cid tie law, empty clusters keep their
     * centroid.
@@ -207,12 +215,6 @@ class GraphClusterSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(3)) -> (r.getLong(1), r.getDouble(2)))
       .toMap
     val got = run(5)
-    def cos(a: Array[Double], b: Array[Double]): Double = {
-      var dot = 0.0; var na = 0.0; var nb = 0.0
-      var j = 0
-      while (j < a.length) { dot += a(j) * b(j); na += a(j) * a(j); nb += b(j) * b(j); j += 1 }
-      dot / (math.sqrt(na) * math.sqrt(nb))
-    }
     for ((id, v) <- vs) {
       val want = vs.filter(_._1 != id)
         .map { case (nid, nv) => (nid, cos(v, nv)) }
@@ -232,12 +234,12 @@ class GraphClusterSpec extends AnyFunSuite {
     val df = vs.map { case (id, v) => (id, v.toSeq) }.toDF("vec_id", "embedding")
       .repartition(8)
     val k = 5
-    val exact = PipelineOps.knnGraph(df, k).collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).groupBy(_._1)
-      .map { case (id, xs) => id -> xs.map(_._2).toSet }
-    val approx = PipelineOps.knnGraphIvf(df, k, nCentroids = 12, nprobe = 4).collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).groupBy(_._1)
-      .map { case (id, xs) => id -> xs.map(_._2).toSet }
+    val exactRows = PipelineOps.knnGraph(df, k).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val approxRows = PipelineOps.knnGraphIvf(df, k, nCentroids = 12, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val exact = exactRows.keys.groupBy(_._1).map { case (id, xs) => id -> xs.map(_._2).toSet }
+    val approx = approxRows.keys.groupBy(_._1).map { case (id, xs) => id -> xs.map(_._2).toSet }
     assert(approx.keySet === exact.keySet, "every vector gets neighbors")
     val recalls = exact.map { case (id, nbs) =>
       (nbs intersect approx(id)).size.toDouble / nbs.size
@@ -245,14 +247,9 @@ class GraphClusterSpec extends AnyFunSuite {
     val meanRecall = recalls.sum / recalls.size
     info(f"knnGraphIvf mean recall@$k = $meanRecall%.3f")
     assert(meanRecall >= 0.8, f"recall $meanRecall%.3f below gate")
-    // approximate edges that ARE reported carry exact cosines (verify one)
-    val exactRows = PipelineOps.knnGraph(df, k).collect()
-      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
-    val sample = PipelineOps.knnGraphIvf(df, k, 12, 4).collect().take(50)
-    sample.foreach { r =>
-      exactRows.get((r.getLong(0), r.getLong(1))).foreach { c =>
-        assert(math.abs(c - r.getDouble(2)) < 1e-9)
-      }
+    // approximate edges that ARE reported carry exact cosines
+    approxRows.foreach { case (key, c) =>
+      exactRows.get(key).foreach(ec => assert(math.abs(ec - c) < 1e-9))
     }
   }
 
@@ -268,12 +265,6 @@ class GraphClusterSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getString(3), r.getLong(4)) ->
         (r.getLong(1), r.getDouble(2))).toMap
     val got = run(4)
-    def cos(a: Array[Double], b: Array[Double]): Double = {
-      var dot = 0.0; var na = 0.0; var nb = 0.0
-      var j = 0
-      while (j < a.length) { dot += a(j) * b(j); na += a(j) * a(j); nb += b(j) * b(j); j += 1 }
-      dot / (math.sqrt(na) * math.sqrt(nb))
-    }
     var nPos = 0; var nNeg = 0
     for ((id, v) <- vs) {
       val scored = vs.filter(_._1 != id).map { case (pid, pv) => (pid, cos(v, pv)) }
@@ -304,12 +295,6 @@ class GraphClusterSpec extends AnyFunSuite {
     val k = 3
     val got = PipelineOps.mutualKnnClusters(df, k)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    def cos(a: Array[Double], b: Array[Double]): Double = {
-      var dot = 0.0; var na = 0.0; var nb = 0.0
-      var j = 0
-      while (j < a.length) { dot += a(j) * b(j); na += a(j) * a(j); nb += b(j) * b(j); j += 1 }
-      dot / (math.sqrt(na) * math.sqrt(nb))
-    }
     val knn = vs.map { case (id, v) =>
       id -> vs.filter(_._1 != id).map { case (nid, nv) => (nid, cos(v, nv)) }
         .sortBy { case (nid, c) => (-c, nid) }.take(k).map(_._1).toSet
@@ -457,12 +442,6 @@ class GraphClusterSpec extends AnyFunSuite {
     val got = PipelineOps.semanticContamination(cDF, bDF, t)
       .collect().map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2), r.getBoolean(3))))
       .toMap
-    def cos(a: Array[Double], b: Array[Double]): Double = {
-      var dot = 0.0; var na = 0.0; var nb = 0.0
-      var j = 0
-      while (j < a.length) { dot += a(j) * b(j); na += a(j) * a(j); nb += b(j) * b(j); j += 1 }
-      dot / (math.sqrt(na) * math.sqrt(nb))
-    }
     assert(got.size === corpus.size)
     for ((id, v) <- corpus) {
       val scored = bench.map { case (bid, bv) => (bid, cos(v, bv)) }
