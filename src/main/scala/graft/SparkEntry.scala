@@ -45,6 +45,23 @@ object SparkEntry {
       "case when doc_id % 13 = 0 then concat('\\n', 'var x = {') else '' end, " +
       "case when doc_id % 17 = 0 then concat('\\n', 'lorem ipsum dolor sit amet.') else '' end)"
 
+  /** Deterministically messy synthetic url shell (k = doc_id % 120 drives
+    * every decoration) shared by the url dedup/recrawl queries; the DuckDB
+    * oracles construct the CANONICAL form arithmetically, so the
+    * parse/normalize path is independently checked.
+    */
+  private def withMessyUrl(df: DataFrame): DataFrame =
+    df.withColumn("k", expr("doc_id % 120")).withColumn("url", expr(
+      "concat(case when k % 2 = 0 then 'HTTP' else 'https' end, '://', " +
+      "'WWW.Host', k % 7, '.Example.COM', " +
+      "case when k % 4 = 0 then ':80' when k % 4 = 1 then ':8080' else '' end, " +
+      "'/Dir/p', k % 10, " +
+      "case when k % 3 = 0 then '/' else '' end, " +
+      "case cast(k % 5 as int) when 0 then '?utm_source=feed&x=1' " +
+      "when 1 then '?x=1&utm_campaign=c' when 2 then '?gclid=abc' " +
+      "when 3 then '?x=1&y=2' else '' end, " +
+      "case when doc_id % 11 = 0 then '#Sec2' else '' end)"))
+
   // one index per sf dir, built once per JVM (the Searcher is a snapshot)
   private val indexCache = scala.collection.concurrent.TrieMap.empty[String, String]
 
@@ -399,17 +416,21 @@ object SparkEntry {
     // synthetic url (k = doc_id % 120 drives every decoration); the oracle
     // constructs the canonical form arithmetically, so the parse/normalize
     // path is independently checked
-    "q_url_dedup" -> ((s, d) => PipelineOps.urlDedup(
-      docs(s, d).withColumn("k", expr("doc_id % 120")).withColumn("url", expr(
-        "concat(case when k % 2 = 0 then 'HTTP' else 'https' end, '://', " +
-        "'WWW.Host', k % 7, '.Example.COM', " +
-        "case when k % 4 = 0 then ':80' when k % 4 = 1 then ':8080' else '' end, " +
-        "'/Dir/p', k % 10, " +
-        "case when k % 3 = 0 then '/' else '' end, " +
-        "case cast(k % 5 as int) when 0 then '?utm_source=feed&x=1' " +
-        "when 1 then '?x=1&utm_campaign=c' when 2 then '?gclid=abc' " +
-        "when 3 then '?x=1&y=2' else '' end, " +
-        "case when doc_id % 11 = 0 then '#Sec2' else '' end)")))),
+    "q_url_dedup" -> ((s, d) => PipelineOps.urlDedup(withMessyUrl(docs(s, d)))),
+    // recrawl dedup: same messy urls + a synthetic fetch timestamp; keep
+    // the newest fetch per canonical url (ties -> lowest doc_id)
+    "q_recrawl_dedup" -> ((s, d) => PipelineOps.recrawlDedup(
+        withMessyUrl(docs(s, d)).withColumn("warc_ts", expr(
+          "timestampadd(HOUR, cast(doc_id % 7 as int), timestamp'2025-01-01 00:00:00')")))
+      .select(col("doc_id"), col("canonical_url"),
+        expr("unix_micros(warc_ts)").as("ts_micros"), col("n_fetches"))),
+    // exact-k per-stratum sample (md5-hash order, 30 per lang)
+    "q_strat_sample_exact" -> ((s, d) =>
+      PipelineOps.stratifiedSampleExact(docs(s, d), "lang", 30)
+        .select("doc_id", "lang")),
+    // Flesch reading ease over the dirty shell (real sentence structure)
+    "q_readability" -> ((s, d) => PipelineOps.readability(
+      docs(s, d).withColumn("dirty", expr(dirtyShellSpark)), "dirty")),
     // UT1-style domain blocklist: mixed-case 4-label hosts; blocklist =
     // parent domains (every 3rd hostN) + two exact w-hosts under host1.
     // The oracle matches by suffix-LIKE — independent of the op's
@@ -994,6 +1015,9 @@ object SparkEntry {
     "q_pii_redact" -> OracleSql.piiRedact,
     "q_para_dedup" -> OracleSql.paragraphDedup,
     "q_url_dedup" -> OracleSql.urlDedup,
+    "q_recrawl_dedup" -> OracleSql.recrawlDedup,
+    "q_strat_sample_exact" -> OracleSql.stratifiedSampleExact(30),
+    "q_readability" -> OracleSql.readability,
     "q_url_blocklist" -> OracleSql.urlBlocklist,
     "q_html_extract" -> OracleSql.htmlExtract,
     "q_lm_surprise" -> OracleSql.lmSurprise,

@@ -607,6 +607,56 @@ SELECT h.doc_id, h.host,
   EXISTS (SELECT 1 FROM bl WHERE h.host = bl.domain OR h.host LIKE '%.' || bl.domain) AS blocked
 FROM h"""
 
+  /** q_recrawl_dedup: same canonical-url arithmetic as [[urlDedup]] plus a
+    * synthetic fetch timestamp; winner restated as a window row_number
+    * (ts desc, doc_id asc) — independent of the op's max-struct groupBy.
+    */
+  val recrawlDedup: String =
+    """WITH k AS (SELECT doc_id, doc_id % 120 AS k FROM documents),
+c AS (SELECT doc_id,
+  (CASE WHEN k % 2 = 0 THEN 'http' ELSE 'https' END)
+  || '://www.host' || (k % 7)::VARCHAR || '.example.com'
+  || (CASE WHEN k % 4 = 1 THEN ':8080' ELSE '' END)
+  || '/Dir/p' || (k % 10)::VARCHAR
+  || (CASE WHEN k % 5 IN (0, 1) THEN '?x=1' WHEN k % 5 = 3 THEN '?x=1&y=2' ELSE '' END)
+  AS canonical_url,
+  TIMESTAMP '2025-01-01 00:00:00' + (doc_id % 7) * INTERVAL 1 HOUR AS ts
+FROM k),
+r AS (SELECT *, row_number() OVER
+  (PARTITION BY canonical_url ORDER BY ts DESC, doc_id) AS rn FROM c),
+f AS (SELECT canonical_url, count(*)::BIGINT AS n_fetches FROM c GROUP BY 1)
+SELECT r.doc_id, r.canonical_url, epoch_us(r.ts) AS ts_micros, f.n_fetches
+FROM r JOIN f USING (canonical_url) WHERE rn = 1"""
+
+  /** q_strat_sample_exact: exactly k rows per lang by md5-hash order —
+    * the same md5 arithmetic restated with DuckDB's hex cast.
+    */
+  def stratifiedSampleExact(k: Int): String =
+    s"""WITH h AS (SELECT doc_id, lang,
+  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#exact'), 1, 8)) AS BIGINT) AS hk
+  FROM documents),
+r AS (SELECT doc_id, lang, row_number() OVER
+  (PARTITION BY lang ORDER BY hk, doc_id) AS rn FROM h)
+SELECT doc_id, lang FROM r WHERE rn <= $k"""
+
+  /** q_readability: the Flesch formula over the dirty shell — identical
+    * integer counts (terminal-punctuation runs, vowel-group runs +
+    * vowel-less-word floor) and the same fixed double expression tree.
+    */
+  val readability: String =
+    s"""WITH dd AS (SELECT doc_id, $DirtyShellDuck AS dirty FROM documents),
+c AS (SELECT doc_id,
+  len(list_filter(string_split_regex(dirty, '\\s+'), x -> x <> ''))::BIGINT AS n_words,
+  greatest(len(regexp_extract_all(dirty, '[.!?]+')), 1)::BIGINT AS n_sentences,
+  (len(regexp_extract_all(lower(dirty), '[aeiouy]+'))
+   + len(list_filter(list_filter(string_split_regex(dirty, '\\s+'), x -> x <> ''),
+       w -> NOT regexp_matches(lower(w), '[aeiouy]'))))::BIGINT AS n_syllables
+FROM dd)
+SELECT doc_id, n_words, n_sentences, n_syllables,
+  round(206.835 - 1.015 * (n_words / n_sentences) - 84.6 * (n_syllables / n_words), 4)
+    AS flesch
+FROM c WHERE n_words > 0"""
+
   val urlDedup: String =
     """WITH k AS (SELECT doc_id, doc_id % 120 AS k FROM documents),
 c AS (SELECT doc_id,

@@ -1355,6 +1355,68 @@ object PipelineOps {
       .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_dupes"))
       .select(col("doc_id"), col("canonical_url"), col("n_dupes"))
 
+  /** Recrawl dedup — keep the NEWEST fetch per canonical URL (crawl
+    * snapshots refetch pages; training corpora keep one, usually the
+    * latest — the recency twin of [[urlDedup]]'s lowest-id rule). Ties on
+    * the timestamp break to the lowest doc_id. Same skew-safe shape as
+    * urlDedup: a groupBy max-struct (map-side combinable — a page
+    * refetched a million times collapses per task), never a corpus-wide
+    * window sort. Returns (doc_id, canonical_url, tsCol, n_fetches).
+    */
+  def recrawlDedup(docs: DataFrame, urlCol: String = "url",
+      tsCol: String = "warc_ts"): DataFrame =
+    urlNormalize(docs, urlCol)
+      .groupBy("canonical_url")
+      .agg(max(struct(col(tsCol).as("ts"), (-col("doc_id")).as("negId"))).as("m"),
+        count(lit(1)).as("n_fetches"))
+      .select((-col("m.negId")).as("doc_id"), col("canonical_url"),
+        col("m.ts").as(tsCol), col("n_fetches"))
+
+  /** Exact-k per-stratum sampling — the budgeted variant of
+    * [[stratifiedSample]]: exactly `min(k, |stratum|)` rows per stratum,
+    * chosen by md5-hash order (uniform, engine/partitioning-reproducible,
+    * no RNG state). One shuffle on the stratum key; per-stratum state is a
+    * running rank and AQE's skew split keeps a mega-stratum from pinning
+    * one task (the [[domainCap]] regime — cap ranking never materializes
+    * a group).
+    */
+  def stratifiedSampleExact(docs: DataFrame, strataCol: String, k: Int,
+      salt: String = "exact"): DataFrame = {
+    val h = expr(
+      s"cast(conv(substr(md5(concat(cast(doc_id as string), '#$salt')), 1, 8), 16, 10) as bigint)")
+    docs.withColumn("__h", h)
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col(strataCol)).orderBy(col("__h"), col("doc_id"))))
+      .where(col("__rn") <= k)
+      .drop("__h", "__rn")
+  }
+
+  /** Flesch reading-ease score — the classic readability quality feature
+    * (education-value / reading-level filters): `206.835 − 1.015·(words/
+    * sentences) − 84.6·(syllables/words)`. Sentences = runs of terminal
+    * punctuation (`[.!?]+`, floor 1); syllables = vowel-group runs
+    * (`[aeiouy]+`) over the lowercased text, plus 1 for every vowel-less
+    * word (the standard heuristic floor — "rhythm", numbers). All three
+    * counts are single-regexp integer passes; the final expression tree is
+    * fixed, so any IEEE engine computes the identical double. Pure
+    * per-row codegen map, no shuffle.
+    */
+  def readability(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val words = s"filter(split($textCol, '\\\\s+'), x -> x <> '')"
+    docs.select(col("doc_id"),
+        expr(s"cast(size($words) as bigint)").as("n_words"),
+        expr(s"cast(greatest(size(regexp_extract_all($textCol, '[.!?]+', 0)), 1) as bigint)")
+          .as("n_sentences"),
+        (expr(s"cast(size(regexp_extract_all(lower($textCol), '[aeiouy]+', 0)) as bigint)") +
+          expr(s"cast(size(filter($words, w -> NOT lower(w) rlike '[aeiouy]')) as bigint)"))
+          .as("n_syllables"))
+      .where(col("n_words") > 0)
+      .withColumn("flesch",
+        round(lit(206.835) - lit(1.015) * (col("n_words") / col("n_sentences")) -
+          lit(84.6) * (col("n_syllables") / col("n_words")), 4))
+  }
+
   /** HTML → text extraction — the first pass of every web-corpus pipeline
     * (the `html:binary` → `text` step of the input contract). A pure
     * per-row regexp chain, no shuffle, no UDF, stays in whole-stage

@@ -284,3 +284,73 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 }
+
+class CurationExtraSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import org.apache.spark.sql.functions._
+
+  test("recrawlDedup keeps the newest fetch per canonical url; ts ties -> lowest id") {
+    import spark.implicits._
+    def ts(h: Int) = new java.sql.Timestamp(1735689600000L + h * 3600000L)
+    val rows = Seq(
+      // page A: three fetches, latest at h=9
+      (0L, "http://a.example/p?utm_source=x", ts(1)),
+      (1L, "HTTP://A.example/p", ts(9)),
+      (2L, "http://a.example/p#frag", ts(4)),
+      // page B: two fetches TIED on ts -> lowest doc_id (3) wins
+      (3L, "https://b.example/q/", ts(5)),
+      (4L, "https://b.example/q", ts(5)),
+      // page C: single fetch
+      (5L, "https://c.example/r", ts(2)))
+    val got = graft.ops.PipelineOps.recrawlDedup(
+        rows.toDF("doc_id", "url", "warc_ts").repartition(5))
+      .collect().map(r => r.getString(1) -> (r.getLong(0), r.getTimestamp(2), r.getLong(3)))
+      .toMap
+    assert(got.size === 3)
+    assert(got("http://a.example/p") === ((1L, ts(9), 3L)))
+    assert(got("https://b.example/q") === ((3L, ts(5), 2L)))
+    assert(got("https://c.example/r") === ((5L, ts(2), 1L)))
+  }
+
+  test("stratifiedSampleExact: exact min(k, size) per stratum in JVM md5 order; invariant") {
+    import spark.implicits._
+    val rows = (0L until 200L).map(i => (i, s"s${i % 3}")) ++ Seq((999L, "tiny"))
+    val df = rows.toDF("doc_id", "lang")
+    val k = 10
+    val got = graft.ops.PipelineOps.stratifiedSampleExact(df.repartition(7), "lang", k)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hk(id: Long): Long = java.lang.Long.parseLong(
+      md.digest(s"$id#exact".getBytes("UTF-8")).map("%02x".format(_)).mkString.substring(0, 8), 16)
+    val want = rows.groupBy(_._2).flatMap { case (_, xs) =>
+      xs.sortBy { case (id, _) => (hk(id), id) }.take(k)
+    }.toSet
+    assert(got === want)
+    val sizes = got.groupBy(_._2).map { case (s, xs) => s -> xs.size }
+    assert(sizes === Map("s0" -> 10, "s1" -> 10, "s2" -> 10, "tiny" -> 1))
+    val got2 = graft.ops.PipelineOps.stratifiedSampleExact(df.coalesce(1), "lang", k)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got2 === got)
+  }
+
+  test("readability matches the hand-computed Flesch formula incl. vowel-less words") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "The cat sat. The dog ran!"),           // 6 words, 2 sentences
+      (1L, "xyz 7 rhythm"),                        // all vowel-less by the heuristic
+      (2L, "reading ease scores measure comprehension difficulty precisely..."))
+      .toDF("doc_id", "text")
+    val got = graft.ops.PipelineOps.readability(docs)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    def flesch(w: Long, s: Long, sy: Long): Double =
+      math.rint((206.835 - 1.015 * (w.toDouble / s) - 84.6 * (sy.toDouble / w)) * 1e4) / 1e4
+    // doc 0: words The/cat/sat./The/dog/ran! -> vowel groups e,a,a,e,o,a = 6
+    assert(got(0L) === ((6L, 2L, 6L, flesch(6, 2, 6))))
+    // doc 1: "rhythm" has y -> one vowel group; xyz has y too; "7" gets the +1 floor
+    assert(got(1L) === ((3L, 1L, 3L, flesch(3, 1, 3))))
+    val (w2, s2, sy2, f2) = got(2L)
+    assert(w2 === 7L && s2 === 1L) // '...' is ONE terminal run
+    assert(f2 === flesch(w2, s2, sy2))
+  }
+}
