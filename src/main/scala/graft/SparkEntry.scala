@@ -625,6 +625,20 @@ object SparkEntry {
       PipelineOps.pageRank(edges, iters = 3, damping = 0.85)
         .select(col("node"), round(col("rank"), 6).as("rank"))
     }),
+    // host-level prior table: volume stats per home host + PageRank join
+    "q_host_priors" -> ((s, d) => {
+      val doc = docs(s, d)
+      val edges = doc
+        .select(col("doc_id"), col("n_chars"), explode(expr("sequence(0, 2)")).as("j"))
+        .select(concat(lit("h"), (col("doc_id") % 40).cast("string")).as("src"),
+          concat(lit("h"),
+            ((col("doc_id") * 7 + col("j") * 11 + col("n_chars")) % 40).cast("string")).as("dst"))
+      PipelineOps.hostPriors(
+        doc.withColumn("url",
+          concat(lit("https://h"), (col("doc_id") % 40).cast("string"),
+            lit("/p"), col("doc_id"))),
+        PipelineOps.pageRank(edges, iters = 3, damping = 0.85))
+    }),
 
     // --- aggregations (collector / ES-agg equivalents)
     "q_terms_agg" -> ((s, d) => PipelineOps.withTokens(docs(s, d))
@@ -1047,6 +1061,7 @@ object SparkEntry {
     "q_cluster_sample" -> OracleSql.clusterSample,
     "q_sem_contam" -> OracleSql.semContamination(0.3, 97),
     "q_pagerank" -> OracleSql.pageRank(3, 0.85, 40),
+    "q_host_priors" -> OracleSql.hostPriors(3, 0.85, 40),
     "q_embed_neardup" -> OracleSql.embeddingNearDup(0.35),
     // q_ann_lsh / q_ann_pq: approximate (random hyperplanes / PQ codes) ->
     // rows-only check; recall@10 >= 0.8 vs exact top-k gated by SimilaritySpec

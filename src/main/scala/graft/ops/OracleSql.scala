@@ -1146,6 +1146,18 @@ comp AS (SELECT u AS vec_id, min(w) AS mn FROM walk GROUP BY u)
 SELECT e.vec_id, coalesce(least(e.vec_id, c.mn), e.vec_id) AS cluster_id
 FROM e LEFT JOIN comp c ON e.vec_id = c.vec_id"""
 
+  /** q_host_priors: per-host volume stats joined with the full PageRank
+    * replay (nested WITH inside the `pr` CTE).
+    */
+  def hostPriors(iters: Int, damping: Double, hosts: Int): String =
+    s"""WITH pr AS (${pageRank(iters, damping, hosts)}),
+h AS (SELECT 'h' || CAST(doc_id % $hosts AS VARCHAR) AS host,
+  len($TokensExprDuck)::BIGINT AS n, length(text)::BIGINT AS chars FROM documents),
+g AS (SELECT host, count(*)::BIGINT AS n_docs, sum(n)::BIGINT AS n_tokens,
+  round(avg(chars), 4) AS avg_chars FROM h GROUP BY host)
+SELECT g.host, g.n_docs, g.n_tokens, g.avg_chars, pr.rank AS host_rank
+FROM g LEFT JOIN pr ON pr.node = g.host"""
+
   /** q_mixture_weights: per-domain token totals → natural share and
     * α-scaled weight (p_d ∝ n_d^α), same double pow/normalize as the
     * Spark side, 6dp.

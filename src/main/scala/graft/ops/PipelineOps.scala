@@ -2545,6 +2545,30 @@ object PipelineOps {
       .select(col("doc_id").as("vec_id"), col("canonical_id").as("cluster_id"))
   }
 
+  /** Host-level prior table — the per-host curation frame a web pipeline
+    * materializes before doc-level filtering (RefinedWeb-style host
+    * quality): per host, doc/token/char volume joined with the
+    * [[pageRank]] link-authority score. One map-side-combined
+    * groupBy(host) over the corpus plus one equi-join with the node-sized
+    * rank frame (broadcast when hosts are few); hosts absent from the
+    * link graph keep a null rank. Returns (host, n_docs, n_tokens,
+    * avg_chars, host_rank).
+    */
+  def hostPriors(docs: DataFrame, ranks: DataFrame,
+      urlCol: String = "url"): DataFrame = {
+    val host = lower(regexp_extract(col(urlCol),
+      "^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)", 1))
+    docs.select(host.as("host"),
+        expr(s"cast(size($TokensExprSpark) as bigint)").as("n"),
+        length(col("text")).cast("long").as("chars"))
+      .groupBy("host")
+      .agg(count(lit(1)).as("n_docs"), sum("n").as("n_tokens"),
+        round(avg("chars"), 4).as("avg_chars"))
+      .join(ranks.select(col("node").as("host"), col("rank")), Seq("host"), "left")
+      .select(col("host"), col("n_docs"), col("n_tokens"), col("avg_chars"),
+        round(col("rank"), 6).as("host_rank"))
+  }
+
   // ------------------------------------------------------ mixture weights
 
   /** Temperature-scaled domain mixture weights — the α-reweighting step of

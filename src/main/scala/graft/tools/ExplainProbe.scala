@@ -236,6 +236,23 @@ object ExplainProbe {
     println(s"entropy: partial agg = ${tePlan.contains("HashAggregate")} (want true), " +
       s"Cartesian = ${tePlan.contains("Cartesian")} (want false)")
 
+    println("==== readability / recrawl dedup / exact-k sample ====")
+    val rd = graft.ops.PipelineOps.readability(docsDf)
+    val rdPlan = rd.queryExecution.executedPlan.toString
+    println(s"readability: shuffle-free = ${!rdPlan.contains("Exchange")}, " +
+      s"codegen = ${rdPlan.contains("*(")}")
+    val rc = graft.ops.PipelineOps.recrawlDedup(
+      docsDf.withColumn("url", concat(lit("https://h"), col("doc_id") % 9, lit(".example/p")))
+        .withColumn("warc_ts", current_timestamp()))
+    val rcPlan = rc.queryExecution.executedPlan.toString
+    println(s"recrawl: partial agg (map-side combine) = ${rcPlan.contains("partial_max") ||
+      rcPlan.contains("HashAggregate")} (want true), window sort = ${rcPlan.contains("Window")} (want false)")
+    val se = graft.ops.PipelineOps.stratifiedSampleExact(docsDf, "lang", 10)
+    val sePlan = se.queryExecution.executedPlan.toString
+    println(s"exactsample: window partitioned by stratum = " +
+      s"${sePlan.contains("hashpartitioning(lang")} (want true), " +
+      s"Cartesian = ${sePlan.contains("Cartesian")} (want false)")
+
     println("==== cluster-balanced sample (per-cluster permille broadcast back; " +
       "assignment rows never reshuffle) ====")
     val cbs = graft.ops.PipelineOps.clusterBalancedSample(

@@ -89,6 +89,30 @@ class GraphClusterSpec extends AnyFunSuite {
     }
   }
 
+  test("hostPriors joins per-host volume stats with pagerank; off-graph hosts keep null rank") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "https://a.example/p0", "one two three"),
+      (1L, "https://a.example/p1", "four five"),
+      (2L, "https://b.example/p2", "six"),
+      (3L, "https://c.example/p3", "seven eight nine ten")) // c is NOT in the graph
+      .toDF("doc_id", "url", "text")
+    val edges = Seq("a.example" -> "b.example", "b.example" -> "a.example")
+      .toDF("src", "dst")
+    val got = PipelineOps.hostPriors(docs, PipelineOps.pageRank(edges, 3))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3),
+          if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toMap
+    val ranks = pageRankOracle(Seq("a.example" -> "b.example", "b.example" -> "a.example"), 3, 0.85)
+    // chars: "one two three"=13, "four five"=9 -> avg 11.0; tokens 3+2=5
+    assert(got("a.example") ===
+      ((2L, 5L, 11.0, Some(math.rint(ranks("a.example") * 1e6) / 1e6))))
+    assert(got("b.example")._1 === 1L)
+    assert(got("b.example")._2 === 1L)
+    assert(got("b.example")._4 === Some(math.rint(ranks("b.example") * 1e6) / 1e6))
+    assert(got("c.example") === ((1L, 4L, 20.0, None)))
+  }
+
   // -------------------------------------------------------------- k-means
 
   private def genVectors(n: Int, dim: Int, nClusters: Int,
