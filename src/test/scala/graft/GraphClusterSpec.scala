@@ -453,6 +453,80 @@ class GraphClusterSpec extends AnyFunSuite {
     assert(got(5L) === ((9L, 0L, 0L, 444L, 555L, 0L, "arabic")))
   }
 
+  test("scriptMix fuzz: random multiscript strings match an independent codepoint counter") {
+    import spark.implicits._
+    // the op's literal ranges restated as codepoint intervals
+    val ranges: Seq[(String, Seq[(Int, Int)])] = Seq(
+      "latin" -> Seq(0x41 -> 0x5A, 0x61 -> 0x7A),
+      "cyrillic" -> Seq(0x400 -> 0x4FF),
+      "greek" -> Seq(0x370 -> 0x3FF),
+      "arabic" -> Seq(0x600 -> 0x6FF),
+      "cjk" -> Seq(0x4E00 -> 0x9FFF, 0x3040 -> 0x30FF, 0xAC00 -> 0xD7AF))
+    val pools: Array[Array[Char]] = Array(
+      ('a' to 'z') ++ ('A' to 'Z'),
+      (0x400 to 0x4FF).map(_.toChar),
+      (0x370 to 0x3FF).map(_.toChar),
+      (0x600 to 0x6FF).map(_.toChar),
+      (0x4E00 to 0x4E80).map(_.toChar) ++ (0x3040 to 0x309F).map(_.toChar) ++
+        (0xAC00 to 0xAC80).map(_.toChar),
+      " .,!?0123456789-_…".toCharArray.toIndexedSeq).map(_.toArray)
+    val rnd = new scala.util.Random(11)
+    val docs = (0L until 200L).map { i =>
+      val len = rnd.nextInt(80)
+      val sb = new StringBuilder
+      for (_ <- 0 until len) {
+        val pool = pools(rnd.nextInt(pools.length))
+        sb.append(pool(rnd.nextInt(pool.length)))
+      }
+      (i, sb.toString)
+    }
+    val got = PipelineOps.scriptMix(docs.toDF("doc_id", "text")).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1),
+        (2 to 6).map(r.getLong).toList, r.getString(7))).toMap
+    for ((id, t) <- docs) {
+      val counts = ranges.map { case (_, ivs) =>
+        t.count(c => ivs.exists { case (lo, hi) => c >= lo && c <= hi }).toLong
+      }
+      val total = counts.sum
+      val milli = counts.map(c => if (total > 0) c * 1000 / total else 0L).toList
+      // strictly-greater fold: earliest index achieving the max wins
+      var main = 0
+      for (j <- 1 until counts.size) if (counts(j) > counts(main)) main = j
+      val (gTotal, gMilli, gMain) = got(id)
+      assert(gTotal === total, s"doc $id total")
+      assert(gMilli === milli, s"doc $id milli")
+      assert(gMain === ranges(main)._1, s"doc $id main")
+    }
+  }
+
+  test("readability fuzz: random texts match a restated formula") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val wordsPool = Seq("the", "data", "xyz", "rhythm", "a", "42", "pipeline",
+      "readability", "io", "qqq", "stream!", "fast.", "why?")
+    val docs = (0L until 150L).map { i =>
+      val n = 1 + rnd.nextInt(30)
+      (i, Seq.fill(n)(wordsPool(rnd.nextInt(wordsPool.size))).mkString(" ") +
+        (if (rnd.nextBoolean()) "." else ""))
+    }
+    val got = PipelineOps.readability(docs.toDF("doc_id", "text")).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toMap
+    for ((id, t) <- docs) {
+      val words = t.split("\\s+").filter(_.nonEmpty)
+      val sentences = math.max("[.!?]+".r.findAllIn(t).size, 1)
+      val syl = "[aeiouy]+".r.findAllIn(t.toLowerCase).size +
+        words.count(w => !w.toLowerCase.exists("aeiouy".contains(_)))
+      val flesch = math.rint((206.835 - 1.015 * (words.length.toDouble / sentences) -
+        84.6 * (syl.toDouble / words.length)) * 1e4) / 1e4
+      val (gw, gs, gsy, gf) = got(id)
+      assert(gw === words.length.toLong, s"doc $id words")
+      assert(gs === sentences.toLong, s"doc $id sentences")
+      assert(gsy === syl.toLong, s"doc $id syllables")
+      assert(math.abs(gf - flesch) < 1e-9, s"doc $id flesch")
+    }
+  }
+
   // --------------------------------------------- semantic decontamination
 
   test("semanticContamination matches brute-force nearest-benchmark scan") {
