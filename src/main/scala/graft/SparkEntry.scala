@@ -62,6 +62,16 @@ object SparkEntry {
       "when 3 then '?x=1&y=2' else '' end, " +
       "case when doc_id % 11 = 0 then '#Sec2' else '' end)"))
 
+  /** Synthetic host link graph shared by q_pagerank and q_host_priors:
+    * each doc's home host `h(doc_id%40)` links to three arithmetic
+    * targets — the SAME formula `OracleSql.pageRank` replays.
+    */
+  private def hostEdges(df: DataFrame): DataFrame =
+    df.select(col("doc_id"), col("n_chars"), explode(expr("sequence(0, 2)")).as("j"))
+      .select(concat(lit("h"), (col("doc_id") % 40).cast("string")).as("src"),
+        concat(lit("h"),
+          ((col("doc_id") * 7 + col("j") * 11 + col("n_chars")) % 40).cast("string")).as("dst"))
+
   // one index per sf dir, built once per JVM (the Searcher is a snapshot)
   private val indexCache = scala.collection.concurrent.TrieMap.empty[String, String]
 
@@ -616,28 +626,17 @@ object SparkEntry {
 
     // --- link graph: synthesized host edges (home host -> 3 arithmetic
     // targets per doc) -> PageRank authority prior
-    "q_pagerank" -> ((s, d) => {
-      val edges = docs(s, d)
-        .select(col("doc_id"), col("n_chars"), explode(expr("sequence(0, 2)")).as("j"))
-        .select(concat(lit("h"), (col("doc_id") % 40).cast("string")).as("src"),
-          concat(lit("h"),
-            ((col("doc_id") * 7 + col("j") * 11 + col("n_chars")) % 40).cast("string")).as("dst"))
-      PipelineOps.pageRank(edges, iters = 3, damping = 0.85)
-        .select(col("node"), round(col("rank"), 6).as("rank"))
-    }),
+    "q_pagerank" -> ((s, d) =>
+      PipelineOps.pageRank(hostEdges(docs(s, d)), iters = 3, damping = 0.85)
+        .select(col("node"), round(col("rank"), 6).as("rank"))),
     // host-level prior table: volume stats per home host + PageRank join
     "q_host_priors" -> ((s, d) => {
       val doc = docs(s, d)
-      val edges = doc
-        .select(col("doc_id"), col("n_chars"), explode(expr("sequence(0, 2)")).as("j"))
-        .select(concat(lit("h"), (col("doc_id") % 40).cast("string")).as("src"),
-          concat(lit("h"),
-            ((col("doc_id") * 7 + col("j") * 11 + col("n_chars")) % 40).cast("string")).as("dst"))
       PipelineOps.hostPriors(
         doc.withColumn("url",
           concat(lit("https://h"), (col("doc_id") % 40).cast("string"),
             lit("/p"), col("doc_id"))),
-        PipelineOps.pageRank(edges, iters = 3, damping = 0.85))
+        PipelineOps.pageRank(hostEdges(doc), iters = 3, damping = 0.85))
     }),
 
     // --- aggregations (collector / ES-agg equivalents)

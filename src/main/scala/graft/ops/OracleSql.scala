@@ -607,19 +607,25 @@ SELECT h.doc_id, h.host,
   EXISTS (SELECT 1 FROM bl WHERE h.host = bl.domain OR h.host LIKE '%.' || bl.domain) AS blocked
 FROM h"""
 
+  /** Canonical form of SparkEntry's messy synthetic url, constructed
+    * arithmetically from k = doc_id % 120 — the shared fragment both url
+    * dedup oracles build their `c` CTE from (one copy: the messy-url
+    * contract and this canonicalization must move together).
+    */
+  private val CanonicalUrlDuck: String =
+    """(CASE WHEN k % 2 = 0 THEN 'http' ELSE 'https' END)
+  || '://www.host' || (k % 7)::VARCHAR || '.example.com'
+  || (CASE WHEN k % 4 = 1 THEN ':8080' ELSE '' END)
+  || '/Dir/p' || (k % 10)::VARCHAR
+  || (CASE WHEN k % 5 IN (0, 1) THEN '?x=1' WHEN k % 5 = 3 THEN '?x=1&y=2' ELSE '' END)"""
+
   /** q_recrawl_dedup: same canonical-url arithmetic as [[urlDedup]] plus a
     * synthetic fetch timestamp; winner restated as a window row_number
     * (ts desc, doc_id asc) — independent of the op's max-struct groupBy.
     */
   val recrawlDedup: String =
-    """WITH k AS (SELECT doc_id, doc_id % 120 AS k FROM documents),
-c AS (SELECT doc_id,
-  (CASE WHEN k % 2 = 0 THEN 'http' ELSE 'https' END)
-  || '://www.host' || (k % 7)::VARCHAR || '.example.com'
-  || (CASE WHEN k % 4 = 1 THEN ':8080' ELSE '' END)
-  || '/Dir/p' || (k % 10)::VARCHAR
-  || (CASE WHEN k % 5 IN (0, 1) THEN '?x=1' WHEN k % 5 = 3 THEN '?x=1&y=2' ELSE '' END)
-  AS canonical_url,
+    s"""WITH k AS (SELECT doc_id, doc_id % 120 AS k FROM documents),
+c AS (SELECT doc_id, $CanonicalUrlDuck AS canonical_url,
   TIMESTAMP '2025-01-01 00:00:00' + (doc_id % 7) * INTERVAL 1 HOUR AS ts
 FROM k),
 r AS (SELECT *, row_number() OVER
@@ -658,14 +664,8 @@ SELECT doc_id, n_words, n_sentences, n_syllables,
 FROM c WHERE n_words > 0"""
 
   val urlDedup: String =
-    """WITH k AS (SELECT doc_id, doc_id % 120 AS k FROM documents),
-c AS (SELECT doc_id,
-  (CASE WHEN k % 2 = 0 THEN 'http' ELSE 'https' END)
-  || '://www.host' || (k % 7)::VARCHAR || '.example.com'
-  || (CASE WHEN k % 4 = 1 THEN ':8080' ELSE '' END)
-  || '/Dir/p' || (k % 10)::VARCHAR
-  || (CASE WHEN k % 5 IN (0, 1) THEN '?x=1' WHEN k % 5 = 3 THEN '?x=1&y=2' ELSE '' END)
-  AS canonical_url
+    s"""WITH k AS (SELECT doc_id, doc_id % 120 AS k FROM documents),
+c AS (SELECT doc_id, $CanonicalUrlDuck AS canonical_url
 FROM k)
 SELECT min(doc_id) AS doc_id, canonical_url, count(*)::BIGINT AS n_dupes
 FROM c GROUP BY canonical_url"""

@@ -1376,9 +1376,10 @@ object PipelineOps {
     * [[stratifiedSample]]: exactly `min(k, |stratum|)` rows per stratum,
     * chosen by md5-hash order (uniform, engine/partitioning-reproducible,
     * no RNG state). One shuffle on the stratum key; per-stratum state is a
-    * running rank and AQE's skew split keeps a mega-stratum from pinning
-    * one task (the [[domainCap]] regime — cap ranking never materializes
-    * a group).
+    * running rank (nothing materializes per group). Note the window DOES
+    * colocate each stratum in one task (row_number needs partition
+    * integrity, so AQE cannot split it): with very few, very large strata
+    * prefer [[stratifiedSample]]'s fraction rule, which never shuffles.
     */
   def stratifiedSampleExact(docs: DataFrame, strataCol: String, k: Int,
       salt: String = "exact"): DataFrame = {
