@@ -383,6 +383,9 @@ object SparkEntry {
     // shell arithmetically in DuckDB (OracleSql.DirtyShellDuck)
     "q_gopher_quality" -> ((s, d) => PipelineOps.gopherQuality(
       docs(s, d).withColumn("dirty", expr(dirtyShellSpark)), "dirty")),
+    // full Gopher Table-A1 repetition battery over the dirty shell
+    "q_gopher_repetition" -> ((s, d) => PipelineOps.gopherRepetition(
+      docs(s, d).withColumn("dirty", expr(dirtyShellSpark)), "dirty")),
     "q_c4_filter" -> ((s, d) => PipelineOps.c4LineFilter(
         docs(s, d).withColumn("dirty", expr(dirtyShellSpark)), "dirty")
       .select(col("doc_id"), col("n_lines"), col("n_kept_lines"), col("keep"),
@@ -1018,6 +1021,7 @@ object SparkEntry {
     "q_dedup_resolve" -> OracleSql.dedupResolve(0.5),
     "q_repetition" -> OracleSql.repetition,
     "q_gopher_quality" -> OracleSql.gopherQuality,
+    "q_gopher_repetition" -> OracleSql.gopherRepetition,
     "q_c4_filter" -> OracleSql.c4Filter,
     "q_contamination" -> OracleSql.contamination(3),
     "q_strat_sample" -> OracleSql.stratifiedSample,

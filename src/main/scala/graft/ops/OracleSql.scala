@@ -1158,6 +1158,70 @@ g AS (SELECT host, count(*)::BIGINT AS n_docs, sum(n)::BIGINT AS n_tokens,
 SELECT g.host, g.n_docs, g.n_tokens, g.avg_chars, pr.rank AS host_rank
 FROM g LEFT JOIN pr ON pr.node = g.host"""
 
+  /** q_gopher_repetition: the full Table-A1 battery restated relationally
+    * over the dirty shell — same integer-permille arithmetic (`//` vs
+    * Spark's `div`, both truncating on non-negatives), same top-gram tie
+    * law (cnt desc, gram asc), same ≥2-occurrence dup rule.
+    */
+  val gopherRepetition: String = {
+    val topCols = Seq(2, 3, 4).map(n =>
+      s"coalesce(max(CASE WHEN n = $n THEN m END), 0)::BIGINT AS top_${n}gram_char_milli")
+      .mkString(",\n  ")
+    val dupCols = (5 to 10).map(n =>
+      s"coalesce(max(CASE WHEN n = $n THEN m END), 0)::BIGINT AS dup_${n}gram_char_milli")
+      .mkString(",\n  ")
+    val keep = Seq(
+      "lm.dup_line_frac_milli <= 300", "lm.dup_line_char_milli <= 200",
+      "coalesce(tp.top_2gram_char_milli, 0) <= 200",
+      "coalesce(tp.top_3gram_char_milli, 0) <= 180",
+      "coalesce(tp.top_4gram_char_milli, 0) <= 160") ++
+      (5 to 10).map(n => s"coalesce(dp.dup_${n}gram_char_milli, 0) <= ${150 - (n - 5) * 10}")
+    s"""WITH dd AS (SELECT doc_id, $DirtyShellDuck AS t FROM documents),
+b AS (SELECT doc_id, t, greatest(length(t), 1)::BIGINT AS total_chars FROM dd),
+lc AS (SELECT doc_id, total_chars, line, count(*)::BIGINT AS cnt
+  FROM (SELECT doc_id, total_chars, unnest(string_split(t, chr(10))) AS line FROM b)
+  GROUP BY doc_id, total_chars, line),
+lm AS (SELECT doc_id,
+  sum(CASE WHEN cnt >= 2 THEN cnt ELSE 0 END) * 1000 // sum(cnt) AS dup_line_frac_milli,
+  sum(CASE WHEN cnt >= 2 THEN cnt * length(line) ELSE 0 END) * 1000 // max(total_chars)
+    AS dup_line_char_milli
+  FROM lc GROUP BY doc_id),
+tk AS (SELECT doc_id, total_chars,
+  list_filter(string_split_regex(lower(t), '[^a-z0-9]+'), x -> x <> '' AND length(x) < 40)
+    AS toks FROM b),
+g0 AS (SELECT doc_id, total_chars, n, toks,
+  unnest(range(1, greatest(len(toks) - n + 1, 0) + 1)) AS i
+  FROM (SELECT tk.*, ns.n FROM tk, (SELECT unnest(range(2, 11)) AS n) ns)),
+g AS (SELECT doc_id, total_chars, n,
+  array_to_string(toks[i:i+n-1], ' ') AS gram FROM g0),
+gc AS (SELECT doc_id, total_chars, n, gram, count(*)::BIGINT AS cnt
+  FROM g GROUP BY doc_id, total_chars, n, gram),
+topg AS (SELECT doc_id, n, cnt * length(gram) * 1000 // total_chars AS m FROM
+  (SELECT *, row_number() OVER (PARTITION BY doc_id, n ORDER BY cnt DESC, gram) AS rn
+   FROM gc) WHERE rn = 1 AND n BETWEEN 2 AND 4),
+dupg AS (SELECT doc_id, n,
+  sum(CASE WHEN cnt >= 2 THEN cnt * length(gram) ELSE 0 END) * 1000 // max(total_chars) AS m
+  FROM gc WHERE n BETWEEN 5 AND 10 GROUP BY doc_id, n),
+tp AS (SELECT doc_id,
+  $topCols
+  FROM topg GROUP BY doc_id),
+dp AS (SELECT doc_id,
+  $dupCols
+  FROM dupg GROUP BY doc_id)
+SELECT lm.doc_id, lm.dup_line_frac_milli, lm.dup_line_char_milli,
+  coalesce(tp.top_2gram_char_milli, 0) AS top_2gram_char_milli,
+  coalesce(tp.top_3gram_char_milli, 0) AS top_3gram_char_milli,
+  coalesce(tp.top_4gram_char_milli, 0) AS top_4gram_char_milli,
+  coalesce(dp.dup_5gram_char_milli, 0) AS dup_5gram_char_milli,
+  coalesce(dp.dup_6gram_char_milli, 0) AS dup_6gram_char_milli,
+  coalesce(dp.dup_7gram_char_milli, 0) AS dup_7gram_char_milli,
+  coalesce(dp.dup_8gram_char_milli, 0) AS dup_8gram_char_milli,
+  coalesce(dp.dup_9gram_char_milli, 0) AS dup_9gram_char_milli,
+  coalesce(dp.dup_10gram_char_milli, 0) AS dup_10gram_char_milli,
+  (${keep.mkString(" AND ")}) AS keep
+FROM lm LEFT JOIN tp USING (doc_id) LEFT JOIN dp USING (doc_id)"""
+  }
+
   /** q_mixture_weights: per-domain token totals → natural share and
     * α-scaled weight (p_d ∝ n_d^α), same double pow/normalize as the
     * Spark side, 6dp.

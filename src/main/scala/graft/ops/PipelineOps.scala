@@ -1050,6 +1050,91 @@ object PipelineOps {
       .withColumn("dup_ngram_frac",
         round(lit(1.0) - col("n_distinct_ngrams").cast("double") / col("n_ngrams"), 4))
 
+  /** The full Gopher repetition battery (Rae et al. 2021, Table A1) —
+    * eleven signals instead of [[repetitionScore]]'s single dup-3-gram
+    * fraction: duplicate-LINE fraction and character fraction (lines are
+    * the paragraph proxy, the [[paragraphDedup]]/CCNet convention — the
+    * corpus carries no blank-line paragraph structure), top-{2,3,4}-gram
+    * character fractions (most frequent gram's occurrences × its length /
+    * doc chars; ties → lexicographically smallest gram), and
+    * dup-{5..10}-gram character fractions (chars over ALL occurrences of
+    * grams appearing ≥ 2×). All metrics are integer permille
+    * (numerator·1000 div doc chars) so any engine agrees exactly; `keep`
+    * applies the paper's thresholds (lines ≤300/200‰; top 2/3/4 ≤
+    * 200/180/160‰; dup 5..10 ≤ 150/140/130/120/110/100‰).
+    *
+    * Shape: ONE explode produces (doc, n, gram) rows for all nine n at
+    * once (≈ 9·L rows per doc), map-side-combined groupBy counts, a
+    * (doc,n)-partitioned window picks each top gram over the counted
+    * frame, and a conditional-aggregation pivot lands the eleven columns —
+    * the same shuffle class as exact dedup, text never shuffles beyond
+    * gram strings.
+    */
+  def gopherRepetition(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = docs.select(col("doc_id"), col(textCol).as("t"))
+      .withColumn("total_chars", greatest(length(col("t")), lit(1L)).cast("long"))
+    // ---- line metrics (one (doc, line) groupBy)
+    val lines = base
+      .select(col("doc_id"), col("total_chars"), explode(split(col("t"), "\n")).as("line"))
+      .groupBy("doc_id", "total_chars", "line").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id", "total_chars")
+      .agg(sum("cnt").as("n_lines"),
+        sum(when(col("cnt") >= 2, col("cnt")).otherwise(0L)).as("dup_lines"),
+        sum(when(col("cnt") >= 2, col("cnt") * length(col("line")))
+          .otherwise(0L)).as("dup_line_chars"))
+      .select(col("doc_id"),
+        expr("dup_lines * 1000 div n_lines").as("dup_line_frac_milli"),
+        expr("dup_line_chars * 1000 div total_chars").as("dup_line_char_milli"))
+    // ---- n-gram rows for ALL n in one explode: (doc, n, gram)
+    val toks = withTokens(base.withColumnRenamed("t", "text"))
+      .select(col("doc_id"), col("total_chars"), col("toks"))
+    val gramRows = toks.select(col("doc_id"), col("total_chars"),
+        // sequence(1, 0) would DESCEND in Spark, so generate at least one
+        // position and trim with slice (length 0 -> empty) when L < n
+        explode(expr(
+          """flatten(transform(sequence(2, 10), n ->
+            |  slice(transform(sequence(1, greatest(size(toks) - n + 1, 1)),
+            |    i -> struct(n AS n, concat_ws(' ', slice(toks, i, n)) AS gram)),
+            |  1, greatest(size(toks) - n + 1, 0))))""".stripMargin)).as("g"))
+      .select(col("doc_id"), col("total_chars"), col("g.n").as("n"), col("g.gram").as("gram"))
+    val counted = gramRows.groupBy("doc_id", "total_chars", "n", "gram")
+      .agg(count(lit(1)).as("cnt"))
+    // top gram per (doc, n): cnt desc, gram asc — bounded frame per doc
+    val top = counted
+      .withColumn("rn", row_number().over(Window.partitionBy("doc_id", "n")
+        .orderBy(col("cnt").desc, col("gram"))))
+      .where(col("rn") === 1 && col("n").between(2, 4))
+      .select(col("doc_id"), col("n"),
+        expr("cnt * length(gram) * 1000 div total_chars").as("m"))
+    val dup = counted.where(col("n").between(5, 10))
+      .groupBy("doc_id", "total_chars", "n")
+      .agg(sum(when(col("cnt") >= 2, col("cnt") * length(col("gram")))
+        .otherwise(0L)).as("dc"))
+      .select(col("doc_id"), col("n"),
+        expr("dc * 1000 div total_chars").as("m"))
+    def pivot(df: DataFrame, prefix: String, ns: Seq[Int]): DataFrame = {
+      val aggs = ns.map(n => coalesce(max(when(col("n") === n, col("m"))), lit(0L))
+        .as(s"$prefix${n}gram_char_milli"))
+      df.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    }
+    val topWide = pivot(top, "top_", Seq(2, 3, 4))
+    val dupWide = pivot(dup, "dup_", Seq(5, 6, 7, 8, 9, 10))
+    val limits = Map("dup_line_frac_milli" -> 300L, "dup_line_char_milli" -> 200L,
+      "top_2gram_char_milli" -> 200L, "top_3gram_char_milli" -> 180L,
+      "top_4gram_char_milli" -> 160L, "dup_5gram_char_milli" -> 150L,
+      "dup_6gram_char_milli" -> 140L, "dup_7gram_char_milli" -> 130L,
+      "dup_8gram_char_milli" -> 120L, "dup_9gram_char_milli" -> 110L,
+      "dup_10gram_char_milli" -> 100L)
+    val joined = lines
+      .join(topWide, Seq("doc_id"), "left")
+      .join(dupWide, Seq("doc_id"), "left")
+      .na.fill(0L, limits.keys.toSeq)
+    joined.withColumn("keep",
+      limits.toSeq.sortBy(_._1).map { case (c, lim) => col(c) <= lim }
+        .reduce(_ && _))
+  }
+
   /** Benchmark decontamination — the n-gram-overlap scan every serious
     * training-data pipeline runs before shipping (the GPT-3/Llama
     * deduplicate-against-eval step): for each (training doc, benchmark doc)

@@ -354,3 +354,78 @@ class CurationExtraSpec extends AnyFunSuite {
     assert(f2 === flesch(w2, s2, sy2))
   }
 }
+
+class GopherRepetitionSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import graft.ops.PipelineOps
+
+  /** Independent restatement of every Table-A1 metric over plain Scala
+    * collections (lines, analyzer-token n-grams, integer permille).
+    */
+  private def oracle(text: String): (Seq[Long], Boolean) = {
+    val totalChars = math.max(text.length, 1).toLong
+    val lines = text.split("\n", -1).toSeq
+    val lineCnt = lines.groupBy(identity).map { case (l, xs) => l -> xs.size }
+    val dupLines = lineCnt.collect { case (_, n) if n >= 2 => n.toLong }.sum
+    val dupLineChars = lineCnt.collect { case (l, n) if n >= 2 => n.toLong * l.length }.sum
+    val m1 = dupLines * 1000 / lines.size
+    val m2 = dupLineChars * 1000 / totalChars
+    val toks = graft.analysis.Analyzer.terms(text).toSeq
+    def grams(n: Int): Seq[String] = toks.sliding(n).filter(_.size == n).map(_.mkString(" ")).toSeq
+    val tops = (2 to 4).map { n =>
+      val gc = grams(n).groupBy(identity).map { case (g, xs) => g -> xs.size }
+      if (gc.isEmpty) 0L
+      else {
+        val (g, cnt) = gc.toSeq.minBy { case (g, cnt) => (-cnt, g) }
+        cnt.toLong * g.length * 1000 / totalChars
+      }
+    }
+    val dups = (5 to 10).map { n =>
+      val gc = grams(n).groupBy(identity).map { case (g, xs) => g -> xs.size }
+      gc.collect { case (g, cnt) if cnt >= 2 => cnt.toLong * g.length }.sum * 1000 / totalChars
+    }
+    val all = Seq(m1, m2) ++ tops ++ dups
+    val limits = Seq(300L, 200L, 200L, 180L, 160L, 150L, 140L, 130L, 120L, 110L, 100L)
+    (all, all.zip(limits).forall { case (v, lim) => v <= lim })
+  }
+
+  test("full Table-A1 battery matches an independent Scala restatement") {
+    import spark.implicits._
+    val loop = Seq.fill(6)("spam phrase repeats here").mkString(" ")
+    val docs = Seq(
+      (0L, "the quick brown fox\njumps over it\nthe quick brown fox\nanother line"),
+      (1L, loop + "\n" + loop),                       // heavy n-gram + line dup
+      (2L, ("the battery requires genuinely long prose where no short phrase " +
+        "dominates because every single word shows up here only once and " +
+        "character fractions therefore stay far beneath their thresholds today" +
+        " additional unique vocabulary items keep arriving steadily throughout " +
+        "ensuring adequate document length so that ratio denominators grow big " +
+        "enough for realistic evaluation against production style criteria")),
+      (3L, "x\nx\nx\nx"),                             // pure line dup, 1-token grams absent >=2
+      (4L, "aa bb aa bb aa bb cc dd ee ff gg hh ii jj kk ll"))
+      .toDF("doc_id", "text")
+    val got = PipelineOps.gopherRepetition(docs).collect()
+      .map { r =>
+        r.getLong(0) -> ((1 to 11).map(r.getLong).toSeq, r.getBoolean(12))
+      }.toMap
+    for ((id, t) <- Seq(0L, 1L, 2L, 3L, 4L).zip(
+        Seq("the quick brown fox\njumps over it\nthe quick brown fox\nanother line",
+          loop + "\n" + loop,
+          ("the battery requires genuinely long prose where no short phrase " +
+        "dominates because every single word shows up here only once and " +
+        "character fractions therefore stay far beneath their thresholds today" +
+        " additional unique vocabulary items keep arriving steadily throughout " +
+        "ensuring adequate document length so that ratio denominators grow big " +
+        "enough for realistic evaluation against production style criteria"),
+          "x\nx\nx\nx",
+          "aa bb aa bb aa bb cc dd ee ff gg hh ii jj kk ll")).map(p => p)) {
+      val (vals, keep) = oracle(t)
+      val (gVals, gKeep) = got(id)
+      assert(gVals === vals, s"doc $id metrics")
+      assert(gKeep === keep, s"doc $id keep")
+    }
+    // directional sanity: the clean doc keeps, the spam loop doesn't
+    assert(got(2L)._2 === true)
+    assert(got(1L)._2 === false)
+  }
+}
