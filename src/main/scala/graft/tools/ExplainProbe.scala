@@ -253,6 +253,14 @@ object ExplainProbe {
       s"${sePlan.contains("hashpartitioning(lang")} (want true), " +
       s"Cartesian = ${sePlan.contains("Cartesian")} (want false)")
 
+    println("==== gopher repetition battery (one explode for all nine n; " +
+      "map-side-combined counts; top-gram window partitioned by (doc,n)) ====")
+    val gr = graft.ops.PipelineOps.gopherRepetition(docsDf)
+    val grPlan = gr.queryExecution.executedPlan.toString
+    println(s"battery: Cartesian = ${grPlan.contains("Cartesian")} (want false), " +
+      s"partial aggs = ${grPlan.contains("HashAggregate")} (want true), " +
+      s"window partitioned by doc = ${grPlan.contains("hashpartitioning(doc_id")} (want true)")
+
     println("==== cluster-balanced sample (per-cluster permille broadcast back; " +
       "assignment rows never reshuffle) ====")
     val cbs = graft.ops.PipelineOps.clusterBalancedSample(

@@ -428,4 +428,28 @@ class GopherRepetitionSpec extends AnyFunSuite {
     assert(got(2L)._2 === true)
     assert(got(1L)._2 === false)
   }
+
+  test("battery fuzz: random repetitive texts match the restatement") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(77)
+    val pool = Seq("alpha", "beta", "gamma", "delta", "the", "of", "spam")
+    val docs = (0L until 60L).map { i =>
+      val nLines = 1 + rnd.nextInt(5)
+      val lines = Seq.fill(nLines) {
+        val n = rnd.nextInt(25)
+        Seq.fill(n)(pool(rnd.nextInt(pool.size))).mkString(" ")
+      }
+      // duplicate a random line sometimes; empty lines occur (n = 0)
+      val withDup = if (nLines > 1 && rnd.nextBoolean()) lines :+ lines(rnd.nextInt(nLines))
+        else lines
+      (i, withDup.mkString("\n"))
+    }
+    val got = PipelineOps.gopherRepetition(docs.toDF("doc_id", "text")).collect()
+      .map(r => r.getLong(0) -> ((1 to 11).map(r.getLong).toSeq, r.getBoolean(12))).toMap
+    for ((id, t) <- docs) {
+      val (vals, keep) = oracle(t)
+      assert(got(id)._1 === vals, s"doc $id")
+      assert(got(id)._2 === keep, s"doc $id keep")
+    }
+  }
 }
