@@ -10,6 +10,37 @@ import org.apache.spark.sql.functions._
   *
   * Shared SQL fragments are written in the common Spark-SQL/DuckDB dialect
   * subset so the DuckDB oracle (`OracleSql`) uses character-identical logic.
+  *
+  * Op families (every op has a driver query + DuckDB oracle and a spec
+  * with an INDEPENDENT oracle — see COVERAGE.md for the full map):
+  *
+  *  - '''dedup''': exact ([[dedupExact]]-style digest), MinHash+LSH
+  *    ([[dedupMinHash]], [[minHashNewDocs]]), SimHash, n-gram Jaccard
+  *    AllPairs, exact-substring self-dedup ([[exactSubstrDedup]]),
+  *    paragraph/URL/recrawl dedup, Bloom-prefiltered incremental
+  *    ([[bloomNewDocs]]), cluster resolution ([[connectedComponents]],
+  *    [[dedupResolve]]), SemDeDup ([[semDedup]])
+  *  - '''similarity / retrieval''': exact cosine top-k (+ batch), blocked
+  *    near-dup pairs, LSH/IVF/PQ/IVF-PQ ANN, exact + IVF-celled kNN graphs
+  *    ([[knnGraph]], [[knnGraphIvf]]), mutual-kNN clustering, k-means
+  *    ([[kmeansAssign]]), RRF hybrid fusion ([[rrfFuse]]), contrastive
+  *    pair mining ([[contrastivePairs]])
+  *  - '''quality signals''': Gopher rule battery + FULL Table-A1
+  *    repetition battery ([[gopherQuality]], [[gopherRepetition]]), C4
+  *    line rules, classifier inference ([[classifierScore]]), unigram /
+  *    bigram LM surprise, DSIR weights, token entropy, readability,
+  *    script mix, language id
+  *  - '''decontamination''': n-gram doc-level ([[contamination]]) and
+  *    span-level ([[decontaminateSpans]]), semantic/embedding screen
+  *    ([[semanticContamination]])
+  *  - '''mixtures / splits / ordering''': stratified sampling (fraction +
+  *    exact-k + cluster-balanced), temperature mixture weights, hash
+  *    splits, reproducible global shuffle, domain caps, URL blocklists,
+  *    host priors ([[hostPriors]]) over [[pageRank]]
+  *  - '''tokenization / packing / export''': BPE train + apply, sequence
+  *    packing, RAG chunking, token-budgeted shard export
+  *  - '''text transforms''': HTML extraction, NFC normalization, PII
+  *    redaction, URL canonicalization
   */
 object PipelineOps {
 
