@@ -49,7 +49,10 @@ class FunctionalSoakSpec extends AnyFunSuite {
 
   test("random op soak: engine == model after every append/delete/merge") {
     val dir = java.nio.file.Files.createTempDirectory("graft-soak").toString
-    val rnd = new scala.util.Random(20260818L)
+    // one-off extended soaks: GRAFT_SOAK_OPS=60 GRAFT_SOAK_SEED=... sbt ...
+    val soakOps = sys.env.getOrElse("GRAFT_SOAK_OPS", "14").toInt
+    val rnd = new scala.util.Random(
+      sys.env.getOrElse("GRAFT_SOAK_SEED", "20260818").toLong)
     val cfg = IndexConfig(numPartitions = 3)
 
     // op 0: initial build
@@ -93,7 +96,7 @@ class FunctionalSoakSpec extends AnyFunSuite {
     var history = Map(curSeq -> alive)
 
     var batch = 0L
-    for (op <- 1 to 14) {
+    for (op <- 1 to soakOps) {
       rnd.nextInt(7) match {
         case 0 => // append
           appendDocs(80 + rnd.nextInt(120), batch); batch += 1
