@@ -577,19 +577,66 @@ object SparkEntry {
       PipelineOps.cosineTopKBatch(embeddings(s, d), Seq(0L, 1L, 2L), 5)),
     // SemDeDup: exact cosine near-dup pairs -> clusters -> canonical
     "q_sem_dedup" -> ((s, d) => PipelineOps.semDedup(embeddings(s, d), 0.35)),
+    // the one-argument 100 TB path: IVF-celled candidate pairs (the
+    // SemDeDup paper's k-means-within-cluster recipe) through the SAME
+    // closure; driver row = agreement/refinement gates vs the exact twin
+    "q_sem_dedup_ivf" -> ((s, d) => {
+      val e = embeddings(s, d)
+      val exact = PipelineOps.semDedup(e, 0.35)
+      val ivf = PipelineOps.semDedup(e, 0.35,
+        Some(PipelineOps.embeddingNearDupPairsIvf(e, 0.35, nCentroids = 16)))
+      // agreement gate 0.4 = regression floor here: exact CC chains long
+      // noise-threshold clusters that within-cell pairs legitimately split
+      // (measured 0.53/0.55 across SFs); refinement + kept-superset are
+      // the deterministic invariants
+      val agree = PipelineOps.clusterAgreementStats(
+        ivf, exact, "vec_id", "canonical_id", 400)
+      // IVF pairs are a subset of exact pairs, so every exact-kept doc
+      // (min of its exact cluster) is also min of its IVF sub-cluster
+      val kept = ivf.select(col("vec_id"), col("is_kept").as("a_kept"))
+        .join(exact.select(col("vec_id"), col("is_kept").as("x_kept")), "vec_id")
+        .agg(sum(when(col("x_kept"), 1L).otherwise(0L)).as("n_kept_exact"),
+          min(!col("x_kept") || col("a_kept")).as("kept_superset_ok"))
+      agree.crossJoin(broadcast(kept))
+    }),
     "q_embed_neardup" -> ((s, d) => PipelineOps.embeddingNearDupPairs(embeddings(s, d), 0.35)),
+    // q_ann_lsh keeps its top-10 row shape: the oracle is a FULL DuckDB
+    // replay of the multi-probe LSH path (hyperplanes are deterministic
+    // contract constants embedded as literals) — row-exact, no gate
     "q_ann_lsh" -> ((s, d) => PipelineOps.annTopK(embeddings(s, d), 0L, 10, 8)),
-    "q_ann_ivf" -> ((s, d) => PipelineOps.ivfTopK(embeddings(s, d), 0L, 10,
-      nCentroids = 16, nprobe = 4)),
+    // the other ANN variants report driver-checkable recall rows (the
+    // q_percentiles_sketch tolerance-gate pattern): the approximate top-k
+    // joined against the exact scan, reduced to size / recall-gate /
+    // score-consistency booleans plus the exact k-th cosine the oracle
+    // recomputes independently. Gates are HONEST regression floors for
+    // THIS corpus: the testdata embeddings are isotropic noise with a few
+    // planted near-dups, so cell-probe methods are bounded by probe
+    // coverage on noise neighbors (measured: ivf 0.40/0.50 across SFs,
+    // ivfpq 0.50/0.50) — the >=0.8 design gate on clustered data stays in
+    // SimilaritySpec, which is the precise measure
+    "q_ann_ivf" -> ((s, d) => {
+      val e = embeddings(s, d)
+      PipelineOps.recallStats(
+        PipelineOps.ivfTopK(e, 0L, 10, nCentroids = 16, nprobe = 4),
+        PipelineOps.cosineTopK(e, 0L, 10), Seq("vec_id"), 300)
+    }),
     // PQ ADC scan + exact re-rank (Jégou et al. 2011): codes are m=8 bytes
-    // per vector — 64x less scan payload than the embedding column
-    "q_ann_pq" -> ((s, d) => PipelineOps.pqTopK(embeddings(s, d), 0L, 10,
-      m = 8, rerank = 50)),
+    // per vector — 64x less scan payload than the embedding column; the
+    // full-corpus ADC scan + rerank=50 holds recall 1.0 on this corpus,
+    // so the design gate applies unchanged
+    "q_ann_pq" -> ((s, d) => {
+      val e = embeddings(s, d)
+      PipelineOps.recallStats(PipelineOps.pqTopK(e, 0L, 10, m = 8, rerank = 50),
+        PipelineOps.cosineTopK(e, 0L, 10), Seq("vec_id"), 800)
+    }),
     // IVFADC (FAISS IVFx,PQy): coarse cells + residual PQ codes, per-cell
-    // query LUTs over nprobe cells only; recall-gated like the other ANN
-    // variants (rows-only driver check)
-    "q_ann_ivfpq" -> ((s, d) => PipelineOps.ivfPqTopK(embeddings(s, d), 0L, 10,
-      nCentroids = 16, nprobe = 4, m = 8, rerank = 50)),
+    // query LUTs over nprobe cells only
+    "q_ann_ivfpq" -> ((s, d) => {
+      val e = embeddings(s, d)
+      PipelineOps.recallStats(
+        PipelineOps.ivfPqTopK(e, 0L, 10, nCentroids = 16, nprobe = 4, m = 8, rerank = 50),
+        PipelineOps.cosineTopK(e, 0L, 10), Seq("vec_id"), 300)
+    }),
     // k-means topic clustering (deterministic Lloyd's: k lowest ids init,
     // 2 update rounds, shared 6dp tie law the oracle replays verbatim)
     "q_kmeans" -> ((s, d) => PipelineOps.kmeansAssign(embeddings(s, d), 4, 2)),
@@ -599,9 +646,17 @@ object SparkEntry {
     // exact kNN graph (block-pair heap kernel; IVF-celled at scale)
     "q_knn_graph" -> ((s, d) => PipelineOps.knnGraph(embeddings(s, d), 3)),
     // approximate kNN graph through IVF cells — the sub-quadratic scale
-    // path of q_knn_graph as real code; recall-gated (rows-only check)
-    "q_knn_graph_ivf" -> ((s, d) => PipelineOps.knnGraphIvf(embeddings(s, d), 3,
-      nCentroids = 16, nprobe = 4)),
+    // path of q_knn_graph as real code; driver-checkable edge-recall row
+    // vs the exact graph (keys = edge endpoints). Gate 0.5 = regression
+    // floor on this noise corpus (measured 0.60/0.64 across SFs over 1500
+    // edges — low variance); design gate on clustered data in
+    // GraphClusterSpec
+    "q_knn_graph_ivf" -> ((s, d) => {
+      val e = embeddings(s, d)
+      PipelineOps.recallStats(
+        PipelineOps.knnGraphIvf(e, 3, nCentroids = 16, nprobe = 4),
+        PipelineOps.knnGraph(e, 3), Seq("vec_id", "nb_id"), 500)
+    }),
     // contrastive pair mining: positives in [0.3,0.9), hard negatives in
     // [0.1,0.3), two of each per anchor
     "q_contrastive_pairs" -> ((s, d) => PipelineOps.contrastivePairs(
@@ -609,6 +664,23 @@ object SparkEntry {
       kNeg = 2, negLo = 0.1, negHi = 0.3)),
     // mutual-kNN clustering: k-less corpus clustering over mutual edges
     "q_mutual_knn" -> ((s, d) => PipelineOps.mutualKnnClusters(embeddings(s, d), 3)),
+    // sub-quadratic candidate source swapped in with one argument (the
+    // IVF-celled kNN graph); driver row = cluster agreement gate vs exact
+    // (no refinement claim: an IVF edge need not be mutual in the exact
+    // graph, so neither side refines the other in general)
+    // nprobe=8 (half the cells — still a 2x flop cut at equal quality on
+    // this noise corpus); gate 0.6 = regression floor (measured 0.78/0.83)
+    "q_mutual_knn_ivf" -> ((s, d) => {
+      val e = embeddings(s, d)
+      val exact = PipelineOps.mutualKnnClusters(e, 3)
+      val ivf = PipelineOps.mutualKnnClusters(e, 3, graph = Some(
+        PipelineOps.knnGraphIvf(e, 3, nCentroids = 16, nprobe = 8)
+          .select(col("vec_id"), col("nb_id"))))
+      PipelineOps.clusterAgreementStats(ivf, exact, "vec_id", "cluster_id",
+          600, checkRefinement = false)
+        .crossJoin(broadcast(exact.agg(
+          countDistinct(col("cluster_id")).as("n_clusters_exact"))))
+    }),
     // α=0.7 temperature-rebalanced domain mixture over languages
     "q_mixture_weights" -> ((s, d) => PipelineOps.mixtureWeights(docs(s, d), "lang", 0.7)),
     // within-doc token-distribution entropy + type-token ratio
@@ -1054,6 +1126,8 @@ object SparkEntry {
     "q_cosine_topk" -> OracleSql.cosineTopK(0L, 10),
     "q_cosine_topk_batch" -> OracleSql.cosineTopKBatch(Seq(0L, 1L, 2L), 5),
     "q_sem_dedup" -> OracleSql.semDedup(0.35),
+    "q_sem_dedup_ivf" -> OracleSql.semDedupIvfAgree(0.35),
+    "q_mutual_knn_ivf" -> OracleSql.mutualKnnIvfAgree(3),
     "q_kmeans" -> OracleSql.kmeans(4, 2, 64),
     "q_knn_graph" -> OracleSql.knnGraph(3),
     "q_mutual_knn" -> OracleSql.mutualKnn(3),
@@ -1066,8 +1140,14 @@ object SparkEntry {
     "q_pagerank" -> OracleSql.pageRank(3, 0.85, 40),
     "q_host_priors" -> OracleSql.hostPriors(3, 0.85, 40),
     "q_embed_neardup" -> OracleSql.embeddingNearDup(0.35),
-    // q_ann_lsh / q_ann_pq: approximate (random hyperplanes / PQ codes) ->
-    // rows-only check; recall@10 >= 0.8 vs exact top-k gated by SimilaritySpec
+    // LSH: full DuckDB replay (literal hyperplanes) — row-exact; the
+    // other ANN variants: recall rows vs the exact scan the oracle
+    // replays (strict recall measure in SimilaritySpec)
+    "q_ann_lsh" -> OracleSql.annLshReplay(0L, 10, 8),
+    "q_ann_ivf" -> OracleSql.annRecall(0L, 10),
+    "q_ann_pq" -> OracleSql.annRecall(0L, 10),
+    "q_ann_ivfpq" -> OracleSql.annRecall(0L, 10),
+    "q_knn_graph_ivf" -> OracleSql.knnGraphRecall(3),
     "q_snippets" -> OracleSql.snippetsOracle,
     "q_mlt" -> OracleSql.mltOracle,
     "q_percentiles_sketch" -> OracleSql.sketchOracle,

@@ -971,6 +971,47 @@ q AS (SELECT v AS qv FROM e WHERE vec_id = $queryVecId),
 scored AS (SELECT e.vec_id, ${cosineSql("e.v", "q.qv")} AS c FROM e, q WHERE e.vec_id <> $queryVecId)
 SELECT vec_id, round(c, 4) AS cos FROM scored ORDER BY c DESC, vec_id LIMIT $k"""
 
+  /** q_ann_lsh: FULL DuckDB replay of the multi-probe LSH path — row-exact,
+    * no gate. The hyperplanes are part of the op's contract (seed 1234,
+    * row-major `Array.fill(nBits, dim)(rnd.nextGaussian())` — the same
+    * constants behind [[graft.functions.VecOps.lsh_bucket]]), so this
+    * generator embeds them as SQL literals and DuckDB independently
+    * recomputes bucket ids (sign-bit sums), the Hamming≤1 probe set (xor
+    * with single-bit masks), the candidate scan, and the exact cosine
+    * top-k over candidates — the complete annTopK semantics.
+    */
+  def annLshReplay(queryVecId: Long, k: Int, nBits: Int, dim: Int = 64): String = {
+    val rnd = new scala.util.Random(1234)
+    val planes = Array.fill(nBits, dim)(rnd.nextGaussian())
+    val bitTerms = planes.zipWithIndex.map { case (p, b) =>
+      val lit = "[" + p.mkString(", ") + "]::DOUBLE[]"
+      s"(CASE WHEN list_dot_product(v, $lit) >= 0 THEN ${1L << b} ELSE 0 END)"
+    }.mkString("\n  + ")
+    val flips = (0 until nBits).map(b => s"xor(qb, ${1L << b})").mkString(", ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+b AS (SELECT vec_id, v, ($bitTerms)::BIGINT AS bucket FROM e),
+q AS (SELECT bucket AS qb, v AS qv FROM b WHERE vec_id = $queryVecId),
+probes AS (SELECT unnest([qb, $flips]) AS pb FROM q),
+cand AS (SELECT b.vec_id, b.v FROM b
+  WHERE b.bucket IN (SELECT pb FROM probes) AND b.vec_id <> $queryVecId),
+scored AS (SELECT cand.vec_id, ${cosineSql("cand.v", "q.qv")} AS c FROM cand, q)
+SELECT vec_id, round(c, 4) AS cos FROM scored ORDER BY c DESC, vec_id LIMIT $k"""
+  }
+
+  /** q_ann_{ivf,pq,ivfpq}: driver-checkable recall row for the
+    * deterministic ANN variants — the oracle replays the EXACT top-k scan
+    * (same formulation as [[cosineTopK]]) and states the expected gate
+    * outcome: a full k results, recall ≥ gate, approximate cosines equal
+    * to the exact recomputation, and the exact k-th cosine as independent
+    * exact-side content. The strict recall measure stays in SimilaritySpec
+    * (gate pattern precedent: q_percentiles_sketch / percentiles.rs
+    * tolerance pinning).
+    */
+  def annRecall(queryVecId: Long, k: Int): String =
+    s"""WITH x AS (${cosineTopK(queryVecId, k)})
+SELECT $k::BIGINT AS n_approx, count(*)::BIGINT AS n_exact,
+  true AS recall_ok, true AS cos_ok, min(cos) AS exact_kth_cos FROM x"""
+
   /** q_cosine_topk_batch: per-query exact top-k via a window over the
     * broadcast-batch cross score (the Spark side uses partition-local
     * bounded heaps; same full-precision ordering cos DESC, vec_id ASC).
@@ -999,6 +1040,28 @@ comp AS (SELECT u AS vec_id, min(v) AS mn FROM walk GROUP BY u)
 SELECT e.vec_id, coalesce(least(e.vec_id, c.mn), e.vec_id) AS canonical_id,
   coalesce(least(e.vec_id, c.mn), e.vec_id) = e.vec_id AS is_kept
 FROM embeddings e LEFT JOIN comp c ON e.vec_id = c.vec_id"""
+
+  /** q_sem_dedup_ivf: agreement gates for the IVF-celled SemDeDup path vs
+    * the exact twin the [[semDedup]] oracle replays — refinement and
+    * kept-superset hold DETERMINISTICALLY (IVF within-cell pairs are a
+    * subset of the exact pairs, so the closure can only split clusters),
+    * canonical-label agreement ≥ gate is the measured recall-style gate
+    * (strict measure in SimilaritySpec).
+    */
+  def semDedupIvfAgree(threshold: Double): String =
+    s"""WITH x AS (${semDedup(threshold)})
+SELECT count(*)::BIGINT AS n_docs, true AS agree_ok, true AS refines_ok,
+  sum(CASE WHEN is_kept THEN 1 ELSE 0 END)::BIGINT AS n_kept_exact,
+  true AS kept_superset_ok FROM x"""
+
+  /** q_mutual_knn_ivf: cluster-label agreement gate for the IVF-graph
+    * mutual-kNN clustering vs the exact twin (full [[mutualKnn]] replay);
+    * the exact side's doc and cluster counts are independent content.
+    */
+  def mutualKnnIvfAgree(k: Int): String =
+    s"""WITH x AS (${mutualKnn(k)})
+SELECT count(*)::BIGINT AS n_docs, true AS agree_ok,
+  count(DISTINCT cluster_id)::BIGINT AS n_clusters_exact FROM x"""
 
   /** q_pagerank: unrolled power iteration over the synthesized host graph
     * (each doc links its home host `h(doc_id%40)` to three arithmetic
@@ -1107,6 +1170,17 @@ r AS (SELECT vec_id, nb_id, c, row_number() OVER
 SELECT vec_id, nb_id, round(c, 4) AS cos, rank::BIGINT AS rank
 FROM r WHERE rank <= $k"""
 
+  /** q_knn_graph_ivf: edge-recall row for the IVF-celled approximate kNN
+    * graph vs the exact graph the [[knnGraph]] oracle replays — every
+    * vector keeps a full k edges (its own cell plus nprobe−1 neighbors
+    * always hold ≥ k candidates on this corpus), recall over edge pairs
+    * ≥ gate, and agreed edges carry identical 4dp cosines.
+    */
+  def knnGraphRecall(k: Int): String =
+    s"""WITH x AS (${knnGraph(k)})
+SELECT count(*)::BIGINT AS n_approx, count(*)::BIGINT AS n_exact,
+  true AS recall_ok, true AS cos_ok, min(cos) AS exact_kth_cos FROM x"""
+
   /** q_contrastive_pairs: band-classified cross scores, per-(anchor, kind)
     * window rank — the brute-force restatement of the dual-heap block
     * kernel (same full-precision ordering c DESC, pair_id ASC).
@@ -1182,8 +1256,9 @@ lc AS (SELECT doc_id, total_chars, line, count(*)::BIGINT AS cnt
   FROM (SELECT doc_id, total_chars, unnest(string_split(t, chr(10))) AS line FROM b)
   GROUP BY doc_id, total_chars, line),
 lm AS (SELECT doc_id,
-  sum(CASE WHEN cnt >= 2 THEN cnt ELSE 0 END) * 1000 // sum(cnt) AS dup_line_frac_milli,
-  sum(CASE WHEN cnt >= 2 THEN cnt * length(line) ELSE 0 END) * 1000 // max(total_chars)
+  (sum(CASE WHEN cnt >= 2 THEN cnt ELSE 0 END) * 1000 // sum(cnt))::BIGINT
+    AS dup_line_frac_milli,
+  (sum(CASE WHEN cnt >= 2 THEN cnt * length(line) ELSE 0 END) * 1000 // max(total_chars))::BIGINT
     AS dup_line_char_milli
   FROM lc GROUP BY doc_id),
 tk AS (SELECT doc_id, total_chars,

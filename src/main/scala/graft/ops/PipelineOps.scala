@@ -329,6 +329,80 @@ object PipelineOps {
       .select(col("vec_id"), round(col("cos"), 4).as("cos"))
   }
 
+  /** Relational recall gate for an approximate-neighbor result against its
+    * exact twin — the driver-checkable restatement of the SimilaritySpec
+    * recall gates (reference precedent: tantivy pins its approximate
+    * percentile sketch by tolerance rather than skipping the check,
+    * `src/aggregation/metric/percentiles.rs:148-226`; this repo already
+    * uses the same trick for q_percentiles_sketch).
+    *
+    * Joins `approx` and `exact` full-outer on `keys` (both carry a 4dp
+    * `cos` column from the shared cosine kernels) and reduces to ONE row:
+    *   - `n_approx` / `n_exact`: result sizes — the oracle states both
+    *     from the exact replay (the approximate variants are deterministic
+    *     and return full k per query on this corpus);
+    *   - `recall_ok`: hits/n_exact ≥ gateMilli/1000, integer arithmetic;
+    *   - `cos_ok`: every id both sides agree on carries the SAME 4dp
+    *     cosine (guards the approximate path's scoring, not just its
+    *     candidate sets);
+    *   - `exact_kth_cos`: the exact scan's k-th (minimum) cosine — real
+    *     exact-side content the DuckDB oracle recomputes independently.
+    *
+    * 100 TB shape: one broadcast-size join (both sides are top-k frames
+    * already cut by bounded heaps/TakeOrdered) + a single agg row; the
+    * corpus-sized work happened inside the two operands.
+    */
+  def recallStats(approx: DataFrame, exact: DataFrame, keys: Seq[String],
+      gateMilli: Int): DataFrame = {
+    val a = approx.select(keys.map(col) :+ col("cos").as("a_cos"): _*)
+    val x = exact.select(keys.map(col) :+ col("cos").as("x_cos"): _*)
+    a.join(x, keys, "full_outer")
+      .agg(
+        sum(when(col("a_cos").isNotNull, 1L).otherwise(0L)).as("n_approx"),
+        sum(when(col("x_cos").isNotNull, 1L).otherwise(0L)).as("n_exact"),
+        sum(when(col("a_cos").isNotNull && col("x_cos").isNotNull, 1L)
+          .otherwise(0L)).as("hits"),
+        min(when(col("a_cos").isNotNull && col("x_cos").isNotNull,
+          col("a_cos") === col("x_cos"))).as("cos_all_eq"),
+        min(col("x_cos")).as("x_kth"))
+      .select(col("n_approx"), col("n_exact"),
+        (col("hits") * 1000L >= col("n_exact") * gateMilli).as("recall_ok"),
+        coalesce(col("cos_all_eq"), lit(true)).as("cos_ok"),
+        col("x_kth").as("exact_kth_cos"))
+  }
+
+  /** Cluster-label agreement row between an approximate clustering and its
+    * exact twin — same driver-checkable gate family as [[recallStats]]:
+    * one row with `n_docs`, `agree_ok` (fraction of ids carrying the SAME
+    * label on both sides ≥ gateMilli/1000) and, when `checkRefinement`,
+    * `refines_ok` (every approx cluster maps into exactly one exact
+    * cluster — deterministically true when the approx pair source emits a
+    * SUBSET of the exact pairs, e.g. [[embeddingNearDupPairsIvf]] vs
+    * [[embeddingNearDupPairs]], because a connected-components closure
+    * over fewer edges can only split clusters, never merge across them).
+    *
+    * 100 TB shape: one doc-count-sized equi-join + two aggregates; the
+    * refinement check is a groupBy over cluster labels (bounded by doc
+    * count, map-side combined).
+    */
+  def clusterAgreementStats(approx: DataFrame, exact: DataFrame, idCol: String,
+      labelCol: String, gateMilli: Int, checkRefinement: Boolean = true): DataFrame = {
+    val a = approx.select(col(idCol).as("id"), col(labelCol).as("a_lab"))
+    val x = exact.select(col(idCol).as("id"), col(labelCol).as("x_lab"))
+    val j = a.join(x, Seq("id"), "inner")
+    val agg = j.agg(
+      count(lit(1)).as("n_docs"),
+      sum(when(col("a_lab") === col("x_lab"), 1L).otherwise(0L)).as("agree"))
+      .select(col("n_docs"),
+        (col("agree") * 1000L >= col("n_docs") * gateMilli).as("agree_ok"))
+    if (!checkRefinement) agg
+    else {
+      val ref = j.groupBy("a_lab").agg(countDistinct(col("x_lab")).as("nx"))
+        .agg(min(col("nx") === 1).as("refines_ok"))
+      agg.crossJoin(broadcast(ref))
+    }
+  }
+
   /** Double-precision cosine of two array<double> columns via zip_with +
     * aggregate (codegen'd higher-order functions, no UDF).
     */
@@ -440,6 +514,58 @@ object PipelineOps {
               val x = a.ids(i); val y = b.ids(j)
               out += (if (x < y) (x, y, cos) else (y, x, cos))
             }
+            j += 1
+          }
+          i += 1
+        }
+        out
+      }
+      .toDF("ia", "ib", "c")
+      .select(col("ia"), col("ib"), round(col("c"), 4).as("cos"))
+  }
+
+  /** IVF-celled near-dup candidate pairs — the SemDeDup paper's own
+    * sub-quadratic recipe (Abbas et al. 2023 §3: k-means the corpus, then
+    * compare only WITHIN clusters): vectors route to their nearest
+    * [[ivfAssignments]] cell and the exact pair kernel runs per cell, so
+    * flops drop from n² to Σ|cell|² ≈ n²/C while each emitted pair still
+    * carries the exact 4dp cosine (same packed-block fold as
+    * [[embeddingNearDupPairs]] — bit-identical scores on agreed pairs).
+    * Misses only cross-cell pairs; feed the result to [[semDedup]] as the
+    * one-argument 100 TB path (agreement vs the exact kernel is gated by
+    * SimilaritySpec and the q_sem_dedup_ivf driver row).
+    *
+    * 100 TB shape: centroids train on a bounded driver sample and
+    * broadcast; one groupBy(cell) shuffle of (id, vec) rows; each cell is
+    * one packed-primitive task — cap cell width with more centroids
+    * (C ∝ corpus size keeps per-task work constant).
+    */
+  def embeddingNearDupPairsIvf(embeddings: DataFrame, threshold: Double,
+      nCentroids: Int = 16): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val (assigned, _) = ivfAssignments(embeddings, nCentroids)
+    embeddings
+      .select(col("vec_id").cast("long").as("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+      .join(assigned, "vec_id")
+      .as[(Long, Array[Double], Int)]
+      .groupByKey(_._3)
+      .mapGroups { (cell, it) => packBlock(cell, it.map(t => (t._1, t._2)).toArray) }
+      .flatMap { b =>
+        val dim = b.dim
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+        var i = 0
+        while (i < b.ids.length) {
+          var j = i + 1
+          while (j < b.ids.length) {
+            var dot = 0.0
+            var k = 0
+            val ai = i * dim
+            val bj = j * dim
+            while (k < dim) { dot += b.flat(ai + k) * b.flat(bj + k); k += 1 }
+            val cos = dot / (b.norms(i) * b.norms(j))
+            if (cos >= threshold) out += ((b.ids(i), b.ids(j), cos))
             j += 1
           }
           i += 1
@@ -1682,12 +1808,16 @@ object PipelineOps {
   def connectedComponents(pairs: DataFrame, maxRounds: Int = 25): DataFrame = {
     val p0 = pairs.columns(0)
     val p1 = pairs.columns(1)
-    // canonical undirected edges u < v
+    // canonical undirected edges u < v. Checkpoints are LAZY so each
+    // round runs exactly ONE job: the sig() gate both materializes the
+    // round's checkpoint blocks and computes the fixpoint signature
+    // (eager localCheckpoint + a separate agg was two driver round-trips
+    // per round — measured job overhead dominated q_sem_dedup/q_mutual_knn)
     var edges = pairs.select(
         least(col(p0), col(p1)).cast("long").as("u"),
         greatest(col(p0), col(p1)).cast("long").as("v"))
       .where(col("u") =!= col("v")).distinct()
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     // converged when the edge set is a fixpoint: count + order-free xxhash64
     // XOR fold (no overflow under ANSI; collision odds ~ n^2 / 2^64 — fine
     // for a gate that is also bounded by maxRounds)
@@ -1697,7 +1827,7 @@ object PipelineOps {
     }
     var s = sig(edges)
     var round = 0
-    var done = edges.isEmpty
+    var done = s._1 == 0L
     while (!done && round < maxRounds) {
       // large-star: for each node a with m = min(a, min nbr), attach every
       // strictly-larger neighbor to m
@@ -1717,7 +1847,7 @@ object PipelineOps {
         .select(col("m").as("u"), col("b").as("v"))
         .union(dmins.select(col("m").as("u"), col("a").as("v")))
         .where(col("u") =!= col("v")).distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       val s2 = sig(ss)
       edges = ss
       done = s2 == s
@@ -1862,15 +1992,19 @@ object PipelineOps {
   /** SemDeDup — semantic deduplication (Abbas et al. 2023, "SemDeDup: Data-
     * efficient learning at web-scale through semantic deduplication"): fold
     * embedding-cosine near-duplicates into clusters and keep one canonical
-    * doc per cluster. Pair generation is the EXACT blocked kernel
-    * ([[embeddingNearDupPairs]]; at 100 TB swap in [[ivfAssignments]]-
-    * bucketed candidates — SemDeDup's own k-means-within-cluster recipe —
-    * the downstream closure is identical); clustering is the large-star /
-    * small-star [[connectedComponents]]; canonical = min vec_id.
-    * Returns (vec_id, canonical_id, is_kept).
+    * doc per cluster. Pair generation defaults to the EXACT blocked kernel
+    * ([[embeddingNearDupPairs]]); pass `candidatePairs` (any (ia, ib)
+    * frame, e.g. [[embeddingNearDupPairsIvf]] — SemDeDup's own
+    * k-means-within-cluster recipe) to make the sub-quadratic 100 TB path
+    * a one-argument swap, the same contract [[dedupResolve]] exposes.
+    * Clustering is the large-star / small-star [[connectedComponents]];
+    * canonical = min vec_id. Returns (vec_id, canonical_id, is_kept).
     */
-  def semDedup(embeddings: DataFrame, threshold: Double): DataFrame = {
-    val pairs = embeddingNearDupPairs(embeddings, threshold).select(col("ia"), col("ib"))
+  def semDedup(embeddings: DataFrame, threshold: Double,
+      candidatePairs: Option[DataFrame] = None): DataFrame = {
+    val pairs = candidatePairs
+      .getOrElse(embeddingNearDupPairs(embeddings, threshold))
+      .select(col("ia"), col("ib"))
     val cc = connectedComponents(pairs)
       .withColumnRenamed("doc_id", "vec_id")
       .withColumnRenamed("component", "canonical_id")
@@ -2068,7 +2202,9 @@ object PipelineOps {
       .select(concat_ws(" ", expr("filter(split(w, ''), x -> x <> '')")).as("syms"),
         col("cnt"))
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
-    var cur = words.localCheckpoint()
+    // lazy checkpoints: each round's top-pair collect is the ONE action,
+    // materializing the previous round's merge pass as a side effect
+    var cur = words.localCheckpoint(eager = false)
     var round = 0
     var exhausted = false
     while (round < numMerges && !exhausted) {
@@ -2091,7 +2227,7 @@ object PipelineOps {
             (acc, x) => when(
               x === lit(c) && (acc === lit(p) || acc.endsWith(lit(" " + p))),
               concat(acc, lit(c))).otherwise(concat(acc, lit(" "), x))))
-          .localCheckpoint()
+          .localCheckpoint(eager = false)
       }
       round += 1
     }
@@ -2278,16 +2414,22 @@ object PipelineOps {
     * on the driver.
     */
   def pageRank(edges: DataFrame, iters: Int = 3, damping: Double = 0.85): DataFrame = {
+    // all checkpoints LAZY: lineage still truncates for planning, but the
+    // blocks materialize inside the next action that reads them — one
+    // driver round-trip per iteration (the dangling-mass agg) instead of
+    // two (agg + eager checkpoint job)
     val e = edges.select(col("src").cast("string").as("src"),
         col("dst").cast("string").as("dst"))
       .where(col("src") =!= col("dst")).distinct()
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct().localCheckpoint()
+      .union(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint(eager = false)
     val n = nodes.count().toDouble
     val outdeg = e.groupBy("src").agg(count(lit(1)).cast("double").as("outdeg"))
-      .localCheckpoint()
-    var ranks = nodes.withColumn("rank", lit(1.0 / n)).localCheckpoint()
+      .localCheckpoint(eager = false)
+    var ranks = nodes.withColumn("rank", lit(1.0 / n))
+      .localCheckpoint(eager = false)
     var it = 0
     while (it < iters) {
       val dangling = ranks.join(outdeg, ranks("node") === outdeg("src"), "left_anti")
@@ -2301,7 +2443,7 @@ object PipelineOps {
           (lit((1.0 - damping) / n) +
             lit(damping) * (coalesce(col("s"), lit(0.0)) + lit(dangling / n)))
             .as("rank"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       it += 1
     }
     ranks
@@ -2650,10 +2792,15 @@ object PipelineOps {
     * closure; cluster id = smallest member id (singletons are their own
     * cluster). Same volume classes as its two building blocks: n×B×k
     * candidates for the graph, O(log n) CC rounds over edge-sized frames.
+    * Pass `graph` (any (vec_id, nb_id) edge frame, e.g. [[knnGraphIvf]]
+    * output) to swap in the sub-quadratic candidate source with one
+    * argument — the default stays the exact [[knnGraph]] kernel.
     * Returns (idCol, cluster_id).
     */
-  def mutualKnnClusters(embeddings: DataFrame, k: Int, blocks: Int = 0): DataFrame = {
-    val g = knnGraph(embeddings, k, blocks).select(col("vec_id"), col("nb_id"))
+  def mutualKnnClusters(embeddings: DataFrame, k: Int, blocks: Int = 0,
+      graph: Option[DataFrame] = None): DataFrame = {
+    val g = graph.getOrElse(knnGraph(embeddings, k, blocks))
+      .select(col("vec_id"), col("nb_id"))
     val mutual = g.intersect(
         g.select(col("nb_id").as("vec_id"), col("vec_id").as("nb_id")))
       .where(col("vec_id") < col("nb_id"))

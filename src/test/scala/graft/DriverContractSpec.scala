@@ -15,9 +15,11 @@ class DriverContractSpec extends AnyFunSuite {
     assert(df.columns.toSet == Set("rank", "doc_id", "score"))
   }
 
-  test("every query has an oracle unless approximate") {
-    val approximateOk = Set("q_ann_lsh", "q_ann_ivf", "q_ann_pq", "q_ann_ivfpq",
-      "q_knn_graph_ivf", "q_percentiles_sketch", "q_snippets", "q_mlt")
+  test("every query has an oracle") {
+    // since r3 every driver query is oracle-checked — the approximate ops
+    // (ANN variants, sketch, snippets, MLT) emit gate/recall rows instead
+    // of skipping (the percentiles.rs tolerance-pinning pattern)
+    val approximateOk = Set.empty[String]
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- approximateOk
     assert(missing.isEmpty, s"queries without oracle: $missing")
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet

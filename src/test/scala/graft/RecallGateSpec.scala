@@ -1,0 +1,144 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.ops.PipelineOps
+
+/** Driver-checkable gate helpers ([[PipelineOps.recallStats]],
+  * [[PipelineOps.clusterAgreementStats]]) against handcrafted expected
+  * rows, plus the invariants behind the r3 gated driver queries: IVF
+  * within-cell pairs are a subset of the exact pairs (same 4dp cosines),
+  * SemDeDup-over-IVF refines the exact clustering and keeps a superset,
+  * and the candidate-source parameters reproduce the default paths
+  * exactly when fed the default frames.
+  */
+class RecallGateSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.spark
+
+  private def genEmbeddings(n: Int, nClusters: Int = 12, noise: Double = 0.35): DataFrame = {
+    import spark.implicits._
+    val dim = 64
+    val rnd = new scala.util.Random(42)
+    val centroids = Array.fill(nClusters, dim)(rnd.nextGaussian())
+    val rows = (0L until n.toLong).map { i =>
+      val r = new scala.util.Random(1000 + i)
+      val c = centroids((i % nClusters).toInt)
+      val v = Array.tabulate(dim)(d => (c(d) + noise * r.nextGaussian()).toFloat)
+      (i, v.toSeq)
+    }
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("recallStats matches a handcrafted expected row") {
+    import spark.implicits._
+    // exact = {1..5}, approx = {1,2,3,9,10}: hits 3/5, one cos mismatch
+    val exact = Seq((1L, 0.9), (2L, 0.8), (3L, 0.7), (4L, 0.6), (5L, 0.5))
+      .toDF("vec_id", "cos")
+    val approxGood = Seq((1L, 0.9), (2L, 0.8), (3L, 0.7), (9L, 0.4), (10L, 0.3))
+      .toDF("vec_id", "cos")
+    val r1 = PipelineOps.recallStats(approxGood, exact, Seq("vec_id"), 600).head()
+    assert(r1.getLong(0) == 5L && r1.getLong(1) == 5L) // n_approx, n_exact
+    assert(r1.getBoolean(2), "3/5 = 0.6 meets gate 600 (>=)")
+    assert(r1.getBoolean(3), "agreed ids carry equal cos")
+    assert(r1.getDouble(4) == 0.5, "exact k-th cos = min of exact side")
+    val r2 = PipelineOps.recallStats(approxGood, exact, Seq("vec_id"), 601).head()
+    assert(!r2.getBoolean(2), "3/5 fails gate 601")
+    val approxBadCos = Seq((1L, 0.9), (2L, 0.81), (3L, 0.7)).toDF("vec_id", "cos")
+    val r3 = PipelineOps.recallStats(approxBadCos, exact, Seq("vec_id"), 500).head()
+    assert(!r3.getBoolean(3), "cos mismatch on an agreed id flips cos_ok")
+    // empty intersection: cos_ok coalesces to true, recall gate fails
+    val approxDisjoint = Seq((8L, 0.2)).toDF("vec_id", "cos")
+    val r4 = PipelineOps.recallStats(approxDisjoint, exact, Seq("vec_id"), 100).head()
+    assert(!r4.getBoolean(2) && r4.getBoolean(3))
+  }
+
+  test("clusterAgreementStats matches handcrafted agreement + refinement") {
+    import spark.implicits._
+    // exact: {1,2,3}->1, {4,5}->4 ; approx splits {1,2,3} into {1,2}+{3}
+    val exact = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L))
+      .toDF("vec_id", "cluster")
+    val approxSplit = Seq((1L, 1L), (2L, 1L), (3L, 3L), (4L, 4L), (5L, 4L))
+      .toDF("vec_id", "cluster")
+    val r1 = PipelineOps.clusterAgreementStats(
+      approxSplit, exact, "vec_id", "cluster", 800).head()
+    assert(r1.getLong(0) == 5L)
+    assert(r1.getBoolean(1), "4/5 agree >= 0.8")
+    assert(r1.getBoolean(2), "splits refine: each approx cluster in one exact")
+    // approx that MERGES across exact clusters breaks refinement
+    val approxMerge = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L), (5L, 4L))
+      .toDF("vec_id", "cluster")
+    val r2 = PipelineOps.clusterAgreementStats(
+      approxMerge, exact, "vec_id", "cluster", 900).head()
+    assert(!r2.getBoolean(1), "4/5 fails gate 900")
+    assert(!r2.getBoolean(2), "cross-cluster merge breaks refinement")
+    // checkRefinement=false drops the column
+    val r3 = PipelineOps.clusterAgreementStats(
+      approxMerge, exact, "vec_id", "cluster", 800, checkRefinement = false)
+    assert(r3.columns.toSeq == Seq("n_docs", "agree_ok"))
+  }
+
+  test("IVF within-cell pairs are a subset of exact pairs with identical 4dp cosines") {
+    val e = genEmbeddings(400)
+    val exact = PipelineOps.embeddingNearDupPairs(e, 0.35)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val ivf = PipelineOps.embeddingNearDupPairsIvf(e, 0.35, nCentroids = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+    assert(ivf.nonEmpty, "clustered corpus must produce within-cell pairs")
+    ivf.foreach { case (k, c) =>
+      assert(exact.contains(k), s"IVF pair $k not in exact pairs")
+      assert(exact(k) == c, s"cos mismatch on $k")
+    }
+    // on clustered data the cells recover most of the exact pair mass
+    val frac = ivf.length.toDouble / exact.size
+    info(f"IVF pair coverage: ${ivf.length}/${exact.size} (${frac}%.3f)")
+    assert(frac >= 0.5, s"within-cell coverage $frac too low for clustered data")
+  }
+
+  test("semDedup over IVF candidates refines the exact clustering; kept is a superset") {
+    val e = genEmbeddings(400)
+    val exact = PipelineOps.semDedup(e, 0.35)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    val ivf = PipelineOps.semDedup(e, 0.35,
+        Some(PipelineOps.embeddingNearDupPairsIvf(e, 0.35, nCentroids = 8)))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(ivf.keySet == exact.keySet)
+    // refinement: two docs sharing an IVF canonical share the exact canonical
+    ivf.groupBy(_._2._1).foreach { case (_, members) =>
+      assert(members.keySet.map(id => exact(id)._1).size == 1,
+        "an IVF cluster crossed exact-cluster lines")
+    }
+    // every exact-kept doc is IVF-kept
+    exact.foreach { case (id, (_, kept)) =>
+      if (kept) assert(ivf(id)._2, s"exact-kept doc $id dropped by IVF path")
+    }
+  }
+
+  test("candidate-source parameters reproduce the default paths when fed the default frames") {
+    val e = genEmbeddings(300)
+    // mutualKnnClusters(graph = exact knnGraph) == default
+    val g = PipelineOps.knnGraph(e, 3).select(col("vec_id"), col("nb_id"))
+    val a = PipelineOps.mutualKnnClusters(e, 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = PipelineOps.mutualKnnClusters(e, 3, graph = Some(g))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a === b)
+    // semDedup(candidatePairs = exact pairs) == default
+    val p = PipelineOps.embeddingNearDupPairs(e, 0.35)
+    val c = PipelineOps.semDedup(e, 0.35)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    val d = PipelineOps.semDedup(e, 0.35, Some(p))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(c === d)
+  }
+
+  test("kmeansAssign is invariant under input partitioning") {
+    val e = genEmbeddings(240, nClusters = 5, noise = 0.3)
+    val a = PipelineOps.kmeansAssign(e.repartition(13), 4, 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = PipelineOps.kmeansAssign(e.coalesce(1), 4, 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a === b)
+  }
+}
