@@ -955,6 +955,22 @@ object SparkEntry {
       graft.ops.Multimodal.sampleFrames(s, withMedia, everyMs = 250L, maxFrames = 8)
         .map(fr => (fr.doc_id, fr.frameIdx.toLong, fr.ts_ms, (fr.pixels(0) & 0xff).toLong))
         .toDF("doc_id", "frame_idx", "ts_ms", "red")
+    }),
+    // REAL video container #2: MJPEG-in-AVI through the same sampling pass
+    // (RIFF walk + per-frame JDK JPEG decode). MJPEG is lossy, so the red
+    // check is a ±1 gate (measured max YCbCr rounding error at quality 1.0)
+    // — frame fan-out, timestamps and dims stay exact arithmetic
+    "q_video_frames_avi" -> ((s, d) => {
+      import s.implicits._
+      val mUdf = udf((id: Long) => aviFor(id))
+      val withMedia = docs(s, d).repartition(s.sparkContext.defaultParallelism)
+        .withColumn("media", mUdf(col("doc_id")))
+      graft.ops.Multimodal.sampleFrames(s, withMedia, everyMs = 250L, maxFrames = 8)
+        .map(fr => (fr.doc_id, fr.frameIdx.toLong, fr.ts_ms, (fr.pixels(0) & 0xff).toLong))
+        .toDF("doc_id", "frame_idx", "ts_ms", "red")
+        .select(col("doc_id"), col("frame_idx"), col("ts_ms"),
+          (abs(col("red") - (col("doc_id") + lit(40L) * col("frame_idx")) % 256) <= 1)
+            .as("red_ok"))
     })
   )
 
@@ -976,6 +992,28 @@ object SparkEntry {
       MediaCodec.ImageRgb(16, 12, rgb)
     }
     MediaCodec.encodeAnimatedGif(frames, delayMs = 250)
+  }
+
+  /** MJPEG-in-AVI twin of [[videoFor]]: same frame-count/delay/red
+    * arithmetic, RIFF/AVI container with per-frame JPEG payloads (quality
+    * 1.0 — constant-color frames round-trip within ±1/channel, so the
+    * driver row gates red with that tolerance instead of exact equality).
+    */
+  private[graft] def aviFor(id: Long): Array[Byte] = {
+    import graft.ops.MediaCodec
+    val n = (2 + id % 4).toInt
+    val frames = (0 until n).map { f =>
+      val rgb = new Array[Byte](16 * 12 * 3)
+      var i = 0
+      while (i < rgb.length) {
+        rgb(i) = ((id + 40L * f) % 256).toInt.toByte
+        rgb(i + 1) = 100.toByte
+        rgb(i + 2) = 64.toByte
+        i += 3
+      }
+      MediaCodec.ImageRgb(16, 12, rgb)
+    }
+    MediaCodec.encodeAviMjpeg(frames, frameMs = 250)
   }
 
   /** Content-class image: class = doc_id % 7 fixes size (16+cls x 8+cls),
@@ -1028,6 +1066,8 @@ object SparkEntry {
     if (id % 3 == 0) {
       val pcm = MediaCodec.WavPcm(8000, 1, new Array[Short](((200 + id % 800) * 8).toInt))
       if ((id / 3) % 2 == 0) MediaCodec.encodeWav(pcm) else MediaCodec.encodeAiff(pcm)
+    } else if (id % 5 == 0) {
+      aviFor(id) // real video modality in the mixed-meta pass (MJPEG-AVI)
     } else {
       val w = (16 + id % 16).toInt
       val h = (8 + id % 8).toInt
@@ -1176,7 +1216,8 @@ object SparkEntry {
     "q_media_meta" -> OracleSql.mediaMeta,
     "q_image_dedup" -> OracleSql.imageDedup,
     "q_audio_energy" -> OracleSql.audioEnergy,
-    "q_video_frames" -> OracleSql.videoFrames
+    "q_video_frames" -> OracleSql.videoFrames,
+    "q_video_frames_avi" -> OracleSql.videoFramesAvi
   )
 
   /** DataFrame-level BM25 (double precision), mirroring OracleSql.bm25Scores

@@ -64,6 +64,9 @@ object MediaCodec {
     else if (bytes.length >= 12 && bytes(0) == 'F' && bytes(1) == 'O' && bytes(2) == 'R' &&
       bytes(3) == 'M' && bytes(8) == 'A' && bytes(9) == 'I' && bytes(10) == 'F' &&
       bytes(11) == 'F') Some("audio/aiff")
+    else if (bytes.length >= 12 && bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' &&
+      bytes(3) == 'F' && bytes(8) == 'A' && bytes(9) == 'V' && bytes(10) == 'I' &&
+      bytes(11) == ' ') Some("video/avi")
     else None
 
   /** True when [[decodeImage]] can handle the payload. */
@@ -457,6 +460,137 @@ object MediaCodec {
       writer.endWriteSequence()
     } finally { writer.dispose(); out.close() }
     bos.toByteArray
+  }
+
+  // -------------------------------------------------- AVI (MJPEG / DIB)
+
+  /** JPEG encode with explicit quality (ImageIO's writer param) — MJPEG
+    * frames use quality 1.0 so a constant-color frame round-trips within
+    * ±1/channel (all-ones luminance quantization table; the residual is
+    * YCbCr integer rounding).
+    */
+  def encodeJpeg(img: ImageRgb, quality: Float = 1.0f): Array[Byte] = {
+    import javax.imageio.{IIOImage, ImageIO, ImageWriteParam}
+    val writer = ImageIO.getImageWritersByFormatName("jpg").next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(out)
+      val p = writer.getDefaultWriteParam
+      p.setCompressionMode(ImageWriteParam.MODE_EXPLICIT)
+      p.setCompressionQuality(quality)
+      writer.write(null, new IIOImage(toBuffered(img), null, null), p)
+    } finally { writer.dispose(); out.close() }
+    bos.toByteArray
+  }
+
+  /** Encode an MJPEG-in-AVI clip (the RIFF video container a JVM can fully
+    * handle: per-frame JPEG payloads, no inter-frame codec): standard
+    * RIFF('AVI ') layout — LIST hdrl (avih + one 'vids'/'MJPG' strl) +
+    * LIST movi of '00dc' chunks + idx1. `frameMs` is the per-frame display
+    * period (dwMicroSecPerFrame = frameMs·1000; dwScale/dwRate = frameMs/
+    * 1000 — a proper ms-precision rational).
+    */
+  def encodeAviMjpeg(frames: Seq[ImageRgb], frameMs: Int,
+      jpegQuality: Float = 1.0f): Array[Byte] = {
+    require(frames.nonEmpty, "need at least one frame")
+    val w = frames.head.width
+    val h = frames.head.height
+    val payloads = frames.map(f => encodeJpeg(f, jpegQuality))
+    val bos = new java.io.ByteArrayOutputStream()
+    def w16(v: Int): Unit = { bos.write(v & 0xff); bos.write((v >> 8) & 0xff) }
+    def w32(v: Int): Unit = {
+      bos.write(v & 0xff); bos.write((v >> 8) & 0xff)
+      bos.write((v >> 16) & 0xff); bos.write((v >> 24) & 0xff)
+    }
+    def tag(s: String): Unit = bos.write(s.getBytes("US-ASCII"))
+    val maxPayload = payloads.map(_.length).max
+    // chunk bodies are padded to even length per RIFF
+    def padded(n: Int): Int = n + (n & 1)
+    val moviBody = 4 + payloads.map(p => 8 + padded(p.length)).sum // 'movi' + chunks
+    val idx1Body = 16 * payloads.length
+    val hdrlBody = 4 + (8 + 56) + (8 + (4 + (8 + 56) + (8 + 40))) // 'hdrl' avih LIST strl
+    val riffBody = 4 + (8 + hdrlBody) + (8 + moviBody) + (8 + idx1Body)
+    tag("RIFF"); w32(riffBody); tag("AVI ")
+    // LIST hdrl
+    tag("LIST"); w32(hdrlBody); tag("hdrl")
+    tag("avih"); w32(56)
+    w32(frameMs * 1000) // dwMicroSecPerFrame
+    w32(0); w32(0); w32(0x10) // maxBytesPerSec, padding, flags=HASINDEX
+    w32(payloads.length) // dwTotalFrames
+    w32(0); w32(1); w32(maxPayload) // initialFrames, streams, suggestedBuf
+    w32(w); w32(h)
+    w32(0); w32(0); w32(0); w32(0) // reserved
+    // LIST strl
+    tag("LIST"); w32(4 + (8 + 56) + (8 + 40)); tag("strl")
+    tag("strh"); w32(56)
+    tag("vids"); tag("MJPG")
+    w32(0); w16(0); w16(0); w32(0) // flags, priority, language, initialFrames
+    w32(frameMs); w32(1000) // dwScale/dwRate: rate/scale = fps
+    w32(0); w32(payloads.length) // start, length (frames)
+    w32(maxPayload); w32(-1); w32(0) // bufSize, quality, sampleSize
+    w16(0); w16(0); w16(w); w16(h) // rcFrame
+    tag("strf"); w32(40)
+    w32(40); w32(w); w32(h); w16(1); w16(24) // BITMAPINFOHEADER, planes, bpp
+    tag("MJPG"); w32(w * h * 3)
+    w32(0); w32(0); w32(0); w32(0) // ppm x/y, clrUsed, clrImportant
+    // LIST movi (+ record chunk offsets relative to 'movi' fourcc for idx1)
+    tag("LIST"); w32(moviBody); tag("movi")
+    val offsets = new Array[Int](payloads.length)
+    var off = 4 // idx1 offsets point past the 'movi' fourcc
+    payloads.zipWithIndex.foreach { case (p, i) =>
+      offsets(i) = off
+      tag("00dc"); w32(p.length); bos.write(p)
+      if ((p.length & 1) == 1) bos.write(0)
+      off += 8 + padded(p.length)
+    }
+    tag("idx1"); w32(idx1Body)
+    payloads.zipWithIndex.foreach { case (p, i) =>
+      tag("00dc"); w32(0x10); w32(offsets(i)); w32(p.length) // AVIIF_KEYFRAME
+    }
+    bos.toByteArray
+  }
+
+  /** Decode an AVI clip: RIFF walk of hdrl (avih: frame period, counts,
+    * canvas) and movi ('00dc'/'00db' chunks — JPEG payloads through the
+    * JDK decoder; sub-LISTs 'rec ' are entered). Uniform per-frame delay
+    * from dwMicroSecPerFrame (floor-ms, minimum 1).
+    */
+  def decodeAvi(bytes: Array[Byte]): FrameSeq = {
+    require(bytes.length >= 12 && bytes(0) == 'R' && bytes(1) == 'I' &&
+      bytes(2) == 'F' && bytes(3) == 'F' && bytes(8) == 'A' && bytes(9) == 'V' &&
+      bytes(10) == 'I' && bytes(11) == ' ', "not an AVI")
+    var frameMs = 40
+    var cw = 0
+    var ch = 0
+    val frames = scala.collection.mutable.ArrayBuffer.empty[ImageRgb]
+    def walk(from: Int, to: Int): Unit = {
+      var i = from
+      while (i + 8 <= to) {
+        val id = new String(bytes, i, 4, "US-ASCII")
+        val len = le32(bytes, i + 4)
+        val body = i + 8
+        id match {
+          case "LIST" =>
+            val listType = new String(bytes, body, 4, "US-ASCII")
+            if (listType == "hdrl" || listType == "movi" || listType == "rec " ||
+              listType == "strl") walk(body + 4, body + len)
+          case "avih" =>
+            frameMs = math.max(1, le32(bytes, body) / 1000)
+            cw = le32(bytes, body + 32)
+            ch = le32(bytes, body + 36)
+          case cc if cc.length == 4 && (cc.endsWith("dc") || cc.endsWith("db")) =>
+            if (len > 0)
+              frames += decodeJavax(java.util.Arrays.copyOfRange(bytes, body, body + len))
+          case _ => // strh/strf/idx1/JUNK: not needed for decode
+        }
+        i = body + len + (len & 1)
+      }
+    }
+    walk(12, math.min(bytes.length, 8 + le32(bytes, 4)))
+    require(frames.nonEmpty, "AVI with no video frames")
+    if (cw == 0) { cw = frames.head.width; ch = frames.head.height }
+    FrameSeq(cw, ch, frames.toArray, Array.fill(frames.length)(frameMs))
   }
 
   private def toBuffered(img: ImageRgb): java.awt.image.BufferedImage = {

@@ -8,12 +8,14 @@ import org.apache.spark.sql.functions._
   * plumbing — schemas, partition-parallel decode, bounded-memory batch
   * iteration, frame sampling — is real and tested. The codec step is REAL
   * for every common web image format (JPEG/PNG/GIF/TIFF via the JDK's own
-  * ImageIO plugins; PPM/BMP via hand-rolled pure-JVM decoders) and for
-  * WAV/AIFF audio (RIFF walk resp. javax.sound) — see [[MediaCodec]] —
-  * including perceptual hashing (dHash) for image near-dup. Only payloads
-  * in formats whose codecs the JVM genuinely lacks (H.264-class video)
-  * fall back to the deterministic `FakeCodec` stub — swapping in a real
-  * codec there is replacing one pure function inside the `mapPartitions`.
+  * ImageIO plugins; PPM/BMP via hand-rolled pure-JVM decoders), for
+  * WAV/AIFF audio (RIFF walk resp. javax.sound), and for TWO video
+  * containers — animated GIF and MJPEG-in-AVI (RIFF walk + per-frame JDK
+  * JPEG decode) — see [[MediaCodec]] — including perceptual hashing
+  * (dHash) for image near-dup. Only payloads in formats whose codecs the
+  * JVM genuinely lacks (H.264-class inter-frame video) fall back to the
+  * deterministic `FakeCodec` stub — swapping in a real codec there is
+  * replacing one pure function inside the `mapPartitions`.
   */
 object Multimodal {
 
@@ -98,6 +100,12 @@ object Multimodal {
             case Some("audio/aiff") =>
               val pcm = MediaCodec.decodeJavaxAudio(bytes)
               MediaMeta(id, "audio", bytes.length.toLong, 0, 0, pcm.durationMs, digest)
+            case Some("video/avi") =>
+              // REAL video container #2: MJPEG-in-AVI (RIFF walk + the JDK
+              // JPEG decoder per frame)
+              val seq = MediaCodec.decodeAvi(bytes)
+              MediaMeta(id, "video", bytes.length.toLong, seq.width, seq.height,
+                seq.durationMs, digest)
             case _ => // container-absent codec (e.g. H.264 video): deterministic stub
               val kind = FakeCodec.sniffKind(bytes)
               val (w, h, dur) = FakeCodec.decodeMeta(bytes)
@@ -156,9 +164,10 @@ object Multimodal {
   /** Frame sampling: one row per sampled frame, `everyMs`-spaced over the
     * clip, bounded by `maxFrames` per doc to keep rows/task predictable —
     * the explode-style fan-out a video pipeline needs. REAL for animated
-    * GIF (the JVM's native multi-frame container): each sample timestamp
-    * picks the frame on screen at that instant and emits its decoded RGB
-    * as a bounded `thumbSize`×`thumbSize` nearest-resize thumbnail.
+    * GIF (the JVM's native multi-frame container) and for MJPEG-in-AVI
+    * (RIFF walk + per-frame JDK JPEG decode): each sample timestamp picks
+    * the frame on screen at that instant and emits its decoded RGB as a
+    * bounded `thumbSize`×`thumbSize` nearest-resize thumbnail.
     * Container-absent codecs (H.264-class) fall back to the FakeCodec stub.
     */
   def sampleFrames(spark: SparkSession, docsWithMedia: DataFrame,
@@ -169,8 +178,12 @@ object Multimodal {
       .mapPartitions { it =>
         it.flatMap { case (id, bytes) =>
           MediaCodec.sniff(bytes) match {
-            case Some("image/gif") =>
-              val seq = MediaCodec.decodeGifFrames(bytes) // one parse: frames + delays
+            case Some(m @ ("image/gif" | "video/avi")) =>
+              // one parse: frames + delays (GIF via the JDK plugin, AVI via
+              // the RIFF walk + per-frame JPEG decode)
+              val seq =
+                if (m == "image/gif") MediaCodec.decodeGifFrames(bytes)
+                else MediaCodec.decodeAvi(bytes)
               val n = math.min(maxFrames.toLong,
                 math.max(1L, (seq.durationMs + everyMs - 1) / everyMs)).toInt
               (0 until n).iterator.map { f =>

@@ -104,18 +104,20 @@ SELECT m.doc_id, c.tf, m.pos::BIGINT AS pos FROM m JOIN c USING (doc_id)"""
       "WHERE list_contains(toks[1:3], 'spark') AND " +
       "(list_contains(toks[1:3], 'table') OR list_contains(toks, 'table'))"
   /** q_media_meta synthesis contract: every 3rd doc audio of
-    * (200 + doc_id % 800) ms (WAV/AIFF alternating), the rest images sized
-    * (16 + doc_id % 16) x (8 + doc_id % 8) in containers rotating over
-    * PPM/PNG/JPEG/BMP — the Spark side REALLY decodes every container
-    * (ImageIO for PNG/JPEG, javax.sound for AIFF, hand-rolled for the
-    * rest), the oracle just recomputes the arithmetic.
+    * (200 + doc_id % 800) ms (WAV/AIFF alternating); of the rest, every
+    * 5th doc an MJPEG-AVI video of (2 + doc_id % 4) 250 ms frames at
+    * 16x12; the others images sized (16 + doc_id % 16) x (8 + doc_id % 8)
+    * in containers rotating over PPM/PNG/JPEG/BMP — the Spark side REALLY
+    * decodes every container (ImageIO for PNG/JPEG, javax.sound for AIFF,
+    * the RIFF walk for AVI, hand-rolled for the rest), the oracle just
+    * recomputes the arithmetic.
     */
   val mediaMeta: String =
     "SELECT doc_id, " +
-      "CASE WHEN doc_id % 3 = 0 THEN 'audio' ELSE 'image' END AS kind, " +
-      "CASE WHEN doc_id % 3 = 0 THEN 0 ELSE 16 + doc_id % 16 END AS width, " +
-      "CASE WHEN doc_id % 3 = 0 THEN 0 ELSE 8 + doc_id % 8 END AS height, " +
-      "CASE WHEN doc_id % 3 = 0 THEN 200 + doc_id % 800 ELSE 0 END AS duration_ms " +
+      "CASE WHEN doc_id % 3 = 0 THEN 'audio' WHEN doc_id % 5 = 0 THEN 'video' ELSE 'image' END AS kind, " +
+      "CASE WHEN doc_id % 3 = 0 THEN 0 WHEN doc_id % 5 = 0 THEN 16 ELSE 16 + doc_id % 16 END AS width, " +
+      "CASE WHEN doc_id % 3 = 0 THEN 0 WHEN doc_id % 5 = 0 THEN 12 ELSE 8 + doc_id % 8 END AS height, " +
+      "CASE WHEN doc_id % 3 = 0 THEN 200 + doc_id % 800 WHEN doc_id % 5 = 0 THEN (2 + doc_id % 4) * 250 ELSE 0 END AS duration_ms " +
       "FROM documents"
 
   /** q_image_dedup synthesis contract: identical class (doc_id % 7) ->
@@ -145,6 +147,15 @@ CAST(100 + doc_id % 900 AS DOUBLE) AS rms FROM documents"""
     */
   val videoFrames: String =
     """SELECT doc_id, f AS frame_idx, f * 250 AS ts_ms, (doc_id + 40 * f) % 256 AS red
+FROM (SELECT doc_id, unnest(generate_series(CAST(0 AS BIGINT), 1 + doc_id % 4)) AS f FROM documents)"""
+
+  /** q_video_frames_avi synthesis contract: the MJPEG-in-AVI twin — same
+    * (2 + doc_id % 4) frames / 250 ms arithmetic; MJPEG is lossy so the
+    * red check is the Spark side's ±1 gate (quality-1.0 YCbCr rounding)
+    * and the oracle states the fan-out, timestamps, and gate outcome.
+    */
+  val videoFramesAvi: String =
+    """SELECT doc_id, f AS frame_idx, f * 250 AS ts_ms, true AS red_ok
 FROM (SELECT doc_id, unnest(generate_series(CAST(0 AS BIGINT), 1 + doc_id % 4)) AS f FROM documents)"""
 
   /** ip = 10.(doc_id div 256 % 256).(doc_id % 256).7 unless doc_id % 9 = 0

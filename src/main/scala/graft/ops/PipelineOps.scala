@@ -2412,6 +2412,18 @@ object PipelineOps {
     * `localCheckpoint` truncates the iterative lineage (the
     * [[bpeTrainDf]] precedent). No collect of nodes or edges ever happens
     * on the driver.
+    *
+    * Cross-engine determinism caveat (known, accepted): ranks are float
+    * sums whose partial-aggregation order differs between engines and
+    * partitionings, so the oracle contract rounds to 6 dp. That absorbs
+    * the observed noise (≤1e-13 on node-sized graphs) but is NOT a proof:
+    * a rank landing within ~5e-7 of a rounding boundary under a different
+    * core count could flip the printed digit. The driver queries pin a
+    * fixed partitioning; GraphClusterSpec's invariance test guards the
+    * shapes we ship. A boundary-proof contract would need an
+    * epsilon-tolerant comparator on the harness side (the hash compare is
+    * exact by design), so the 6 dp law + this note is the documented
+    * trade.
     */
   def pageRank(edges: DataFrame, iters: Int = 3, damping: Double = 0.85): DataFrame = {
     // all checkpoints LAZY: lineage still truncates for planning, but the

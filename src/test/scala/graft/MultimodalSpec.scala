@@ -159,6 +159,45 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("MJPEG-in-AVI: container roundtrip, real frame decode, Spark meta + sampling") {
+    def flat(r: Int, g: Int, b: Int): ImageRgb = {
+      val rgb = new Array[Byte](16 * 12 * 3)
+      var i = 0
+      while (i < rgb.length) { rgb(i) = r.toByte; rgb(i+1) = g.toByte; rgb(i+2) = b.toByte; i += 3 }
+      ImageRgb(16, 12, rgb)
+    }
+    val src = Seq(flat(10, 100, 64), flat(70, 100, 64), flat(130, 100, 64), flat(200, 100, 64))
+    val avi = MediaCodec.encodeAviMjpeg(src, frameMs = 250)
+    assert(MediaCodec.sniff(avi).contains("video/avi"))
+    val seq = MediaCodec.decodeAvi(avi)
+    assert(seq.width == 16 && seq.height == 12)
+    assert(seq.delaysMs.toSeq == Seq(250, 250, 250, 250) && seq.durationMs == 1000L)
+    assert(seq.frames.length == 4)
+    // MJPEG is lossy: constant-color frames at quality 1.0 must round-trip
+    // within ±2/channel (all-ones luma table; YCbCr integer rounding)
+    var maxErr = 0
+    for ((f, i) <- seq.frames.zipWithIndex; j <- f.rgb.indices)
+      maxErr = math.max(maxErr, math.abs((f.rgb(j) & 0xff) - (src(i).rgb(j) & 0xff)))
+    info(s"MJPEG max per-channel round-trip error: $maxErr")
+    assert(maxErr <= 2, s"MJPEG round-trip error $maxErr exceeds tolerance")
+
+    // through Spark: real video meta + frame sampling via the AVI branch
+    import spark.implicits._
+    val df = Seq((1L, avi)).toDF("doc_id", "media")
+    val meta = Multimodal.extractMeta(spark, df).collect()
+    assert(meta(0).kind == "video" && meta(0).durationMs == 1000L &&
+      meta(0).width == 16 && meta(0).height == 12)
+    val sampled = Multimodal.sampleFrames(spark, df, everyMs = 250L, maxFrames = 8)
+      .collect().sortBy(_.frameIdx)
+    assert(sampled.length == 4)
+    for ((fr, i) <- sampled.zipWithIndex) {
+      assert(fr.ts_ms == i * 250L && fr.pixels.length == 16 * 16 * 3)
+      val red = fr.pixels(0) & 0xff
+      val want = Seq(10, 70, 130, 200)(i)
+      assert(math.abs(red - want) <= 2, s"sample $i red $red != ~$want")
+    }
+  }
+
   test("mixed-format corpus through Spark: ImageIO images + AIFF audio") {
     import spark.implicits._
     val rows = (0L until 40L).map { i =>
