@@ -77,8 +77,14 @@ object Bench {
     try {
       spark.range(1000000L).selectExpr("sum(id)").collect() // session warmup (untimed)
       val docs = spark.read.parquet(corpusPath)
+      // segment-size cap: partition count scales with the corpus (the
+      // documented 100 TB knob — a segment's arena must fit an executor
+      // core's memory share regardless of corpus size). Default 32 keeps
+      // the historical 1M-doc windows comparable; the 10M window uses
+      // SPARK_GRAFT_SCALE_PARTS to hold docs/segment at the same order.
+      val parts = sys.env.getOrElse("SPARK_GRAFT_SCALE_PARTS", "32").toInt
       val t0 = System.nanoTime()
-      IndexBuilder.build(spark, docs, dir, IndexConfig(numPartitions = 32), resume = false)
+      IndexBuilder.build(spark, docs, dir, IndexConfig(numPartitions = parts), resume = false)
       val buildSec = (System.nanoTime() - t0) / 1e9
       if (!withQueries) return (buildSec, 0.0, 0)
       val searcher = new Searcher(spark, dir)

@@ -198,6 +198,39 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("AVI fuzz: random dims (incl. odd), frame counts, colors, periods roundtrip") {
+    val rnd = new scala.util.Random(20260821L)
+    for (trial <- 0 until 25) {
+      val w = 8 + rnd.nextInt(25) // odd widths exercise RIFF chunk padding
+      val h = 6 + rnd.nextInt(19)
+      val n = 1 + rnd.nextInt(6)
+      val frameMs = Seq(40, 100, 250, 1000)(rnd.nextInt(4))
+      val colors = Array.fill(n)((rnd.nextInt(256), rnd.nextInt(256), rnd.nextInt(256)))
+      val frames = colors.toSeq.map { case (r, g, b) =>
+        val rgb = new Array[Byte](w * h * 3)
+        var i = 0
+        while (i < rgb.length) { rgb(i)=r.toByte; rgb(i+1)=g.toByte; rgb(i+2)=b.toByte; i += 3 }
+        ImageRgb(w, h, rgb)
+      }
+      val avi = MediaCodec.encodeAviMjpeg(frames, frameMs)
+      assert(MediaCodec.sniff(avi).contains("video/avi"), s"trial $trial sniff")
+      val seq = MediaCodec.decodeAvi(avi)
+      assert(seq.width == w && seq.height == h, s"trial $trial dims")
+      assert(seq.frames.length == n, s"trial $trial frame count")
+      assert(seq.delaysMs.forall(_ == frameMs) && seq.durationMs == n.toLong * frameMs,
+        s"trial $trial delays")
+      for ((f, i) <- seq.frames.zipWithIndex) {
+        val (r, g, b) = colors(i)
+        // constant frames at quality 1.0: YCbCr integer rounding only
+        for ((want, off) <- Seq(r -> 0, g -> 1, b -> 2)) {
+          val got = f.rgb(off) & 0xff
+          assert(math.abs(got - want) <= 3,
+            s"trial $trial frame $i channel $off: $got vs $want")
+        }
+      }
+    }
+  }
+
   test("mixed-format corpus through Spark: ImageIO images + AIFF audio") {
     import spark.implicits._
     val rows = (0L until 40L).map { i =>
