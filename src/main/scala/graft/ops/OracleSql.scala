@@ -1052,16 +1052,16 @@ SELECT e.vec_id, coalesce(least(e.vec_id, c.mn), e.vec_id) AS canonical_id,
   coalesce(least(e.vec_id, c.mn), e.vec_id) = e.vec_id AS is_kept
 FROM embeddings e LEFT JOIN comp c ON e.vec_id = c.vec_id"""
 
-  /** q_sem_dedup_ivf: agreement gates for the IVF-celled SemDeDup path vs
-    * the exact twin the [[semDedup]] oracle replays — refinement and
-    * kept-superset hold DETERMINISTICALLY (IVF within-cell pairs are a
-    * subset of the exact pairs, so the closure can only split clusters),
-    * canonical-label agreement ≥ gate is the measured recall-style gate
-    * (strict measure in SimilaritySpec).
+  /** q_sem_dedup_ivf: the DETERMINISTIC invariants of the IVF-celled
+    * SemDeDup path vs the exact twin the [[semDedup]] oracle replays —
+    * refinement and kept-superset hold by construction (IVF within-cell
+    * pairs are a subset of the exact pairs, so the closure can only split
+    * clusters) on EVERY corpus draw; the quantitative coverage measure
+    * lives in RecallGateSpec on clustered data.
     */
   def semDedupIvfAgree(threshold: Double): String =
     s"""WITH x AS (${semDedup(threshold)})
-SELECT count(*)::BIGINT AS n_docs, true AS agree_ok, true AS refines_ok,
+SELECT count(*)::BIGINT AS n_docs, true AS refines_ok,
   sum(CASE WHEN is_kept THEN 1 ELSE 0 END)::BIGINT AS n_kept_exact,
   true AS kept_superset_ok FROM x"""
 
