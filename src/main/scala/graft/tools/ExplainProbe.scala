@@ -268,6 +268,36 @@ object ExplainProbe {
     val cbsPlan = cbs.queryExecution.executedPlan.toString
     println(s"clustersample: broadcast join = ${cbsPlan.contains("BroadcastHashJoin")} " +
       s"(want true), Cartesian = ${cbsPlan.contains("Cartesian")} (want false)")
+
+    println("==== recallStats gate row (two bounded top-k frames full-outer " +
+      "joined on keys, one agg row — the corpus-sized work is inside the " +
+      "operands; no cartesian anywhere) ====")
+    val rs = graft.ops.PipelineOps.recallStats(
+      graft.ops.PipelineOps.ivfTopK(emb, 0L, 10, 16, 4),
+      graft.ops.PipelineOps.cosineTopK(emb, 0L, 10), Seq("vec_id"), 300)
+    val rsPlan = rs.queryExecution.executedPlan.toString
+    println(s"recallstats: Cartesian = ${rsPlan.contains("Cartesian")} (want false), " +
+      s"full-outer merge/hash join present = ${rsPlan.contains("FullOuter")} (want true)")
+
+    println("==== IVF-celled near-dup pairs (ONE shuffle = groupBy(cell); the " +
+      "pair kernel is per-cell mapGroups — no cross join, no n^2 rows) ====")
+    val ivfPairs = graft.ops.PipelineOps.embeddingNearDupPairsIvf(emb, 0.35, 16)
+    val ipPlan = ivfPairs.queryExecution.executedPlan.toString
+    println(s"ivfpairs: Cartesian = ${ipPlan.contains("Cartesian")} (want false), " +
+      s"MapGroups kernel = ${ipPlan.contains("MapGroups")} (want true), " +
+      s"shuffles = ${"Exchange".r.findAllIn(ipPlan).size} " +
+      "(want <=3: cell groupBy + the assignment join sides)")
+
+    println("==== clusterAgreementStats (doc-sized equi-join + label groupBy; " +
+      "final 1-row crossJoin is an explicit broadcast) ====")
+    val sd = graft.ops.PipelineOps.semDedup(emb, 0.35)
+    val sdIvf = graft.ops.PipelineOps.semDedup(emb, 0.35, Some(ivfPairs))
+    val cas = graft.ops.PipelineOps.clusterAgreementStats(
+      sdIvf, sd, "vec_id", "canonical_id", 400)
+    val casPlan = cas.queryExecution.executedPlan.toString
+    println(s"agreement: Cartesian = ${casPlan.contains("Cartesian")} (want false), " +
+      s"1-row refinement broadcast = ${"BroadcastNestedLoop".r.findAllIn(casPlan).size} " +
+      "(want 1: the refinement row join)")
     spark.stop()
   }
 }
