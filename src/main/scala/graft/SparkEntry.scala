@@ -326,7 +326,7 @@ object SparkEntry {
     "q_mlt" -> ((s, d) => {
       import s.implicits._
       val sr = searcherFor(s, d)
-      val seed = docs(s, d).where(col("doc_id") === 0L).select("text").head.getString(0)
+      val seed = docs(s, d).where(col("doc_id") === 0L).select("text").head().getString(0)
       val seedToks = graft.analysis.Analyzer.terms(seed).toSet
       val q = graft.search.MoreLikeThis.query(sr, "text", seed,
         graft.search.MoreLikeThis.Config(minTermFreq = 1, minDocFreq = 2))

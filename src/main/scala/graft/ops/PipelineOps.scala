@@ -2445,7 +2445,7 @@ object PipelineOps {
     var it = 0
     while (it < iters) {
       val dangling = ranks.join(outdeg, ranks("node") === outdeg("src"), "left_anti")
-        .agg(coalesce(sum("rank"), lit(0.0))).head.getDouble(0)
+        .agg(coalesce(sum("rank"), lit(0.0))).head().getDouble(0)
       val contribs = e.join(ranks.withColumnRenamed("node", "src"), "src")
         .join(outdeg, "src")
         .groupBy(col("dst").as("node"))
