@@ -582,9 +582,14 @@ object SparkEntry {
     // closure; driver row = agreement/refinement gates vs the exact twin
     "q_sem_dedup_ivf" -> ((s, d) => {
       val e = embeddings(s, d)
-      val exact = PipelineOps.semDedup(e, 0.35)
+      // both twins feed TWO consumers each (agreement + kept joins below);
+      // eager localCheckpoint materializes each ONCE — node-sized
+      // (vec_id, canonical, kept) frames — instead of re-running the n^2
+      // pair kernel + CC closure per consumer
+      val exact = PipelineOps.semDedup(e, 0.35).localCheckpoint()
       val ivf = PipelineOps.semDedup(e, 0.35,
         Some(PipelineOps.embeddingNearDupPairsIvf(e, 0.35, nCentroids = 16)))
+        .localCheckpoint()
       // the emitted columns are the DETERMINISTIC invariants only: IVF
       // within-cell pairs are a subset of the exact pairs, so the closure
       // can only SPLIT exact clusters (refines_ok) and every exact-kept
@@ -633,20 +638,24 @@ object SparkEntry {
     // PQ ADC scan + exact re-rank (Jégou et al. 2011): codes are m=8 bytes
     // per vector — 64x less scan payload than the embedding column. The
     // rerank depth scales with the corpus (FAISS practice — a fixed 50
-    // was measured to drop below 0.8 once the table grew 4x), keeping the
-    // full-scan method at its 0.8 design gate on every draw
+    // was measured to drop below 0.8 once the table grew 4x) but is CAPPED
+    // at 2000 exact re-scores: uncapped n/8 would degrade toward an O(n)
+    // exact pass at large n, undercutting the 64x scan-payload win. The
+    // cap is above every driver SF's n/8 (sf0.1 = 250), so measured
+    // recalls are unchanged; the corpus count it needs is parquet
+    // metadata (row-group counts), not a data scan
     "q_ann_pq" -> ((s, d) => {
       val e = embeddings(s, d)
-      val rerank = math.max(50, (e.count() / 8L).toInt)
+      val rerank = math.min(2000, math.max(50, (e.count() / 8L).toInt))
       PipelineOps.recallStats(PipelineOps.pqTopK(e, 0L, 10, m = 8, rerank = rerank),
         PipelineOps.cosineTopK(e, 0L, 10), Seq("vec_id"), 800)
     }),
     // IVFADC (FAISS IVFx,PQy): coarse cells + residual PQ codes, per-cell
-    // query LUTs over nprobe cells only; k=50 + corpus-scaled rerank for
-    // the same concentration reasons as q_ann_ivf
+    // query LUTs over nprobe cells only; k=50 + corpus-scaled-and-capped
+    // rerank for the same reasons as q_ann_ivf / q_ann_pq
     "q_ann_ivfpq" -> ((s, d) => {
       val e = embeddings(s, d)
-      val rerank = math.max(50, (e.count() / 8L).toInt)
+      val rerank = math.min(2000, math.max(50, (e.count() / 8L).toInt))
       PipelineOps.recallStats(
         PipelineOps.ivfPqTopK(e, 0L, 50, nCentroids = 16, nprobe = 4, m = 8, rerank = rerank),
         PipelineOps.cosineTopK(e, 0L, 50), Seq("vec_id"), 150)
@@ -676,6 +685,31 @@ object SparkEntry {
     "q_contrastive_pairs" -> ((s, d) => PipelineOps.contrastivePairs(
       embeddings(s, d), kPos = 2, posLo = 0.3, posHi = 0.9,
       kNeg = 2, negLo = 0.1, negHi = 0.3)),
+    // the sub-quadratic candidate source swapped in with one argument
+    // (IVF pairs thresholded at the lowest band floor, nprobe=8 probe
+    // fan-out — hard negatives are CROSS-cell by nature, so the
+    // within-cell-only recipe that serves semDedup is not enough here);
+    // driver row = pair-recall gate vs the exact kernel plus the
+    // cos-identity check (agreed pairs must carry the SAME 4dp cosine —
+    // both paths share the packBlock fold). n_approx is dropped: the
+    // candidate set is a genuine subset, so the approximate side's row
+    // count varies with the draw's cell geometry and is not
+    // oracle-replayable. Gate 850 = regression floor on this noise
+    // corpus (RecallProbe measured 0.962/0.947/0.949 across
+    // sf0.001/0.01/0.1 at nprobe=8 — nprobe=4 sits at ~0.75, so the
+    // floor also pins the probe depth); the >=0.8 design gate on
+    // clustered data lives in RecallGateSpec (0.994 measured)
+    "q_contrastive_pairs_ivf" -> ((s, d) => {
+      val e = embeddings(s, d)
+      PipelineOps.recallStats(
+        PipelineOps.contrastivePairs(e, kPos = 2, posLo = 0.3, posHi = 0.9,
+          kNeg = 2, negLo = 0.1, negHi = 0.3, candidatePairs =
+            Some(PipelineOps.embeddingNearDupPairsIvf(e, 0.1, nCentroids = 16,
+              nprobe = 8))),
+        PipelineOps.contrastivePairs(e, kPos = 2, posLo = 0.3, posHi = 0.9,
+          kNeg = 2, negLo = 0.1, negHi = 0.3),
+        Seq("vec_id", "pair_id"), 850).drop("n_approx")
+    }),
     // mutual-kNN clustering: k-less corpus clustering over mutual edges
     "q_mutual_knn" -> ((s, d) => PipelineOps.mutualKnnClusters(embeddings(s, d), 3)),
     // sub-quadratic candidate source swapped in with one argument (the
@@ -686,7 +720,10 @@ object SparkEntry {
     // this noise corpus); gate 0.6 = regression floor (measured 0.78/0.83)
     "q_mutual_knn_ivf" -> ((s, d) => {
       val e = embeddings(s, d)
-      val exact = PipelineOps.mutualKnnClusters(e, 3)
+      // the exact twin feeds both the agreement join and the cluster
+      // count: checkpoint the node-sized label frame so the exact kNN
+      // kernel + CC closure run once, not per consumer
+      val exact = PipelineOps.mutualKnnClusters(e, 3).localCheckpoint()
       val ivf = PipelineOps.mutualKnnClusters(e, 3, graph = Some(
         PipelineOps.knnGraphIvf(e, 3, nCentroids = 16, nprobe = 8)
           .select(col("vec_id"), col("nb_id"))))
@@ -972,7 +1009,10 @@ object SparkEntry {
     }),
     // REAL video container #2: MJPEG-in-AVI through the same sampling pass
     // (RIFF walk + per-frame JDK JPEG decode). MJPEG is lossy, so the red
-    // check is a ±1 gate (measured max YCbCr rounding error at quality 1.0)
+    // check is a ±2 gate — the same tolerance MediaSpec accepts: the
+    // current JDK measures max ±1 YCbCr rounding at quality 1.0, but the
+    // rounding is an ImageIO implementation detail, so the driver gate
+    // leaves the unit-test headroom rather than pinning the JDK build
     // — frame fan-out, timestamps and dims stay exact arithmetic
     "q_video_frames_avi" -> ((s, d) => {
       import s.implicits._
@@ -983,7 +1023,7 @@ object SparkEntry {
         .map(fr => (fr.doc_id, fr.frameIdx.toLong, fr.ts_ms, (fr.pixels(0) & 0xff).toLong))
         .toDF("doc_id", "frame_idx", "ts_ms", "red")
         .select(col("doc_id"), col("frame_idx"), col("ts_ms"),
-          (abs(col("red") - (col("doc_id") + lit(40L) * col("frame_idx")) % 256) <= 1)
+          (abs(col("red") - (col("doc_id") + lit(40L) * col("frame_idx")) % 256) <= 2)
             .as("red_ok"))
     })
   )
@@ -1186,6 +1226,7 @@ object SparkEntry {
     "q_knn_graph" -> OracleSql.knnGraph(3),
     "q_mutual_knn" -> OracleSql.mutualKnn(3),
     "q_contrastive_pairs" -> OracleSql.contrastivePairs(2, 0.3, 0.9, 2, 0.1, 0.3),
+    "q_contrastive_pairs_ivf" -> OracleSql.contrastivePairsRecall(2, 0.3, 0.9, 2, 0.1, 0.3),
     "q_mixture_weights" -> OracleSql.mixtureWeights(0.7),
     "q_token_entropy" -> OracleSql.tokenEntropy,
     "q_script_mix" -> OracleSql.scriptMix,

@@ -41,6 +41,20 @@ final case class IndexConfig(
     langField: String = "lang",
     tsField: String = "warc_ts",
     maxDocsPerSegment: Int = 1 << 21,
+    /** Posting-arena size guard (docs per in-memory segment arena). A
+      * partition streaming more docs than this auto-splits into further
+      * segments even below [[maxDocsPerSegment]]: each concurrent build
+      * task holds one arena, so arenas must be sized to a worker CORE's
+      * memory share, not to the whole heap — BENCH.md's 10M windows
+      * measured the failure directly (312k-doc arenas × 4 concurrent
+      * tasks = GC-bound, build scaling eff 0.624; ~104k-doc arenas =
+      * 0.979). 150k ≈ the green band's ceiling for the benchmark's
+      * ~550-char docs; raise it only together with per-core memory.
+      * The effective segment cut is min(maxDocsPerSegment, arenaBandDocs),
+      * so the guard is on by default and explicit [[maxDocsPerSegment]]
+      * settings below the band behave exactly as before.
+      */
+    arenaBandDocs: Int = 150000,
     storePositions: Boolean = true,
     /** Numeric columns indexed as TYPED terms: each value becomes one
       * order-preserving `TypedTerms.encodeLong` term in the field's own term
@@ -275,7 +289,8 @@ object IndexBuilder {
     val postings = parted.mapPartitions { it =>
       val cfg = bcCfg.value
       val pid = TaskContext.getPartitionId()
-      chunked(it, cfg.maxDocsPerSegment).zipWithIndex.flatMap { case (chunk, ci) =>
+      chunked(it, math.min(cfg.maxDocsPerSegment, cfg.arenaBandDocs))
+        .zipWithIndex.flatMap { case (chunk, ci) =>
         val segId = bcBase.value + pid * ChunksPerPartition + ci
         if (bcDone.value.contains(segId)) Iterator.empty
         else buildSegment(segId, chunk, cfg).map { row =>

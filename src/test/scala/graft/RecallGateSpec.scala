@@ -133,6 +133,45 @@ class RecallGateSpec extends AnyFunSuite {
     assert(c === d)
   }
 
+  test("contrastivePairs candidate path: full candidate set reproduces the exact kernel") {
+    val e = genEmbeddings(300)
+    // candidates = ALL pairs above the lowest band floor -> the relational
+    // path must select the same per-anchor band tops as the dual-heap
+    // kernel. Ordering uses 4dp cos (monotone rounding), so a 4dp tie can
+    // pick a different pair_id — but then the emitted cos values are equal,
+    // so the (vec_id, kind, cos, rank) multiset is identical.
+    val full = PipelineOps.embeddingNearDupPairs(e, 0.1)
+    val exact = PipelineOps.contrastivePairs(e, 2, 0.3, 0.9, 2, 0.1, 0.3)
+      .collect().map(r => (r.getLong(0), r.getString(3), r.getDouble(2), r.getLong(4)))
+    val cand = PipelineOps.contrastivePairs(e, 2, 0.3, 0.9, 2, 0.1, 0.3,
+        candidatePairs = Some(full))
+      .collect().map(r => (r.getLong(0), r.getString(3), r.getDouble(2), r.getLong(4)))
+    assert(exact.nonEmpty, "clustered corpus must yield contrastive pairs")
+    assert(exact.groupBy(identity).view.mapValues(_.length).toMap ===
+      cand.groupBy(identity).view.mapValues(_.length).toMap)
+  }
+
+  test("contrastivePairs over IVF candidates meets the clustered-data design gate") {
+    val e = genEmbeddings(400)
+    val exact = PipelineOps.contrastivePairs(e, 2, 0.3, 0.9, 2, 0.1, 0.3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // nprobe=4: hard negatives are cross-cluster pairs, so same-cell-only
+    // candidates (nprobe=1) top out near 0.47 recall here — the probe
+    // fan-out is what recovers the just-below-the-band cross-cell mass
+    val ivf = PipelineOps.contrastivePairs(e, 2, 0.3, 0.9, 2, 0.1, 0.3,
+        candidatePairs = Some(PipelineOps.embeddingNearDupPairsIvf(
+          e, 0.1, nCentroids = 8, nprobe = 4)))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+    // agreed pairs carry bit-identical 4dp cosines (shared packBlock fold)
+    ivf.foreach { case (k, c) =>
+      if (exact.contains(k)) assert(exact(k) == c, s"cos mismatch on $k")
+    }
+    val hits = ivf.count { case (k, _) => exact.contains(k) }
+    val recall = hits.toDouble / exact.size
+    info(f"contrastive IVF pair recall: $hits/${exact.size} ($recall%.3f)")
+    assert(recall >= 0.8, s"recall $recall below the clustered-data design gate")
+  }
+
   test("kmeansAssign is invariant under input partitioning") {
     val e = genEmbeddings(240, nClusters = 5, noise = 0.3)
     val a = PipelineOps.kmeansAssign(e.repartition(13), 4, 2)
