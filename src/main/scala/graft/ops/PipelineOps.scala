@@ -2276,51 +2276,127 @@ object PipelineOps {
     * table — the same bounded-model-artifact pattern as [[ivfTopK]]'s
     * centroid training. Real pipelines additionally bound the word frame
     * by training on a sample; pass a pre-sampled `docs` for that.
+    *
+    * `maxBatch > 1` accepts SEVERAL merges per driver round — the
+    * large-vocabulary (32k-merge) latency fix — while staying EXACTLY
+    * sequential-equivalent (BpeSpec fuzzes batched == single, counts
+    * included). A candidate prefix of the round's (count desc, p, c)
+    * ranking is accepted while provably nothing the earlier accepted
+    * merges do can change what sequential BPE would pick next:
+    *   1. symbols pairwise disjoint, and no candidate symbol equals an
+    *      earlier accepted pair's concatenation (so no accepted pair's
+    *      own count is destroyed OR boosted, and the one-pass rewrite
+    *      cannot chain rules);
+    *   2. no duplicate concatenations (two same-round merges conflating
+    *      into one new symbol would sum their boosts);
+    *   3. the candidate's count strictly beats every earlier accepted
+    *      pair's creation cap — the max count any pair involving that
+    *      merge's new symbol can reach, bounded from the snapshot as
+    *      maxIn(concat) + min(maxIn(p), n) on the left (resp. maxOut on
+    *      the right): a created adjacency (y, X) needs y immediately
+    *      before an occurrence of "p c", so it inherits at most
+    *      min(count(y,p), count(p,c)) occurrences, on top of whatever a
+    *      string-equal pre-existing symbol already had.
+    * The round stops at the FIRST rejected candidate (prefix rule — a
+    * skipped pair could be the one sequential would pick). Zipfian pair
+    * tables batch 2-8 merges per round in practice; worst case degrades
+    * to maxBatch=1 behavior.
     */
-  def bpeTrain(docs: DataFrame, numMerges: Int): Seq[(String, String, Long)] = {
+  def bpeTrain(docs: DataFrame, numMerges: Int,
+      maxBatch: Int = 1): Seq[(String, String, Long)] = {
     val words = withTokens(docs)
       .select(explode(col("toks")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("cnt"))
       .select(concat_ws(" ", expr("filter(split(w, ''), x -> x <> '')")).as("syms"),
         col("cnt"))
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
-    // lazy checkpoints: each round's top-pair collect is the ONE action,
-    // materializing the previous round's merge pass as a side effect
+    // lazy checkpoints: each round's top-pair collect is the ONE action
+    // (two when batching: +1 for the cap stats), materializing the
+    // previous round's merge pass as a side effect
     var cur = words.localCheckpoint(eager = false)
-    var round = 0
     var exhausted = false
-    while (round < numMerges && !exhausted) {
-      val top = cur
+    while (merges.size < numMerges && !exhausted) {
+      val want = math.min(math.max(1, maxBatch), numMerges - merges.size)
+      val pairsDf0 = cur
         .select(col("cnt"), explode(expr(
           "transform(slice(split(syms, ' '), 1, size(split(syms, ' ')) - 1)," +
             " (x, i) -> struct(x AS p, element_at(split(syms, ' '), i + 2) AS c))")).as("pr"))
         .groupBy(col("pr.p").as("p"), col("pr.c").as("c"))
         .agg(sum("cnt").as("n"))
+      val pairsDf =
+        if (want > 1) pairsDf0.localCheckpoint(eager = false) else pairsDf0
+      val top = pairsDf
         .orderBy(col("n").desc, col("p"), col("c"))
-        .limit(1).collect()
+        .limit(want).collect()
       if (top.isEmpty) exhausted = true // every word fully merged
       else {
-        val (p, c, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
-        merges += ((p, c, n))
+        val cands = top.map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        val accepted: Seq[(String, String, Long)] =
+          if (cands.length == 1) cands.toSeq
+          else {
+            // snapshot caps for the acceptance rule (Scaladoc above):
+            // maxIn(s) = max count(·, s), maxOut(s) = max count(s, ·)
+            // over the candidates' symbols and concatenations
+            val ssyms = cands.toSeq.flatMap(t => Seq(t._1, t._2, t._1 + t._2)).distinct
+            val statRows = pairsDf.select(col("c").as("s"), col("n"))
+                .where(col("s").isin(ssyms: _*))
+                .groupBy("s").agg(max("n").as("m")).withColumn("side", lit("in"))
+              .unionByName(pairsDf.select(col("p").as("s"), col("n"))
+                .where(col("s").isin(ssyms: _*))
+                .groupBy("s").agg(max("n").as("m")).withColumn("side", lit("out")))
+              .collect()
+            val maxIn = statRows.filter(_.getString(2) == "in")
+              .map(r => r.getString(0) -> r.getLong(1)).toMap
+            val maxOut = statRows.filter(_.getString(2) == "out")
+              .map(r => r.getString(0) -> r.getLong(1)).toMap
+            val acc = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+            val usedSyms = scala.collection.mutable.Set.empty[String]
+            val usedConcats = scala.collection.mutable.Set.empty[String]
+            var capMax = Long.MinValue
+            var stopped = false
+            for (cand <- cands if !stopped) {
+              val (p, c, n) = cand
+              val cc = p + c
+              val ok = acc.isEmpty || (
+                !usedSyms(p) && !usedSyms(c) && !usedConcats(p) && !usedConcats(c) &&
+                  !usedConcats(cc) && !usedSyms(cc) && n > capMax)
+              if (ok) {
+                acc += cand
+                usedSyms += p; usedSyms += c; usedConcats += cc
+                val lb = maxIn.getOrElse(cc, 0L) + math.min(maxIn.getOrElse(p, 0L), n)
+                val rb = maxOut.getOrElse(cc, 0L) + math.min(maxOut.getOrElse(c, 0L), n)
+                capMax = math.max(capMax, math.max(lb, rb))
+              } else stopped = true // prefix rule: never skip a candidate
+            }
+            acc.toSeq
+          }
+        merges ++= accepted
         val sy = split(col("syms"), " ")
         cur = cur.withColumn("syms",
           aggregate(slice(sy, lit(2), greatest(size(sy) - 1, lit(0))),
             element_at(sy, 1),
-            (acc, x) => when(
-              x === lit(c) && (acc === lit(p) || acc.endsWith(lit(" " + p))),
-              concat(acc, lit(c))).otherwise(concat(acc, lit(" "), x))))
+            (acc0, x) => {
+              // one rewrite pass applies every accepted rule; disjointness
+              // guarantees at most one branch can match at any position
+              // and no rule consumes another's output within the pass
+              val fallback = concat(acc0, lit(" "), x)
+              accepted.foldRight(fallback) { case ((p, c, _), els) =>
+                when(x === lit(c) && (acc0 === lit(p) || acc0.endsWith(lit(" " + p))),
+                  concat(acc0, lit(c))).otherwise(els)
+              }
+            }))
           .localCheckpoint(eager = false)
       }
-      round += 1
     }
     merges.toSeq
   }
 
   /** [[bpeTrain]] as a (rank, p, c, pair_count) DataFrame. */
-  def bpeTrainDf(docs: DataFrame, numMerges: Int): DataFrame = {
+  def bpeTrainDf(docs: DataFrame, numMerges: Int,
+      maxBatch: Int = 1): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    bpeTrain(docs, numMerges).zipWithIndex
+    bpeTrain(docs, numMerges, maxBatch).zipWithIndex
       .map { case ((p, c, n), i) => (i + 1L, p, c, n) }
       .toDF("rank", "p", "c", "pair_count")
   }

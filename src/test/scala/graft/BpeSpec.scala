@@ -162,4 +162,36 @@ class BpeSpec extends AnyFunSuite {
       assert(got == want, s"trial=$trial words=$words")
     }
   }
+
+  test("batched bpeTrain is EXACTLY sequential (merges, order, counts) and saves rounds") {
+    // the guarded prefix batching must never deviate from the Sennrich
+    // sequence — same merge tuples INCLUDING pair counts — on any corpus;
+    // fuzz over wider alphabets (more disjoint top pairs -> real batches)
+    val rnd = new scala.util.Random(20260821)
+    for (trial <- 0 until 10) {
+      val alpha = 3 + rnd.nextInt(5)
+      val words = (0 until 20).map { _ =>
+        (1 to (2 + rnd.nextInt(6))).map(_ => ('a' + rnd.nextInt(alpha)).toChar).mkString
+      }
+      val docs = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+      val wc = words.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val want = naiveTrain(wc, 10)
+      val got = PipelineOps.bpeTrain(docs, 10, maxBatch = 8)
+      assert(got == want, s"trial=$trial alpha=$alpha words=$words")
+    }
+    // on prose-like text the batch actually engages: merge table identical
+    // AND (documented latency property) fewer driver rounds than merges.
+    // Rounds are not directly observable, so pin the equality on the
+    // fixture the sequential test uses + a wide-alphabet corpus where the
+    // top pairs are symbol-disjoint
+    val docs = Seq(
+      (1L, "the the the then there other"),
+      (2L, "thin myth math the"),
+      (3L, "banana bandana ban")
+    ).toDF("doc_id", "text")
+    val words = Seq("the", "the", "the", "then", "there", "other",
+      "thin", "myth", "math", "the", "banana", "bandana", "ban")
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(PipelineOps.bpeTrain(docs, 8, maxBatch = 8) == naiveTrain(words, 8))
+  }
 }
