@@ -293,6 +293,19 @@ object ExplainProbe {
       s"shuffles = ${"Exchange".r.findAllIn(ipPlan).size} " +
       "(want <=3: cell groupBy + the assignment join sides)")
 
+    println("==== contrastive candidate path (nprobe fan-out pairs -> exact " +
+      "rescore joins; candidate-sized frames only, no cartesian, no " +
+      "unpartitioned corpus window) ====")
+    val cpc = graft.ops.PipelineOps.contrastivePairs(emb, 2, 0.3, 0.9, 2, 0.1, 0.3,
+      candidatePairs = Some(
+        graft.ops.PipelineOps.embeddingNearDupPairsIvf(emb, 0.1, 16, nprobe = 4)))
+    val cpcPlan = cpc.queryExecution.executedPlan.toString
+    println(s"contrastive-ivf: Cartesian = ${cpcPlan.contains("Cartesian")} (want false), " +
+      s"nested-loops = ${"BroadcastNestedLoop".r.findAllIn(cpcPlan).size} " +
+      "(want 0: probe-member blocks pair on cell-id EQUALITY, a hash join — " +
+      "unlike knnGraph's bid<=bid), rank window partitioned = " +
+      s"${cpcPlan.contains("hashpartitioning(vec_id")} (want true)")
+
     println("==== clusterAgreementStats (doc-sized equi-join + label groupBy; " +
       "final 1-row crossJoin is an explicit broadcast) ====")
     val sd = graft.ops.PipelineOps.semDedup(emb, 0.35)
