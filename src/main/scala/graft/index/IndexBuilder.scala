@@ -55,6 +55,17 @@ final case class IndexConfig(
       * settings below the band behave exactly as before.
       */
     arenaBandDocs: Int = 150000,
+    /** Byte-denominated companion to [[arenaBandDocs]]: a chunk also cuts
+      * when its accumulated analyzed-text bytes reach this budget, so the
+      * guard is corpus-shape-independent — a corpus of 10× longer docs
+      * cuts 10× smaller (by count) segments instead of GC-thrashing inside
+      * the doc-count band. Default 80 MiB ≈ the doc-count band at the
+      * benchmark geometry (150k docs × ~550 chars), so the two bands agree
+      * where the doc-count band was calibrated and the bytes band takes
+      * over for longer-doc corpora. The effective cut is whichever band
+      * fills first; `Long.MaxValue` disables.
+      */
+    arenaBandBytes: Long = 80L << 20,
     storePositions: Boolean = true,
     /** Numeric columns indexed as TYPED terms: each value becomes one
       * order-preserving `TypedTerms.encodeLong` term in the field's own term
@@ -289,8 +300,15 @@ object IndexBuilder {
     val postings = parted.mapPartitions { it =>
       val cfg = bcCfg.value
       val pid = TaskContext.getPartitionId()
-      chunked(it, math.min(cfg.maxDocsPerSegment, cfg.arenaBandDocs))
+      chunked(it, math.min(cfg.maxDocsPerSegment, cfg.arenaBandDocs),
+          cfg.arenaBandBytes)
         .zipWithIndex.flatMap { case (chunk, ci) =>
+        // segment-id layout allots ChunksPerPartition ids per partition; a
+        // partition overflowing it would silently collide with the next
+        // partition's id range (and break cleanUnfinished's range math)
+        require(ci < ChunksPerPartition,
+          s"partition $pid produced more than $ChunksPerPartition segments " +
+            "(raise numPartitions or maxDocsPerSegment/arenaBandDocs)")
         val segId = bcBase.value + pid * ChunksPerPartition + ci
         if (bcDone.value.contains(segId)) Iterator.empty
         else buildSegment(segId, chunk, cfg).map { row =>
@@ -353,16 +371,44 @@ object IndexBuilder {
     manifest
   }
 
-  /** Lazily split an iterator into chunks of at most `size` docs. */
-  private def chunked(it: Iterator[InDoc], chunkSize: Int): Iterator[Seq[InDoc]] =
+  /** Lazily split an iterator into chunks of at most `size` docs AND at most
+    * ~`byteBudget` analyzed-text bytes (whichever band fills first; always at
+    * least one doc per chunk, so a single over-budget doc still indexes).
+    */
+  private def chunked(it: Iterator[InDoc], chunkSize: Int,
+      byteBudget: Long): Iterator[Seq[InDoc]] =
     new Iterator[Seq[InDoc]] {
       def hasNext: Boolean = it.hasNext
       def next(): Seq[InDoc] = {
         val buf = new scala.collection.mutable.ArrayBuffer[InDoc](math.min(chunkSize, 1 << 16))
-        while (it.hasNext && buf.length < chunkSize) buf += it.next()
+        var bytes = 0L
+        while (it.hasNext && buf.length < chunkSize && bytes < byteBudget) {
+          val d = it.next()
+          buf += d
+          bytes += docTextBytes(d)
+        }
         buf.toSeq
       }
     }
+
+  /** Analyzed-text size of one input doc (chars ≈ bytes for the guard's
+    * purpose): main text plus multi-valued text plus extra text fields —
+    * the inputs whose token arenas dominate build memory.
+    */
+  private def docTextBytes(d: InDoc): Long = {
+    var n = if (d.text != null) d.text.length.toLong else 0L
+    if (d.textVals != null) {
+      val i = d.textVals.iterator
+      while (i.hasNext) { val v = i.next(); if (v != null) n += v.length }
+    }
+    if (d.texts != null)
+      d.texts.valuesIterator.foreach(v => if (v != null) n += v.length)
+    if (d.preToks != null) {
+      val i = d.preToks.iterator
+      while (i.hasNext) { val v = i.next(); if (v != null) n += v.length + 1 }
+    }
+    n
+  }
 
   /** Growable int buffer for posting accumulation. */
   private final class IntVec(initial: Int = 8) {

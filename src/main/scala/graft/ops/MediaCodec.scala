@@ -577,7 +577,9 @@ object MediaCodec {
         val len = le32(bytes, i + 4)
         require(len >= 0, s"negative RIFF chunk length $len at offset $i")
         val body = i + 8
-        val bodyEnd = math.min(body + len, end)
+        // Long arithmetic: body + len can wrap Int for hostile len values,
+        // which would make the bounds checks below spuriously pass
+        val bodyEnd = math.min(body.toLong + len, end.toLong).toInt
         id match {
           case "LIST" =>
             if (body + 4 <= bodyEnd) {
@@ -591,13 +593,13 @@ object MediaCodec {
             cw = le32(bytes, body + 32)
             ch = le32(bytes, body + 36)
           case cc if cc.length == 4 && (cc.endsWith("dc") || cc.endsWith("db")) =>
-            if (len > 0 && body + len <= end)
+            if (len > 0 && body.toLong + len <= end)
               frames += decodeJavax(java.util.Arrays.copyOfRange(bytes, body, body + len))
           case _ => // strh/strf/idx1/JUNK: not needed for decode
         }
-        val next = body + len + (len & 1)
-        require(next > i, s"RIFF cursor failed to advance at offset $i")
-        i = next
+        val nextL = body.toLong + len + (len & 1)
+        require(nextL > i, s"RIFF cursor failed to advance at offset $i")
+        i = math.min(nextL, end.toLong).toInt
       }
     }
     walk(12, math.min(bytes.length, 8 + le32(bytes, 4)))

@@ -307,11 +307,32 @@ FROM fp JOIN canon ON fp.fp = canon.fp"""
   private val shinglesCte =
     s"""$T, s AS (SELECT doc_id, list_distinct($ShinglesExprDuck) AS sh FROM t)"""
 
+  /** Exact Jaccard pairs via the SAME AllPairs/PPJoin prefix filtering the
+    * Spark op uses (any global shingle total order is valid — here
+    * (df asc, shingle asc) vs the op's (df asc, hash asc) — so candidate
+    * sets differ but verified output is identical by the AllPairs theorem).
+    * Sub-quadratic BY FORMULATION, so the 20×-docs staged pass replays it
+    * inside budget (the old all-pairs CTE was the pass's one TIMEOUT);
+    * verified row-identical to the all-pairs form at sf0.001/sf0.01.
+    */
   def jaccardPairs(threshold: Double): String =
     s"""WITH $shinglesCte,
-p AS (SELECT a.doc_id AS ia, b.doc_id AS ib,
-  len(list_intersect(a.sh, b.sh)) * 1.0 / len(list_distinct(list_concat(a.sh, b.sh))) AS j
-  FROM s a JOIN s b ON a.doc_id < b.doc_id)
+ex AS (SELECT doc_id, unnest(sh) AS tok FROM s),
+dfq AS (SELECT tok, count(*) AS df FROM ex GROUP BY tok),
+ordq AS (SELECT e.doc_id, e.tok,
+    row_number() OVER (PARTITION BY e.doc_id ORDER BY d.df, e.tok) AS pos,
+    count(*) OVER (PARTITION BY e.doc_id) AS sz
+  FROM ex e JOIN dfq d ON e.tok = d.tok),
+pref AS (SELECT doc_id, tok, pos, sz FROM ordq
+  WHERE pos <= sz - ceil(sz * $threshold) + 1),
+cand AS (SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+  FROM pref a JOIN pref b ON a.tok = b.tok AND a.doc_id < b.doc_id
+    AND a.sz >= ceil(b.sz * $threshold) AND b.sz >= ceil(a.sz * $threshold)
+    AND 1 + least(a.sz - a.pos, b.sz - b.pos)
+      >= ceil((a.sz + b.sz) * ($threshold/(1+$threshold)))),
+p AS (SELECT cand.ia, cand.ib,
+  len(list_intersect(sa.sh, sb.sh)) * 1.0 / len(list_distinct(list_concat(sa.sh, sb.sh))) AS j
+  FROM cand JOIN s sa ON cand.ia = sa.doc_id JOIN s sb ON cand.ib = sb.doc_id)
 SELECT ia, ib, round(j, 4) AS jaccard FROM p WHERE j >= $threshold"""
 
   def minhashPairs(threshold: Double): String = {

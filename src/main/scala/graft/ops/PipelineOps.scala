@@ -2292,11 +2292,21 @@ object PipelineOps {
     *   3. the candidate's count strictly beats every earlier accepted
     *      pair's creation cap — the max count any pair involving that
     *      merge's new symbol can reach, bounded from the snapshot as
-    *      maxIn(concat) + min(maxIn(p), n) on the left (resp. maxOut on
-    *      the right): a created adjacency (y, X) needs y immediately
-    *      before an occurrence of "p c", so it inherits at most
-    *      min(count(y,p), count(p,c)) occurrences, on top of whatever a
-    *      string-equal pre-existing symbol already had.
+    *      min(maxIn(p), n) on the left (resp. min(maxOut(c), n) on the
+    *      right): a created adjacency (y, X) needs y immediately before
+    *      an occurrence of "p c", so it inherits at most
+    *      min(count(y,p), count(p,c)) occurrences; the self-pair (X,X)
+    *      needs "p c p c", whose middle adjacency (c,p) bounds it by the
+    *      same left cap.
+    *   4. the candidate's concatenation must NOT already exist as a
+    *      symbol in the snapshot (maxIn(cc) == 0 and maxOut(cc) == 0):
+    *      if a string-equal symbol S pre-exists, a created pair such as
+    *      (X,X) sums contributions from the (S,S), (S,merged),
+    *      (merged,S) and (merged,merged) routes, which can reach
+    *      ~left+right — no per-side cap is sound, so the batch accepts
+    *      nothing after such a merge. The batch HEAD may still carry a
+    *      pre-existing concat (it is sequential's literal next pick);
+    *      it then closes the round by itself.
     * The round stops at the FIRST rejected candidate (prefix rule — a
     * skipped pair could be the one sequential would pick). Zipfian pair
     * tables batch 2-8 merges per round in practice; worst case degrades
@@ -2349,26 +2359,7 @@ object PipelineOps {
               .map(r => r.getString(0) -> r.getLong(1)).toMap
             val maxOut = statRows.filter(_.getString(2) == "out")
               .map(r => r.getString(0) -> r.getLong(1)).toMap
-            val acc = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
-            val usedSyms = scala.collection.mutable.Set.empty[String]
-            val usedConcats = scala.collection.mutable.Set.empty[String]
-            var capMax = Long.MinValue
-            var stopped = false
-            for (cand <- cands if !stopped) {
-              val (p, c, n) = cand
-              val cc = p + c
-              val ok = acc.isEmpty || (
-                !usedSyms(p) && !usedSyms(c) && !usedConcats(p) && !usedConcats(c) &&
-                  !usedConcats(cc) && !usedSyms(cc) && n > capMax)
-              if (ok) {
-                acc += cand
-                usedSyms += p; usedSyms += c; usedConcats += cc
-                val lb = maxIn.getOrElse(cc, 0L) + math.min(maxIn.getOrElse(p, 0L), n)
-                val rb = maxOut.getOrElse(cc, 0L) + math.min(maxOut.getOrElse(c, 0L), n)
-                capMax = math.max(capMax, math.max(lb, rb))
-              } else stopped = true // prefix rule: never skip a candidate
-            }
-            acc.toSeq
+            bpeAcceptBatch(cands.toSeq, maxIn, maxOut)
           }
         merges ++= accepted
         val sy = split(col("syms"), " ")
@@ -2389,6 +2380,47 @@ object PipelineOps {
       }
     }
     merges.toSeq
+  }
+
+  /** Batch-acceptance rule for [[bpeTrain]] (Scaladoc rules 1-4 there):
+    * returns the provably sequential-equivalent PREFIX of one round's
+    * ranked candidates, given snapshot per-symbol pair-count caps
+    * (`maxIn(s)` = max count of any pair (·,s), `maxOut(s)` = max count of
+    * (s,·), over the candidates' symbols and concatenations). Pure —
+    * package-private so BpeSpec can fuzz the rule itself at volume
+    * (adversarial tie/cascade/conflation corpora) without a Spark round
+    * per trial; [[bpeTrain]] is the only production caller.
+    */
+  private[graft] def bpeAcceptBatch(cands: Seq[(String, String, Long)],
+      maxIn: Map[String, Long],
+      maxOut: Map[String, Long]): Seq[(String, String, Long)] = {
+    val acc = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    val usedSyms = scala.collection.mutable.Set.empty[String]
+    val usedConcats = scala.collection.mutable.Set.empty[String]
+    var capMax = Long.MinValue
+    var stopped = false
+    for (cand <- cands if !stopped) {
+      val (p, c, n) = cand
+      val cc = p + c
+      // rule 4 (bpeTrain Scaladoc): a pre-existing symbol string-equal to
+      // the concat conflates created-pair routes and voids the per-side
+      // caps — only the batch head may carry one
+      val ccPre = maxIn.getOrElse(cc, 0L) > 0L || maxOut.getOrElse(cc, 0L) > 0L
+      val ok = acc.isEmpty || (
+        !usedSyms(p) && !usedSyms(c) && !usedConcats(p) && !usedConcats(c) &&
+          !usedConcats(cc) && !usedSyms(cc) && !ccPre && n > capMax)
+      if (ok) {
+        acc += cand
+        usedSyms += p; usedSyms += c; usedConcats += cc
+        if (ccPre) capMax = Long.MaxValue // head-only: close the round
+        else {
+          val lb = math.min(maxIn.getOrElse(p, 0L), n)
+          val rb = math.min(maxOut.getOrElse(c, 0L), n)
+          capMax = math.max(capMax, math.max(lb, rb))
+        }
+      } else stopped = true // prefix rule: never skip a candidate
+    }
+    acc.toSeq
   }
 
   /** [[bpeTrain]] as a (rank, p, c, pair_count) DataFrame. */
@@ -2447,9 +2479,17 @@ object PipelineOps {
     * slice's fingerprints, so shuffle volume ON BOTH SIDES scales with
     * the dup rate, not the batch or corpus size. Same result as the plain
     * anti-join, bit for bit; the filter and the fp semi-join only route.
+    *
+    * `broadcastHitFps = false` is the escape hatch for the pathological
+    * increment (re-ingesting a near-copy of the corpus): the hit-fp set is
+    * then corpus-sized and would blow the driver broadcast, so the fp
+    * semi-join runs as a shuffle join instead — still fp-sized bytes on
+    * the wire, never corpus text (the [[dsirWeights]] `broadcastLm=false`
+    * pattern). Output is identical on both paths.
     */
   def bloomNewDocs(newDocs: DataFrame, corpus: DataFrame,
-      expectedItems: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
+      expectedItems: Long = 1000000L, fpp: Double = 0.01,
+      broadcastHitFps: Boolean = true): DataFrame = {
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
     import org.apache.spark.sql.graftshim.ColumnShim
     val bf = corpus.select(xxhash64(col("text")).as("fp"))
@@ -2471,9 +2511,11 @@ object PipelineOps {
     // Only fp-colliding corpus rows (true dups + the bloom's fpp worth
     // of 64-bit collisions) surface their text into the exact anti-join.
     val hits = fpNew.where(might)
+    val hitFps = hits.select(col("fp")).distinct()
     val collidingTexts = corpus
       .select(col("text"), xxhash64(col("text")).as("fp"))
-      .join(broadcast(hits.select(col("fp")).distinct()), Seq("fp"), "left_semi")
+      .join(if (broadcastHitFps) broadcast(hitFps) else hitFps,
+        Seq("fp"), "left_semi")
       .select(col("text")).distinct()
     val verifiedNew = hits.join(collidingTexts, Seq("text"), "left_anti")
     definiteNew.select("doc_id").unionByName(verifiedNew.select("doc_id"))

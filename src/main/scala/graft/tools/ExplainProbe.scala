@@ -131,6 +131,15 @@ object ExplainProbe {
       s"anti join present = ${blPlan.contains("LeftAnti")}, " +
       s"corpus fp-pruned (broadcast semi-join) = ${
         blPlan.contains("LeftSemi") && blPlan.contains("BroadcastHashJoin")}")
+    // escape hatch (broadcastHitFps=false): the hit-fp semi-join must lose
+    // its broadcast hint so a corpus-sized hit slice shuffles instead of
+    // blowing the driver (the physical join may still broadcast at this
+    // toy scale — assert the hint, the part the flag controls)
+    val blShuf = graft.ops.PipelineOps.bloomNewDocs(newB, docsDf, 1000L, 0.01,
+      broadcastHitFps = false)
+    println(s"bloom escape hatch: broadcast hint dropped = ${
+      !blShuf.queryExecution.analyzed.toString.contains("ResolvedHint")}, " +
+      s"semi-join kept = ${blShuf.queryExecution.executedPlan.toString.contains("LeftSemi")}")
 
     println("==== gopher / c4 rule batteries (single codegen map, no shuffle) ====")
     val gq = graft.ops.PipelineOps.gopherQuality(docsDf)

@@ -52,4 +52,39 @@ class ArenaGuardSpec extends AnyFunSuite {
     assert(sA.topDocs(q, 10).map(h => (h.url, h.score)).toList ==
       sB.topDocs(q, 10).map(h => (h.url, h.score)).toList)
   }
+
+  test("long-doc geometry splits on BYTES: few huge docs cut under the doc band") {
+    import org.apache.spark.sql.functions._
+    // 40 docs of ~33 KB each (60x-repeated corpus text): the 150k-doc count
+    // band is inert here, but the arenas are exactly the shape that
+    // GC-thrashed window A — the bytes band must cut them
+    val docs = WebCorpus.generate(spark, 40L, 7).toDF()
+      .withColumn("text", concat_ws(" ", array_repeat(col("text"), 60)))
+
+    val dirA = java.nio.file.Files.createTempDirectory("graft-arena-long-a").toString
+    val mA = IndexBuilder.build(spark, docs, dirA,
+      IndexConfig(numPartitions = 1, arenaBandDocs = 1000,
+        arenaBandBytes = 100000L))
+    assert(mA.segments.size >= 8,
+      s"bytes band must cut huge-doc arenas: ${mA.segments.size} segments")
+    // each chunk stops within one doc of the byte budget: <= ceil(100k/33k)+1
+    assert(mA.segments.forall(_.numDocs <= 5),
+      s"per-segment doc counts bytes-derived: ${mA.segments.map(_.numDocs)}")
+    assert(mA.totalDocs == 40L)
+
+    // bytes band disabled -> doc band alone governs (one segment here)
+    val dirB = java.nio.file.Files.createTempDirectory("graft-arena-long-b").toString
+    val mB = IndexBuilder.build(spark, docs, dirB,
+      IndexConfig(numPartitions = 1, arenaBandDocs = 1000,
+        arenaBandBytes = Long.MaxValue))
+    assert(mB.segments.size == 1)
+
+    // segment geometry must not change results
+    val q = Query.Term("text", "alpha")
+    val sA = new Searcher(spark, dirA)
+    val sB = new Searcher(spark, dirB)
+    assert(sA.count(q) == sB.count(q))
+    assert(sA.topDocs(q, 10).map(h => (h.url, h.score)).toList ==
+      sB.topDocs(q, 10).map(h => (h.url, h.score)).toList)
+  }
 }

@@ -584,11 +584,22 @@ class CurationSpec extends AnyFunSuite {
       .select("doc_id").as[Long].collect().toSet
     assert(expected == (0L until 100L).map(_ + 20000L).toSet)
     // saturated filter (high fpp) and sane filter must both return the
-    // exact anti-join: the Bloom pass only routes, never decides
-    for (fpp <- Seq(0.5, 0.01)) {
-      val got = PipelineOps.bloomNewDocs(newB, corpus, 500L, fpp)
-        .as[Long].collect().toSet
-      assert(got == expected, s"fpp=$fpp")
+    // exact anti-join, on BOTH hit-fp join paths: the Bloom pass and the
+    // broadcast-vs-shuffle semi-join choice only route, never decide
+    for (fpp <- Seq(0.5, 0.01); bcast <- Seq(true, false)) {
+      val df = PipelineOps.bloomNewDocs(newB, corpus, 500L, fpp,
+        broadcastHitFps = bcast)
+      val got = df.as[Long].collect().toSet
+      assert(got == expected, s"fpp=$fpp bcast=$bcast")
+      // the escape hatch must actually change the requested strategy: the
+      // hit-fp frame carries the broadcast hint iff broadcastHitFps (the
+      // physical join at this toy scale may broadcast either way via AQE
+      // size estimation, so assert the hint, not the executed operator)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("LeftSemi"), s"fpp=$fpp bcast=$bcast: no semi-join")
+      val hinted = df.queryExecution.analyzed.toString.contains("ResolvedHint")
+      assert(hinted == bcast,
+        s"broadcastHitFps=$bcast but broadcast hint present=$hinted")
     }
   }
 

@@ -17,6 +17,7 @@ import multiprocessing as mp
 import os
 import queue as queue_mod
 import sys
+import time
 
 
 def canon(rows, cols):
@@ -79,18 +80,29 @@ def main():
         q = mp.Queue()
         p = mp.Process(target=run_one, args=(outdir, sfdir, name, sql, q))
         p.start()
-        try:
-            status, msg = q.get(timeout=budget)
-            print(f"{status}  {name} ({msg})", flush=True)
-            counts[status] += 1
-            p.join(30)
-            if p.is_alive():
-                p.kill(); p.join()
-        except queue_mod.Empty:
-            p.kill()
-            p.join()
-            print(f"TIMEOUT {name}: oracle exceeded {budget}s", flush=True)
-            counts["TIMEOUT"] += 1
+        # Poll the queue in 1 s slices so a child that DIES without posting
+        # (duckdb import error, segfault, OOM-kill) is reported as FAIL
+        # (crash) immediately — not mis-counted as a non-failing TIMEOUT
+        # after the full budget.
+        deadline = time.monotonic() + budget
+        status = msg = None
+        while status is None:
+            try:
+                status, msg = q.get(timeout=1.0)
+            except queue_mod.Empty:
+                if not p.is_alive():
+                    try:  # drain race: child may exit right after posting
+                        status, msg = q.get(timeout=1.0)
+                    except queue_mod.Empty:
+                        status = "FAIL"
+                        msg = f"oracle subprocess crashed (exitcode {p.exitcode})"
+                elif time.monotonic() >= deadline:
+                    status, msg = "TIMEOUT", f"oracle exceeded {budget}s"
+        p.join(30)
+        if p.is_alive():
+            p.kill(); p.join()
+        print(f"{status}  {name} ({msg})", flush=True)
+        counts[status] += 1
     print(f"\n{counts['PASS']} pass, {counts['FAIL']} fail, "
           f"{counts['MISS']} missing, {counts['TIMEOUT']} timeout "
           f"({len(skip)} skipped)")
