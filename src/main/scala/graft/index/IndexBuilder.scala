@@ -349,6 +349,21 @@ object IndexBuilder {
       }
     val metas = (priorSegs ++ fresh).sortBy(_.segment)
 
+    // Derived heap sizing (BENCH.md r4 guard windows): each concurrent
+    // build task holds one posting arena whose live set is a large multiple
+    // of its analyzed-text bytes — 10M-doc runs measured 2 GiB/task
+    // DEGRADED (eff 0.725) and 8 GiB/task green for ~84 MiB-text arenas.
+    // Estimate the largest arena from the measured token counts
+    // (~7 bytes/token incl. separators) and surface the remaining
+    // deployment parameter as a manifest warning when heap-per-task sits
+    // below 48x that estimate (between the measured red 24x and green
+    // ~100x points) — the warning cannot fail a build, only record that
+    // this heap/concurrency pairing measured degraded at scale.
+    val maxSegTokens = if (metas.isEmpty) 0L else metas.map(_.totalTokens).max
+    val warnings = heapWarning(maxSegTokens,
+      math.min(spark.sparkContext.defaultParallelism, metas.size),
+      Runtime.getRuntime.maxMemory()).toSeq
+
     val manifest = IndexManifest(
       version = IndexManifest.FormatVersion,
       commitSeq = newCommitSeq,
@@ -366,9 +381,33 @@ object IndexBuilder {
         cfg.fastStringArrayFields.map(FastField(_, "strings")),
       textAnalyzer = cfg.textAnalyzer,
       textFields = cfg.textFields,
-      textFieldAnalyzers = cfg.textFieldAnalyzers)
+      textFieldAnalyzers = cfg.textFieldAnalyzers,
+      warnings = warnings)
+    warnings.foreach(w => println(s"[graft-build WARN] $w"))
     IndexManifest.write(spark, indexDir, manifest)
     manifest
+  }
+
+  /** Derived heap-to-arena sizing rule (pure — ArenaGuardSpec pins it at
+    * the measured 10M-window geometries): estimate the largest posting
+    * arena's analyzed-text bytes from its token count (~7 bytes/token incl.
+    * separators) and advise when heap-per-concurrent-task is under 48x
+    * that — between the measured red point (2 GiB/task at a ~84 MiB arena,
+    * build eff 0.725, BENCH.md r4 guard-1) and the measured green one
+    * (8 GiB/task, eff 0.878+, guard-3 / window B). Advisory only.
+    */
+  private[graft] def heapWarning(maxSegTokens: Long, concurrency: Int,
+      heapBytes: Long): Option[String] = {
+    val estArenaBytes = maxSegTokens * 7L
+    val conc = math.max(1, concurrency)
+    val heapPerTask = heapBytes / conc
+    if (estArenaBytes > 0 && heapPerTask < 48L * estArenaBytes)
+      Some(s"heap/task ${heapPerTask >> 20} MiB < 48x the largest segment " +
+        s"arena (~${estArenaBytes >> 20} MiB analyzed text, " +
+        s"$conc concurrent tasks): 10M-doc windows measured degraded " +
+        "4-core build efficiency below this band (BENCH.md r4 guard-1) — " +
+        "raise executor heap or lower arenaBandDocs/arenaBandBytes")
+    else None
   }
 
   /** Lazily split an iterator into chunks of at most `size` docs AND at most

@@ -146,7 +146,12 @@ final case class IndexManifest(
       * manifest.textFieldAnalyzers)` keeps query-side analysis in step.
       */
     textFields: Seq[String] = Nil,
-    textFieldAnalyzers: Map[String, String] = Map.empty) {
+    textFieldAnalyzers: Map[String, String] = Map.empty,
+    /** Build-time advisories (never fatal): currently the derived
+      * heap-to-arena sizing check — see IndexBuilder's manifest assembly.
+      * Absent in pre-v8 manifests; json4s fills the default.
+      */
+    warnings: Seq[String] = Nil) {
   def totalDocs: Long = segments.map(_.numDocs.toLong).sum
   def totalTokens: Long = segments.map(_.totalTokens).sum
   def segmentIds: Seq[Int] = segments.map(_.segment)

@@ -2313,7 +2313,12 @@ object PipelineOps {
     * to maxBatch=1 behavior.
     */
   def bpeTrain(docs: DataFrame, numMerges: Int,
-      maxBatch: Int = 1): Seq[(String, String, Long)] = {
+      maxBatch: Int = 1,
+      /** observability hook: called once per driver round with the number
+        * of merges that round accepted (BpeProbe's merges/round metric) —
+        * never affects the result
+        */
+      onRound: Int => Unit = _ => ()): Seq[(String, String, Long)] = {
     val words = withTokens(docs)
       .select(explode(col("toks")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("cnt"))
@@ -2362,6 +2367,7 @@ object PipelineOps {
             bpeAcceptBatch(cands.toSeq, maxIn, maxOut)
           }
         merges ++= accepted
+        onRound(accepted.size)
         val sy = split(col("syms"), " ")
         cur = cur.withColumn("syms",
           aggregate(slice(sy, lit(2), greatest(size(sy) - 1, lit(0))),

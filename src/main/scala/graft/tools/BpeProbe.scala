@@ -5,12 +5,21 @@ import graft.ops.PipelineOps
 
 /** Measures the batched-BPE latency win and pins batched == sequential on
   * real corpus text. Usage: BpeProbe <sfDir> <numMerges> [maxBatch]
+  * [skipSequential]
+  *
+  * `skipSequential=1` times only the batched side and reports the measured
+  * rounds + merges/round distribution — the deep-vocabulary (≥2k merges)
+  * mode, where running the 1-merge-per-round sequential twin at the same
+  * depth is the very cost the batching removes (exactness at depth is
+  * carried by the acceptance rule's fuzz + the sequential-parity runs at
+  * lower depth and smaller SFs).
   */
 object BpeProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val numMerges = args(1).toInt
     val maxBatch = if (args.length > 2) args(2).toInt else 8
+    val skipSeq = args.length > 3 && args(3) == "1"
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -21,12 +30,19 @@ object BpeProbe {
     def timed[T](f: => T): (T, Double) = {
       val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
     }
-    val (seq, tSeq) = timed(PipelineOps.bpeTrain(docs, numMerges))
-    val (bat, tBat) = timed(PipelineOps.bpeTrain(docs, numMerges, maxBatch = maxBatch))
-    println(f"[bpe] sequential: ${seq.size} merges in $tSeq%.1f s")
-    println(f"[bpe] batch=$maxBatch:  ${bat.size} merges in $tBat%.1f s " +
-      f"(${tSeq / tBat}%.2fx)")
-    println(s"[bpe] identical merge tables (incl. counts): ${seq == bat}")
+    val rounds = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val (bat, tBat) = timed(PipelineOps.bpeTrain(docs, numMerges,
+      maxBatch = maxBatch, onRound = rounds += _))
+    println(f"[bpe] batch=$maxBatch:  ${bat.size} merges in $tBat%.1f s over " +
+      f"${rounds.size} rounds (${bat.size.toDouble / rounds.size}%.2f merges/round; " +
+      f"round sizes min=${rounds.min} p50=${rounds.sorted.apply(rounds.size / 2)} " +
+      s"max=${rounds.max})")
+    if (!skipSeq) {
+      val (seq, tSeq) = timed(PipelineOps.bpeTrain(docs, numMerges))
+      println(f"[bpe] sequential: ${seq.size} merges in $tSeq%.1f s " +
+        f"(batched ${tSeq / tBat}%.2fx faster)")
+      println(s"[bpe] identical merge tables (incl. counts): ${seq == bat}")
+    }
     spark.stop()
   }
 }

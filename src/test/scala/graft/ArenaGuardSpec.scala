@@ -86,5 +86,21 @@ class ArenaGuardSpec extends AnyFunSuite {
     assert(sA.count(q) == sB.count(q))
     assert(sA.topDocs(q, 10).map(h => (h.url, h.score)).toList ==
       sB.topDocs(q, 10).map(h => (h.url, h.score)).toList)
+    // small builds sit far inside the heap band: no advisory recorded
+    assert(mA.warnings.isEmpty && mB.warnings.isEmpty)
+  }
+
+  test("derived heap sizing advisory fires at the measured guard-1 geometry") {
+    // guard-1 (BENCH.md r4): 150k-doc band arenas ≈ 12M tokens of analyzed
+    // text, 4 concurrent tasks, 8 GiB heap -> 2 GiB/task, measured build
+    // eff 0.725 — the rule must advise here…
+    val red = IndexBuilder.heapWarning(
+      maxSegTokens = 12000000L, concurrency = 4, heapBytes = 8L << 30)
+    assert(red.isDefined, "guard-1 geometry must produce the advisory")
+    assert(red.get.contains("48x"))
+    // …and stay quiet at window B / guard-3 (32 GiB, 4 tasks -> 8 GiB/task,
+    // measured dual-green), and for any empty build
+    assert(IndexBuilder.heapWarning(12000000L, 4, 32L << 30).isEmpty)
+    assert(IndexBuilder.heapWarning(0L, 4, 8L << 30).isEmpty)
   }
 }

@@ -172,6 +172,44 @@ class RecallGateSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"recall $recall below the clustered-data design gate")
   }
 
+  test("C-rule: design gates hold at 10x corpus with nCentroids scaled ∝ n") {
+    // the documented IVF scale rule is C ∝ corpus size (constant per-task
+    // work); every other gate in this suite runs C=8 at n≤400, so pin the
+    // rule itself: 10x the vectors, topic count grown with the corpus
+    // (nClusters = n/100, a crawl's shape), C = n/125 per the
+    // FAISS-practice rule, nprobe unchanged — recall/coverage gates must
+    // hold at the SAME thresholds the small-C tests use
+    val n = 4000
+    val e = genEmbeddings(n, nClusters = n / 100).localCheckpoint()
+    val c = math.max(16, n / 125) // = 32
+    val exactPairs = PipelineOps.embeddingNearDupPairs(e, 0.35)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val ivfPairs = PipelineOps.embeddingNearDupPairsIvf(e, 0.35, nCentroids = c)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+    assert(ivfPairs.nonEmpty)
+    ivfPairs.foreach { case (k, cos) =>
+      assert(exactPairs.contains(k) && exactPairs(k) == cos,
+        s"IVF pair $k not an exact pair with identical 4dp cos")
+    }
+    val frac = ivfPairs.length.toDouble / exactPairs.size
+    info(f"scaled-C near-dup pair coverage at C=$c: ${ivfPairs.length}/${
+      exactPairs.size} ($frac%.3f)")
+    assert(frac >= 0.5, s"within-cell coverage $frac at scaled C below 0.5")
+
+    // contrastive recall through the scaled-C candidate source (nprobe=8:
+    // the fan-out rule is unchanged — coverage comes from co-clustering,
+    // not from probing a constant fraction of a GROWING cell count)
+    val exactCp = PipelineOps.contrastivePairs(e, 2, 0.3, 0.9, 2, 0.1, 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivfCp = PipelineOps.contrastivePairs(e, 2, 0.3, 0.9, 2, 0.1, 0.3,
+        candidatePairs = Some(PipelineOps.embeddingNearDupPairsIvf(
+          e, 0.1, nCentroids = c, nprobe = 8)))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val recall = ivfCp.count(exactCp.contains).toDouble / exactCp.size
+    info(f"scaled-C contrastive pair recall at C=$c: $recall%.3f")
+    assert(recall >= 0.8, s"recall $recall at scaled C below the design gate")
+  }
+
   test("kmeansAssign is invariant under input partitioning") {
     val e = genEmbeddings(240, nClusters = 5, noise = 0.3)
     val a = PipelineOps.kmeansAssign(e.repartition(13), 4, 2)
