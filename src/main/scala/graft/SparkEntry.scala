@@ -716,24 +716,41 @@ object SparkEntry {
     // mutual-kNN clustering: k-less corpus clustering over mutual edges
     "q_mutual_knn" -> ((s, d) => PipelineOps.mutualKnnClusters(embeddings(s, d), 3)),
     // sub-quadratic candidate source swapped in with one argument (the
-    // IVF-celled kNN graph); driver row = cluster agreement gate vs exact
-    // (no refinement claim: an IVF edge need not be mutual in the exact
-    // graph, so neither side refines the other in general)
-    // nprobe=8 (half the cells — still a 2x flop cut at equal quality on
-    // this noise corpus); gate 0.6 = regression floor (measured 0.78/0.83)
+    // IVF-celled kNN graph); driver row = mutual-EDGE recall gate vs the
+    // exact graph's mutual edges + the closure's structural label
+    // invariant. The r4 row gated closure LABEL agreement instead — that
+    // measure is draw-FRAGILE (one missed chain edge cascades min-label
+    // disagreement across its whole component: measured 0.78/0.83 at
+    // driver SFs but 0.066 on a 5x staged draw whose edge recall was
+    // 0.83); mutual-edge recall concentrates over thousands of edges and
+    // measured 0.70-0.76 across sf0.001/0.01/0.1 AND the 5x staged
+    // corpus, so gate 600 is a draw-stable regression floor. nprobe=8
+    // (half the cells — still a 2x flop cut). No refinement claim: an IVF
+    // edge need not be mutual in the exact graph.
     "q_mutual_knn_ivf" -> ((s, d) => {
       val e = embeddings(s, d)
-      // the exact twin feeds both the agreement join and the cluster
-      // count: checkpoint the node-sized label frame so the exact kNN
-      // kernel + CC closure run once, not per consumer
-      val exact = PipelineOps.mutualKnnClusters(e, 3).localCheckpoint()
-      val ivf = PipelineOps.mutualKnnClusters(e, 3, graph = Some(
-        PipelineOps.knnGraphIvf(e, 3, nCentroids = 16, nprobe = 8)
-          .select(col("vec_id"), col("nb_id"))))
-      PipelineOps.clusterAgreementStats(ivf, exact, "vec_id", "cluster_id",
-          600, checkRefinement = false)
-        .crossJoin(broadcast(exact.agg(
-          countDistinct(col("cluster_id")).as("n_clusters_exact"))))
+      val exactG = PipelineOps.knnGraph(e, 3).localCheckpoint()
+      val ivfG = PipelineOps.knnGraphIvf(e, 3, nCentroids = 16, nprobe = 8)
+        .localCheckpoint()
+      val exactM = PipelineOps.mutualEdges(
+        exactG.select(col("vec_id"), col("nb_id"), col("cos")))
+      val ivfM = PipelineOps.mutualEdges(
+        ivfG.select(col("vec_id"), col("nb_id"), col("cos")))
+      // the one-argument clustering swap still runs; its labels must be
+      // the min member of each cluster — a structural invariant of the
+      // closure that holds for ANY edge set (unlike label agreement)
+      val ivfClusters = PipelineOps.mutualKnnClusters(e, 3,
+        graph = Some(ivfG.select(col("vec_id"), col("nb_id"))))
+      val canonicalOk = ivfClusters.groupBy("cluster_id")
+        .agg(min("vec_id").as("mn"))
+        .agg(min(col("cluster_id") === col("mn")).as("labels_canonical_ok"))
+      val exactStats = PipelineOps.mutualKnnClusters(e, 3)
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("cluster_id")).as("n_clusters_exact"))
+      PipelineOps.recallStats(ivfM, exactM, Seq("ia", "ib"), 600)
+        .drop("n_approx")
+        .crossJoin(broadcast(exactStats))
+        .crossJoin(broadcast(canonicalOk))
     }),
     // α=0.7 temperature-rebalanced domain mixture over languages
     "q_mixture_weights" -> ((s, d) => PipelineOps.mixtureWeights(docs(s, d), "lang", 0.7)),

@@ -309,30 +309,39 @@ FROM fp JOIN canon ON fp.fp = canon.fp"""
 
   /** Exact Jaccard pairs via the SAME AllPairs/PPJoin prefix filtering the
     * Spark op uses (any global shingle total order is valid — here
-    * (df asc, shingle asc) vs the op's (df asc, hash asc) — so candidate
-    * sets differ but verified output is identical by the AllPairs theorem).
-    * Sub-quadratic BY FORMULATION, so the 20×-docs staged pass replays it
-    * inside budget (the old all-pairs CTE was the pass's one TIMEOUT);
-    * verified row-identical to the all-pairs form at sf0.001/sf0.01.
+    * (df asc, hash asc) like the op — so candidate sets differ from the
+    * string-ordered form but verified output is identical by the AllPairs
+    * theorem). Sub-quadratic BY FORMULATION, so the 20×-docs staged pass
+    * replays it inside budget (the old all-pairs CTE was the pass's one
+    * TIMEOUT); verified row-identical to the all-pairs form at
+    * sf0.001/sf0.01. The verify intersects 64-bit HASHED shingle lists —
+    * the identical collision-safe-in-expectation argument the op itself
+    * makes for xxhash64 — and the heavy CTEs carry MATERIALIZED so DuckDB
+    * cannot re-derive the window pipeline per consumer (the re-derivation
+    * is what pushed the single-query form past its memory budget at 20×).
     */
   def jaccardPairs(threshold: Double): String =
     s"""WITH $shinglesCte,
-ex AS (SELECT doc_id, unnest(sh) AS tok FROM s),
+hsq AS MATERIALIZED (SELECT doc_id,
+  list_transform(sh, x -> hash(x)) AS hv, len(sh) AS sz FROM s),
+ex AS (SELECT doc_id, unnest(hv) AS tok FROM hsq),
 dfq AS (SELECT tok, count(*) AS df FROM ex GROUP BY tok),
 ordq AS (SELECT e.doc_id, e.tok,
     row_number() OVER (PARTITION BY e.doc_id ORDER BY d.df, e.tok) AS pos,
     count(*) OVER (PARTITION BY e.doc_id) AS sz
   FROM ex e JOIN dfq d ON e.tok = d.tok),
-pref AS (SELECT doc_id, tok, pos, sz FROM ordq
+pref AS MATERIALIZED (SELECT doc_id, tok, pos, sz FROM ordq
   WHERE pos <= sz - ceil(sz * $threshold) + 1),
 cand AS (SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
   FROM pref a JOIN pref b ON a.tok = b.tok AND a.doc_id < b.doc_id
     AND a.sz >= ceil(b.sz * $threshold) AND b.sz >= ceil(a.sz * $threshold)
     AND 1 + least(a.sz - a.pos, b.sz - b.pos)
       >= ceil((a.sz + b.sz) * ($threshold/(1+$threshold)))),
-p AS (SELECT cand.ia, cand.ib,
-  len(list_intersect(sa.sh, sb.sh)) * 1.0 / len(list_distinct(list_concat(sa.sh, sb.sh))) AS j
-  FROM cand JOIN s sa ON cand.ia = sa.doc_id JOIN s sb ON cand.ib = sb.doc_id)
+inters AS MATERIALIZED (
+  SELECT cand.ia, cand.ib, len(list_intersect(x.hv, y.hv)) AS inter,
+    x.sz AS sza, y.sz AS szb
+  FROM cand JOIN hsq x ON cand.ia = x.doc_id JOIN hsq y ON cand.ib = y.doc_id),
+p AS (SELECT ia, ib, inter * 1.0 / (sza + szb - inter) AS j FROM inters)
 SELECT ia, ib, round(j, 4) AS jaccard FROM p WHERE j >= $threshold"""
 
   def minhashPairs(threshold: Double): String = {
@@ -967,8 +976,8 @@ WHERE NOT EXISTS (SELECT 1 FROM documents d WHERE d.text = n.text)"""
     * cluster, unpaired docs canonical to themselves.
     */
   def dedupResolve(threshold: Double): String =
-    s"""WITH RECURSIVE pairs AS (${minhashPairs(threshold)}),
-edges AS (SELECT ia AS u, ib AS v FROM pairs UNION SELECT ib AS u, ia AS v FROM pairs),
+    s"""WITH RECURSIVE pairs AS MATERIALIZED (${minhashPairs(threshold)}),
+edges AS MATERIALIZED (SELECT ia AS u, ib AS v FROM pairs UNION SELECT ib AS u, ia AS v FROM pairs),
 walk(u, v) AS (SELECT u, v FROM edges
   UNION SELECT w.u, e.v FROM walk w JOIN edges e ON w.v = e.u),
 comp AS (SELECT u AS doc_id, min(v) AS mn FROM walk GROUP BY u)
@@ -1064,8 +1073,8 @@ FROM r WHERE rank <= $k"""
     * (recursive reachability), canonical = min vec_id per cluster.
     */
   def semDedup(threshold: Double): String =
-    s"""WITH RECURSIVE p AS (${embeddingNearDup(threshold)}),
-edges AS (SELECT ia AS u, ib AS v FROM p UNION SELECT ib AS u, ia AS v FROM p),
+    s"""WITH RECURSIVE p AS MATERIALIZED (${embeddingNearDup(threshold)}),
+edges AS MATERIALIZED (SELECT ia AS u, ib AS v FROM p UNION SELECT ib AS u, ia AS v FROM p),
 walk(u, v) AS (SELECT u, v FROM edges
   UNION SELECT w.u, e.v FROM walk w JOIN edges e ON w.v = e.u),
 comp AS (SELECT u AS vec_id, min(v) AS mn FROM walk GROUP BY u)
@@ -1086,14 +1095,34 @@ SELECT count(*)::BIGINT AS n_docs, true AS refines_ok,
   sum(CASE WHEN is_kept THEN 1 ELSE 0 END)::BIGINT AS n_kept_exact,
   true AS kept_superset_ok FROM x"""
 
-  /** q_mutual_knn_ivf: cluster-label agreement gate for the IVF-graph
-    * mutual-kNN clustering vs the exact twin (full [[mutualKnn]] replay);
-    * the exact side's doc and cluster counts are independent content.
+  /** q_mutual_knn_ivf: mutual-EDGE recall gate for the IVF kNN graph vs
+    * the exact graph (label agreement was draw-fragile — see the
+    * SparkEntry row comment). The oracle independently replays the exact
+    * side's content: doc count, exact-closure cluster count, the exact
+    * mutual edge count and the minimum 4dp mutual-edge cosine; the gate
+    * and invariant booleans are expected true.
     */
   def mutualKnnIvfAgree(k: Int): String =
-    s"""WITH x AS (${mutualKnn(k)})
-SELECT count(*)::BIGINT AS n_docs, true AS agree_ok,
-  count(DISTINCT cluster_id)::BIGINT AS n_clusters_exact FROM x"""
+    s"""WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+s AS (SELECT a.vec_id, b.vec_id AS nb_id, ${cosineSql("a.v", "b.v")} AS c
+  FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+r AS (SELECT vec_id, nb_id, c, row_number() OVER
+  (PARTITION BY vec_id ORDER BY c DESC, nb_id) AS rank FROM s),
+g AS MATERIALIZED (SELECT vec_id, nb_id, round(c, 4) AS cos FROM r WHERE rank <= $k),
+m AS MATERIALIZED (SELECT g.vec_id AS ia, g.nb_id AS ib, g.cos FROM g
+  JOIN g g2 ON g.vec_id = g2.nb_id AND g.nb_id = g2.vec_id
+  WHERE g.vec_id < g.nb_id),
+edges AS MATERIALIZED (SELECT ia AS u, ib AS w FROM m UNION SELECT ib AS u, ia AS w FROM m),
+walk(u, w) AS (SELECT u, w FROM edges
+  UNION SELECT k2.u, e2.w FROM walk k2 JOIN edges e2 ON k2.w = e2.u),
+comp AS (SELECT u AS vec_id, min(w) AS mn FROM walk GROUP BY u),
+cl AS (SELECT e.vec_id, coalesce(least(e.vec_id, c.mn), e.vec_id) AS cluster_id
+  FROM e LEFT JOIN comp c ON e.vec_id = c.vec_id)
+SELECT (SELECT count(*) FROM cl)::BIGINT AS n_docs,
+  (SELECT count(DISTINCT cluster_id) FROM cl)::BIGINT AS n_clusters_exact,
+  (SELECT count(*) FROM m)::BIGINT AS n_exact,
+  true AS recall_ok, true AS cos_ok, true AS labels_canonical_ok,
+  (SELECT min(cos) FROM m) AS exact_kth_cos"""
 
   /** q_pagerank: unrolled power iteration over the synthesized host graph
     * (each doc links its home host `h(doc_id%40)` to three arithmetic
@@ -1254,11 +1283,11 @@ s AS (SELECT a.vec_id, b.vec_id AS nb_id, ${cosineSql("a.v", "b.v")} AS c
   FROM e a JOIN e b ON a.vec_id <> b.vec_id),
 r AS (SELECT vec_id, nb_id, row_number() OVER
   (PARTITION BY vec_id ORDER BY c DESC, nb_id) AS rank FROM s),
-g AS (SELECT vec_id, nb_id FROM r WHERE rank <= $k),
+g AS MATERIALIZED (SELECT vec_id, nb_id FROM r WHERE rank <= $k),
 m AS (SELECT vec_id AS ia, nb_id AS ib FROM
   (SELECT vec_id, nb_id FROM g INTERSECT SELECT nb_id, vec_id FROM g)
   WHERE vec_id < nb_id),
-edges AS (SELECT ia AS u, ib AS w FROM m UNION SELECT ib AS u, ia AS w FROM m),
+edges AS MATERIALIZED (SELECT ia AS u, ib AS w FROM m UNION SELECT ib AS u, ia AS w FROM m),
 walk(u, w) AS (SELECT u, w FROM edges
   UNION SELECT k.u, e2.w FROM walk k JOIN edges e2 ON k.w = e2.u),
 comp AS (SELECT u AS vec_id, min(w) AS mn FROM walk GROUP BY u)

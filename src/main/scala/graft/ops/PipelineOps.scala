@@ -3078,12 +3078,26 @@ object PipelineOps {
       graph: Option[DataFrame] = None): DataFrame = {
     val g = graph.getOrElse(knnGraph(embeddings, k, blocks))
       .select(col("vec_id"), col("nb_id"))
-    val mutual = g.intersect(
-        g.select(col("nb_id").as("vec_id"), col("vec_id").as("nb_id")))
-      .where(col("vec_id") < col("nb_id"))
-      .select(col("vec_id").as("ia"), col("nb_id").as("ib"))
-    dedupResolve(embeddings.select(col("vec_id").as("doc_id")), mutual)
+    val mutual = mutualEdges(g).select(col("ia").as("vec_id"), col("ib").as("nb_id"))
+    dedupResolve(embeddings.select(col("vec_id").as("doc_id")),
+        mutual.select(col("vec_id").as("ia"), col("nb_id").as("ib")))
       .select(col("doc_id").as("vec_id"), col("canonical_id").as("cluster_id"))
+  }
+
+  /** The mutual (bidirectional) edge set of a directed kNN graph — the
+    * edge rule of [[mutualKnnClusters]], exposed so gate rows can compare
+    * the IVF graph's mutual edges against the exact graph's (mutual-EDGE
+    * recall concentrates over thousands of edges and is stable across
+    * corpus draws, unlike closure LABEL agreement, where one missed chain
+    * edge cascades min-label disagreement across a whole component).
+    * Returns (ia, ib[, cos]) with ia < ib; the cos column (the u→v
+    * direction's score) rides along when present.
+    */
+  def mutualEdges(g: DataFrame): DataFrame = {
+    val rev = g.select(col("nb_id").as("vec_id"), col("vec_id").as("nb_id"))
+    g.join(rev, Seq("vec_id", "nb_id"), "left_semi")
+      .where(col("vec_id") < col("nb_id"))
+      .withColumnRenamed("vec_id", "ia").withColumnRenamed("nb_id", "ib")
   }
 
   /** Host-level prior table — the per-host curation frame a web pipeline

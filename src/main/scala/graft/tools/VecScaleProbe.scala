@@ -74,7 +74,8 @@ object VecScaleProbe {
       case other => sys.error(s"bad src ${other.mkString(":")}")
     }
     val n = e.count()
-    val c = math.max(16, (n / 125L).toInt) // the documented C-rule
+    val c = if (args.length > 4) args(4).toInt
+      else math.max(16, (n / 125L).toInt) // the documented C-rule
     val nprobe = 8
     println(s"[vecscale] src=$src n=$n C=$c (n/125) nprobe=$nprobe cores=$cores")
 
@@ -114,6 +115,15 @@ object VecScaleProbe {
       val exactG = PipelineOps.knnGraph(e, 3).localCheckpoint()
       recall(s"knn_graph_ivf(C,$nprobe)",
         PipelineOps.knnGraphIvf(e, 3, c, nprobe), exactG, Seq("vec_id", "nb_id"))
+
+      // 4a) mutual-EDGE recall at scaled C (the draw-stable measure —
+      //     closure label agreement cascades on one missed chain edge)
+      val exactM = PipelineOps.mutualEdges(
+        exactG.select(col("vec_id"), col("nb_id"))).localCheckpoint()
+      recall(s"mutual_edges_ivf(C,$nprobe)",
+        PipelineOps.mutualEdges(PipelineOps.knnGraphIvf(e, 3, c, nprobe)
+          .select(col("vec_id"), col("nb_id"))),
+        exactM, Seq("ia", "ib"))
 
       // 4) mutual-kNN cluster agreement at scaled C
       val mkExact = PipelineOps.mutualKnnClusters(e, 3).localCheckpoint()
