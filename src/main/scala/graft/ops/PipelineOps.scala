@@ -736,8 +736,14 @@ object PipelineOps {
     val assign = new Array[Int](n)
     var round = 0
     while (round < iters) {
-      var i = 0
-      while (i < n) {
+      // assignment is the O(n·k·dim) term and every element is independent
+      // (each i writes only assign(i)) — a parallel loop is bit-identical
+      // to the serial one at any thread count. At the documented
+      // C ∝ corpus rule this step would otherwise serialize the whole op:
+      // C=320 × 16384 samples measured ~10 s single-core per training,
+      // flattening the 8→32-core scaling of the IVF family's probes.
+      // The RNG-consuming reseed path stays in the serial update below.
+      java.util.stream.IntStream.range(0, n).parallel().forEach { i =>
         val x = sample(i)
         var best = 0
         var bestD = Double.MaxValue
@@ -751,11 +757,10 @@ object PipelineOps {
           c += 1
         }
         assign(i) = best
-        i += 1
       }
       val sums = Array.ofDim[Double](kk, dim)
       val cnt = new Array[Int](kk)
-      i = 0
+      var i = 0
       while (i < n) {
         val c = assign(i)
         cnt(c) += 1
@@ -2298,15 +2303,22 @@ object PipelineOps {
     *      min(count(y,p), count(p,c)) occurrences; the self-pair (X,X)
     *      needs "p c p c", whose middle adjacency (c,p) bounds it by the
     *      same left cap.
-    *   4. the candidate's concatenation must NOT already exist as a
-    *      symbol in the snapshot (maxIn(cc) == 0 and maxOut(cc) == 0):
-    *      if a string-equal symbol S pre-exists, a created pair such as
-    *      (X,X) sums contributions from the (S,S), (S,merged),
-    *      (merged,S) and (merged,merged) routes, which can reach
-    *      ~left+right — no per-side cap is sound, so the batch accepts
-    *      nothing after such a merge. The batch HEAD may still carry a
-    *      pre-existing concat (it is sequential's literal next pick);
-    *      it then closes the round by itself.
+    *   4. when the candidate's concatenation ALREADY exists as a symbol S
+    *      in the snapshot (maxIn(cc) > 0 or maxOut(cc) > 0), the merged
+    *      symbol conflates with S and a created pair can sum several
+    *      routes, so the per-side caps of rule 3 are not sound alone; the
+    *      creation cap widens to the route-enumeration bound
+    *      max(selfCap, rbFull) with
+    *        selfCap = maxIn(cc) + min(maxIn(p), n) + min(2·maxOut(c), n)
+    *        rbFull  = maxOut(cc) + min(maxOut(c), n)
+    *      — (X,X) decomposes into (S,S) ≤ maxIn(cc); (S, merged) from an
+    *      old (S,p) adjacency ≤ min(maxIn(p), n); and (merged, S) +
+    *      (merged, merged) from old (c,S)/(c,p) adjacencies, each
+    *      ≤ maxOut(c) and jointly ≤ n because each merged occurrence has
+    *      exactly one right neighbor; a non-self (y,X) is ≤
+    *      maxIn(cc) + min(maxIn(p), n) ≤ selfCap, and (X,y) is ≤ rbFull.
+    *      (The pure-merged self pair needs "p c p c", whose middle (c,p)
+    *      adjacency keeps the un-conflated case inside rule 3's caps.)
     * The round stops at the FIRST rejected candidate (prefix rule — a
     * skipped pair could be the one sequential would pick). Zipfian pair
     * tables batch 2-8 merges per round in practice; worst case degrades
@@ -2325,46 +2337,45 @@ object PipelineOps {
       .select(concat_ws(" ", expr("filter(split(w, ''), x -> x <> '')")).as("syms"),
         col("cnt"))
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
-    // lazy checkpoints: each round's top-pair collect is the ONE action
-    // (two when batching: +1 for the cap stats), materializing the
-    // previous round's merge pass as a side effect
+    // lazy checkpoints: each round's top-pair collect is the ONE action —
+    // in BOTH modes: the batched round's caps derive from the SAME
+    // collect (top-M, below), never from a second stats job
     var cur = words.localCheckpoint(eager = false)
     var exhausted = false
+    // Cap stats ride the one collect: a symbol's max-in/max-out pair
+    // count is EXACT when the symbol appears on that side within the
+    // top-M rows (any higher-count pair would rank above the M-th), and
+    // otherwise upper-bounded by the M-th count — upper bounds keep the
+    // acceptance rule sound (a looser cap only rejects more). M = 256
+    // keeps the collect driver-tiny while making the floor bound small
+    // enough to batch against on Zipfian pair tables.
+    val statsTopM = 256
     while (merges.size < numMerges && !exhausted) {
       val want = math.min(math.max(1, maxBatch), numMerges - merges.size)
-      val pairsDf0 = cur
+      val fetch = if (want > 1) math.max(want, statsTopM) else 1
+      val pairsDf = cur
         .select(col("cnt"), explode(expr(
           "transform(slice(split(syms, ' '), 1, size(split(syms, ' ')) - 1)," +
             " (x, i) -> struct(x AS p, element_at(split(syms, ' '), i + 2) AS c))")).as("pr"))
         .groupBy(col("pr.p").as("p"), col("pr.c").as("c"))
         .agg(sum("cnt").as("n"))
-      val pairsDf =
-        if (want > 1) pairsDf0.localCheckpoint(eager = false) else pairsDf0
       val top = pairsDf
         .orderBy(col("n").desc, col("p"), col("c"))
-        .limit(want).collect()
+        .limit(fetch).collect()
       if (top.isEmpty) exhausted = true // every word fully merged
       else {
-        val cands = top.map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        val rows = top.map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        val cands = rows.take(want)
         val accepted: Seq[(String, String, Long)] =
           if (cands.length == 1) cands.toSeq
           else {
-            // snapshot caps for the acceptance rule (Scaladoc above):
-            // maxIn(s) = max count(·, s), maxOut(s) = max count(s, ·)
-            // over the candidates' symbols and concatenations
-            val ssyms = cands.toSeq.flatMap(t => Seq(t._1, t._2, t._1 + t._2)).distinct
-            val statRows = pairsDf.select(col("c").as("s"), col("n"))
-                .where(col("s").isin(ssyms: _*))
-                .groupBy("s").agg(max("n").as("m")).withColumn("side", lit("in"))
-              .unionByName(pairsDf.select(col("p").as("s"), col("n"))
-                .where(col("s").isin(ssyms: _*))
-                .groupBy("s").agg(max("n").as("m")).withColumn("side", lit("out")))
-              .collect()
-            val maxIn = statRows.filter(_.getString(2) == "in")
-              .map(r => r.getString(0) -> r.getLong(1)).toMap
-            val maxOut = statRows.filter(_.getString(2) == "out")
-              .map(r => r.getString(0) -> r.getLong(1)).toMap
-            bpeAcceptBatch(cands.toSeq, maxIn, maxOut)
+            // floor = 0 when the whole table fit in the fetch (absent
+            // symbol truly has no pair), else the M-th count upper-bounds
+            // any pair not collected
+            val floor = if (rows.length < fetch) 0L else rows.last._3
+            val maxIn = rows.groupBy(_._2).map { case (s, v) => s -> v.map(_._3).max }
+            val maxOut = rows.groupBy(_._1).map { case (s, v) => s -> v.map(_._3).max }
+            bpeAcceptBatch(cands.toSeq, maxIn, maxOut, floor)
           }
         merges ++= accepted
         onRound(accepted.size)
@@ -2392,14 +2403,19 @@ object PipelineOps {
     * returns the provably sequential-equivalent PREFIX of one round's
     * ranked candidates, given snapshot per-symbol pair-count caps
     * (`maxIn(s)` = max count of any pair (·,s), `maxOut(s)` = max count of
-    * (s,·), over the candidates' symbols and concatenations). Pure —
-    * package-private so BpeSpec can fuzz the rule itself at volume
-    * (adversarial tie/cascade/conflation corpora) without a Spark round
-    * per trial; [[bpeTrain]] is the only production caller.
+    * (s,·)). The maps may be derived from only the TOP-M pairs of the
+    * snapshot; `floor` then upper-bounds any symbol absent from them (the
+    * M-th pair's count — any larger pair would have ranked inside).
+    * UPPER bounds keep the rule sound: a looser cap can only shorten the
+    * accepted prefix, never change a merge. Pure — package-private so
+    * BpeSpec can fuzz the rule itself at volume (adversarial
+    * tie/cascade/conflation corpora) without a Spark round per trial;
+    * [[bpeTrain]] is the only production caller.
     */
   private[graft] def bpeAcceptBatch(cands: Seq[(String, String, Long)],
       maxIn: Map[String, Long],
-      maxOut: Map[String, Long]): Seq[(String, String, Long)] = {
+      maxOut: Map[String, Long],
+      floor: Long = 0L): Seq[(String, String, Long)] = {
     val acc = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
     val usedSyms = scala.collection.mutable.Set.empty[String]
     val usedConcats = scala.collection.mutable.Set.empty[String]
@@ -2408,22 +2424,24 @@ object PipelineOps {
     for (cand <- cands if !stopped) {
       val (p, c, n) = cand
       val cc = p + c
-      // rule 4 (bpeTrain Scaladoc): a pre-existing symbol string-equal to
-      // the concat conflates created-pair routes and voids the per-side
-      // caps — only the batch head may carry one
-      val ccPre = maxIn.getOrElse(cc, 0L) > 0L || maxOut.getOrElse(cc, 0L) > 0L
       val ok = acc.isEmpty || (
         !usedSyms(p) && !usedSyms(c) && !usedConcats(p) && !usedConcats(c) &&
-          !usedConcats(cc) && !usedSyms(cc) && !ccPre && n > capMax)
+          !usedConcats(cc) && !usedSyms(cc) && n > capMax)
       if (ok) {
         acc += cand
         usedSyms += p; usedSyms += c; usedConcats += cc
-        if (ccPre) capMax = Long.MaxValue // head-only: close the round
-        else {
-          val lb = math.min(maxIn.getOrElse(p, 0L), n)
-          val rb = math.min(maxOut.getOrElse(c, 0L), n)
-          capMax = math.max(capMax, math.max(lb, rb))
-        }
+        val lb = math.min(maxIn.getOrElse(p, floor), n)
+        val rb = math.min(maxOut.getOrElse(c, floor), n)
+        val inCC = maxIn.getOrElse(cc, floor)
+        val outCC = maxOut.getOrElse(cc, floor)
+        val cap =
+          if (inCC == 0L && outCC == 0L) math.max(lb, rb) // rule 3
+          else { // rule 4: conflation with a pre-existing symbol S == cc
+            val selfCap = inCC + lb + math.min(2L * maxOut.getOrElse(c, floor), n)
+            val rbFull = outCC + rb
+            math.max(selfCap, rbFull)
+          }
+        capMax = math.max(capMax, cap)
       } else stopped = true // prefix rule: never skip a candidate
     }
     acc.toSeq

@@ -31,12 +31,23 @@ object BpeProbe {
       val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
     }
     val rounds = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val stamps = scala.collection.mutable.ArrayBuffer.empty[Long]
     val (bat, tBat) = timed(PipelineOps.bpeTrain(docs, numMerges,
-      maxBatch = maxBatch, onRound = rounds += _))
+      maxBatch = maxBatch,
+      onRound = { n => rounds += n; stamps += System.nanoTime() }))
     println(f"[bpe] batch=$maxBatch:  ${bat.size} merges in $tBat%.1f s over " +
       f"${rounds.size} rounds (${bat.size.toDouble / rounds.size}%.2f merges/round; " +
       f"round sizes min=${rounds.min} p50=${rounds.sorted.apply(rounds.size / 2)} " +
       s"max=${rounds.max})")
+    if (stamps.size > 1) {
+      val deltas = stamps.sliding(2).map(w => (w(1) - w(0)) / 1e9).toSeq
+      val byKind = rounds.tail.zip(deltas).groupBy(_._1 > 1)
+      byKind.toSeq.sortBy(_._1).foreach { case (engaged, xs) =>
+        val mean = xs.map(_._2).sum / xs.size
+        println(f"[bpe] rounds(accepted${if (engaged) ">1" else "=1"}): " +
+          f"n=${xs.size} mean wall ${mean}%.2f s")
+      }
+    }
     if (!skipSeq) {
       val (seq, tSeq) = timed(PipelineOps.bpeTrain(docs, numMerges))
       println(f"[bpe] sequential: ${seq.size} merges in $tSeq%.1f s " +

@@ -69,7 +69,13 @@ object VecScaleProbe {
     spark.sparkContext.setLogLevel("ERROR")
 
     val e = src.split(":", 2) match {
-      case Array("noise", path) => spark.read.parquet(path)
+      // the staged corpora are single parquet files — without a
+      // repartition the scan side (normalize, IVF assignment, probe
+      // fan-out) runs on ONE input split no matter the core count, and
+      // the timing legs measure file layout, not the operators (a real
+      // corpus at this scale is many files). 4 splits per core matches
+      // the driver tables' layout assumption.
+      case Array("noise", path) => spark.read.parquet(path).repartition(4 * cores)
       case Array("clustered", n) => clustered(spark, n.toInt).localCheckpoint()
       case other => sys.error(s"bad src ${other.mkString(":")}")
     }
@@ -146,6 +152,22 @@ object VecScaleProbe {
       // 6) ANN top-50 recall at scaled C (coverage floor on noise)
       recall(s"ann_ivf(C,$nprobe)@50", PipelineOps.ivfTopK(e, 0L, 50, c, nprobe),
         PipelineOps.cosineTopK(e, 0L, 50), Seq("vec_id"))
+    }
+
+    if (mode == "breakdown") {
+      // where does the IVF wall-time go at scaled C? train-sample collect
+      // vs driver Lloyd vs the distributed kernel
+      var t0 = System.nanoTime()
+      val (assigned, centers) = PipelineOps.ivfAssignments(e, c)
+      println(f"[vecscale-bd] ivfAssignments plan+train: ${(System.nanoTime()-t0)/1e9}%.2f s " +
+        s"(centers=${centers.length})")
+      t0 = System.nanoTime()
+      assigned.write.format("noop").mode("overwrite").save()
+      println(f"[vecscale-bd] assignment job: ${(System.nanoTime()-t0)/1e9}%.2f s")
+      t0 = System.nanoTime()
+      PipelineOps.embeddingNearDupPairsIvf(e, 0.35, c)
+        .write.format("noop").mode("overwrite").save()
+      println(f"[vecscale-bd] full neardup_ivf: ${(System.nanoTime()-t0)/1e9}%.2f s")
     }
 
     if (mode == "timing") {

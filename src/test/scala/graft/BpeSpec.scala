@@ -216,17 +216,19 @@ class BpeSpec extends AnyFunSuite {
       if (counts.isEmpty) done = true
       else {
         val want = math.min(math.max(1, maxBatch), k - out.size)
-        val ranked = counts.toSeq.sortBy { case ((a, b), m) => (-m, a, b) }
-          .take(want).map { case ((a, b), m) => (a, b, m) }
+        // mirror the production top-M stats derivation: one ranked fetch,
+        // caps exact inside it, floor-bounded (M-th count) outside it
+        val fetch = if (want > 1) math.max(want, 256) else 1
+        val rows = counts.toSeq.sortBy { case ((a, b), m) => (-m, a, b) }
+          .take(fetch).map { case ((a, b), m) => (a, b, m) }
+        val ranked = rows.take(want)
         val accepted =
           if (ranked.length == 1) ranked
           else {
-            val ss = ranked.flatMap(t => Seq(t._1, t._2, t._1 + t._2)).toSet
-            val maxIn = counts.toSeq.filter(t => ss(t._1._2)).groupBy(_._1._2)
-              .map { case (s, v) => s -> v.map(_._2).max }
-            val maxOut = counts.toSeq.filter(t => ss(t._1._1)).groupBy(_._1._1)
-              .map { case (s, v) => s -> v.map(_._2).max }
-            PipelineOps.bpeAcceptBatch(ranked, maxIn, maxOut)
+            val floor = if (rows.length < fetch) 0L else rows.last._3
+            val maxIn = rows.groupBy(_._2).map { case (s, v) => s -> v.map(_._3).max }
+            val maxOut = rows.groupBy(_._1).map { case (s, v) => s -> v.map(_._3).max }
+            PipelineOps.bpeAcceptBatch(ranked, maxIn, maxOut, floor)
           }
         out ++= accepted
         val rules = accepted.map(t => (t._1, t._2))
@@ -284,16 +286,19 @@ class BpeSpec extends AnyFunSuite {
     }
     // 3) conflation-targeted: seed patterns whose merges create symbols
     //    string-equal to other factorizations' concats ('aba' via (ab,a)
-    //    vs (a,ba)) with skewed multiplicities so those pairs top rounds
-    val seeds = Seq("aba", "abab", "aab", "baa", "aabaa", "ababa", "bab", "abba")
-    for (t <- 0 until 150) {
-      val words = (0 until 8).flatMap { _ =>
+    //    vs (a,ba)) with skewed multiplicities so those pairs top rounds —
+    //    the family that exercises rule 4's conflation-aware sum cap
+    //    (accepting a ccPre candidate mid-batch must still be sequential)
+    val seeds = Seq("aba", "abab", "aab", "baa", "aabaa", "ababa", "bab",
+      "abba", "aabab", "ababab", "baba", "aaba")
+    for (t <- 0 until 350) {
+      val words = (0 until (6 + rnd.nextInt(5))).flatMap { _ =>
         val w = seeds(rnd.nextInt(seeds.length))
-        Seq.fill(1 + rnd.nextInt(5))(w)
+        Seq.fill(1 + rnd.nextInt(6))(w)
       }
-      check(words, batches(t % 4), 6 + rnd.nextInt(10), s"conflate/$t")
+      check(words, batches(t % 4), 6 + rnd.nextInt(12), s"conflate/$t")
     }
-    assert(trials == 450)
+    assert(trials == 650)
   }
 
   test("Spark bpeTrain matches the pure batched mirror on adversarial corpora") {
